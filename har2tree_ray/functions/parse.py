@@ -1,0 +1,93 @@
+"""Span-text parsing — the recast of har2tree's body/content parsers.
+
+The reference extracts attach evidence from HAR entries and HTML/CSS/JS
+bodies (external resources M19 /root/reference/har2tree/helper.py:356-466,
+JS redirects M22 nodes.py:573-584, meta refresh M23 nodes.py:586-590,
+initiator M25 nodes.py:601-616, data-URI blobs helper.py:85-127,236-250,
+cookies M14/M15 nodes.py:508-539).  In the interleaved recast all of that
+evidence lives in the span ``text`` as directives and markup fragments; this
+module holds the compiled patterns and the single-pass extractor.
+
+All regexes are compiled at module import — once per worker process; the
+SpanParser actor (stages.parser) reuses them so setup is amortized per actor,
+per the actor-pool contract (SURVEY.md §2.3 ST1-ST3).
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import re
+
+RE_GEO = re.compile(r"@geo=(-?\d+\.\d+),(-?\d+\.\d+)")
+RE_STATUS = re.compile(r"@status=(-?\d+)")
+RE_REDIRECT = re.compile(r"@redirect=(\S+)")
+RE_META_REFRESH = re.compile(r"@meta_refresh=(\S+)")
+RE_REFERER = re.compile(r"@referer=(\S+)")
+RE_INITIATOR = re.compile(r"@initiator=(\S+)")
+RE_FRAME = re.compile(r"@frame=(\S+)")
+RE_SETCOOKIE = re.compile(r"@setcookie=([^=\s]+)=(\S+)@(\S+)")
+RE_COOKIE = re.compile(r"@cookie=([^=\s]+)=(\S+)")
+RE_SRC = re.compile(r'src="([^"]+)"')
+RE_HREF = re.compile(r'href="([^"]+)"')
+RE_CSSURL = re.compile(r"url\(([^)]+)\)")
+RE_JSLOC = re.compile(r"location\.href='([^']+)'")
+RE_DATAURI = re.compile(r"data:([\w/+.-]+);base64,([A-Za-z0-9+/=]+)")
+
+
+def first(rx: re.Pattern, text: str) -> str:
+    m = rx.search(text)
+    return m.group(1) if m else ""
+
+
+def parse_geo(text: str) -> tuple[float, float]:
+    m = RE_GEO.search(text)
+    if not m:
+        return 0.0, 0.0
+    return float(m.group(1)), float(m.group(2))
+
+
+def parse_status(text: str) -> int:
+    m = RE_STATUS.search(text)
+    return int(m.group(1)) if m else 200
+
+
+def repair_b64(data: str) -> bytes:
+    """Base64 decode with dirty-padding repair
+    (/root/reference/har2tree/nodes.py:115-129, helper.py:97-111)."""
+    data = data.strip()
+    pad = (-len(data)) % 4
+    try:
+        return base64.b64decode(data + "=" * pad)
+    except Exception:
+        return b""
+
+
+def parse_span_features(text: str) -> dict:
+    """Single-pass extraction of every attach-evidence feature of one span.
+
+    Returns plain-Python values; the caller assembles columnar batches.
+    ``embedded`` entries are (mime, sha256hex) of decoded data-URI blobs
+    (reference stores (sha512, BytesIO) pairs — helper.py:236-250; we keep
+    the hash, the blob bytes stay re-derivable from the text).
+    """
+    embedded = []
+    for mime, b64 in RE_DATAURI.findall(text):
+        raw = repair_b64(b64)
+        if raw:
+            embedded.append((mime, hashlib.sha256(raw).hexdigest()))
+    return {
+        "redirect_url": first(RE_REDIRECT, text),
+        "meta_refresh": first(RE_META_REFRESH, text),
+        "referer": first(RE_REFERER, text),
+        "initiator_url": first(RE_INITIATOR, text),
+        "frame_urls": RE_FRAME.findall(text),
+        "ext_src": RE_SRC.findall(text),
+        "ext_href": RE_HREF.findall(text),
+        "ext_cssurl": RE_CSSURL.findall(text),
+        "jsloc_urls": RE_JSLOC.findall(text),
+        "embedded_mimes": [m for m, _ in embedded],
+        "embedded_hashes": [h for _, h in embedded],
+        "setcookies": [f"{n}={v}@{d}" for n, v, d in RE_SETCOOKIE.findall(text)],
+        "cookies_sent": [f"{n}={v}" for n, v in RE_COOKIE.findall(text)],
+    }

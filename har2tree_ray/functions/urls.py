@@ -1,0 +1,134 @@
+"""URL scalar functions (reference parity: /root/reference/har2tree/nodes.py
+and helper.py — M4-M11, M20, M21, M27 in SURVEY.md §2.2).
+
+These are pure functions applied in vectorized batches; nothing here touches
+Ray.  Semantics follow the reference behaviorally (cited per function), not
+its code.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import os
+from urllib.parse import unquote_plus, urljoin, urlparse
+
+__all__ = [
+    "split_url",
+    "strip_fragment",
+    "is_ip_hostname",
+    "idna_decode",
+    "rebuild_url",
+]
+
+
+def split_url(url: str) -> tuple[str, str, str]:
+    """→ (scheme, hostname, filename).
+
+    Mirrors URLNode host/filename extraction
+    (/root/reference/har2tree/nodes.py:186-213): ``file:`` URLs have no
+    hostname and the path basename as filename; ``blob:`` and ``data:`` keep
+    the scheme with empty hostname; http(s) keeps the netloc (with port) and
+    falls back to ``file.bin`` when the path has no basename.
+    """
+    if not url:
+        return "", "", ""
+    parsed = urlparse(url)
+    scheme = parsed.scheme
+    if scheme == "file":
+        return scheme, "", os.path.basename(parsed.path) or "file.bin"
+    if scheme in ("blob", "data"):
+        return scheme, "", ""
+    if not scheme and "://" not in url:
+        # relative reference: no scheme, no hostname
+        return "", "", os.path.basename(parsed.path) or ""
+    hostname = parsed.netloc
+    filename = os.path.basename(parsed.path)
+    return scheme, hostname, filename or "file.bin"
+
+
+def strip_fragment(url: str) -> str:
+    """``alternative_url_for_referer`` — drop everything after the first ``#``
+    (/root/reference/har2tree/nodes.py:220)."""
+    return url.split("#", 1)[0]
+
+
+def is_ip_hostname(hostname: str) -> bool:
+    """True when the hostname parses as an IP address
+    (/root/reference/har2tree/nodes.py:233-238).  Ports/brackets stripped
+    like the reference's v6 normalization (nodes.py:592-599)."""
+    if not hostname:
+        return False
+    h = hostname
+    if h.startswith("[") and "]" in h:
+        h = h[1 : h.index("]")]
+    elif h.count(":") == 1:
+        h = h.split(":", 1)[0]
+    try:
+        ipaddress.ip_address(h)
+        return True
+    except ValueError:
+        return False
+
+
+def idna_decode(hostname: str) -> str:
+    """Decoded punycode hostname if it differs, else ''
+    (/root/reference/har2tree/nodes.py:240-247)."""
+    if "xn--" not in hostname:
+        return ""
+    try:
+        decoded = hostname.encode("ascii").decode("idna")
+    except (UnicodeError, UnicodeDecodeError):
+        return ""
+    return decoded if decoded != hostname else ""
+
+
+def rebuild_url(base_url: str, partial: str, known_urls: "set[str] | frozenset[str]") -> str:
+    """Repair a partial/relative redirect target against a base URL, validated
+    against the document's known-URL set.
+
+    Escalating strategies behaviorally matching the reference
+    (/root/reference/har2tree/helper.py:130-201):
+      1. already-known absolute URL → itself;
+      2. scheme-relative ``//host/...`` → base scheme;
+      3. absolute path → base origin + path;
+      4. relative path → urljoin against base;
+      5. known-URL suffix match (same path under another known origin);
+    each candidate is accepted only if present in ``known_urls``; when none
+    matches, the best-effort candidate (urljoin) is returned.
+    """
+    if not partial:
+        return ""
+    partial = partial.strip().strip("'\"")
+    if partial in known_urls:
+        return partial
+    base = urlparse(base_url)
+    candidates: list[str] = []
+    if partial.startswith("//"):
+        candidates.append(f"{base.scheme}:{partial}")
+    elif partial.startswith("/"):
+        candidates.append(f"{base.scheme}://{base.netloc}{partial}")
+    elif partial.startswith(("http://", "https://")):
+        candidates.append(partial)
+    else:
+        candidates.append(urljoin(base_url, partial))
+        candidates.append(f"{base.scheme}://{partial}")
+    for cand in candidates:
+        if cand in known_urls:
+            return cand
+        # normalize duplicate slashes in the path (reference uses normpath,
+        # helper.py:186-194)
+        p = urlparse(cand)
+        norm = p._replace(path=os.path.normpath(p.path)).geturl() if p.path else cand
+        if norm in known_urls:
+            return norm
+    # suffix match against known URLs (strategy 5)
+    for k in known_urls:
+        if partial and k.endswith(partial):
+            return k
+    return candidates[0]
+
+
+def unquote_name(url: str) -> str:
+    """Node display name — ``unquote_plus``
+    (/root/reference/har2tree/nodes.py:176)."""
+    return unquote_plus(url)

