@@ -1,0 +1,108 @@
+"""Hostname tree — level-wise group-by-hostname projection of the URL tree.
+
+Recast of ``make_hostname_tree`` (/root/reference/har2tree/har2tree.py:
+680-708) and the HostNode rollups (A3 — nodes.py:735-760,802-835).
+
+Engine semantics (documented recast): a host node is the pair
+``(host_level, hostname)`` where ``host_level`` is the URL-tree depth; a
+host edge exists for every distinct ``(parent host node → child host node)``
+pair observed among URL edges, with ``n_urls`` = number of URL nodes that
+contributed.  This keeps the projection a *pure aggregation over the edge
+table* — no object graph, derivable by groupby alone.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Sum
+
+from .tree import build_edges
+
+
+def host_edges(parsed_ds):
+    """Parsed flat spans → HOST_EDGE_SCHEMA Dataset."""
+    edges = build_edges(parsed_ds)
+
+    def project(t: pa.Table) -> pa.Table:
+        lvl = pc.cast(t["depth"], pa.int32())
+        plvl = pc.cast(pc.subtract(t["depth"], 1), pa.int32())
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "host_level": lvl,
+                "hostname": t["child_hostname"],
+                "parent_level": plvl,
+                "parent_hostname": t["parent_hostname"],
+            }
+        )
+        g = out.group_by(
+            ["doc_id", "host_level", "hostname", "parent_level", "parent_hostname"]
+        ).aggregate([("hostname", "count")])
+        return g.rename_columns(
+            ["doc_id", "host_level", "hostname", "parent_level", "parent_hostname", "partial_n"]
+        )
+
+    partials = edges.map_batches(project, batch_format="pyarrow")
+    agg = partials.groupby(
+        ["doc_id", "host_level", "hostname", "parent_level", "parent_hostname"]
+    ).aggregate(Sum("partial_n", alias_name="n_urls"))
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("n_urls"),
+            "n_urls",
+            pc.cast(t["n_urls"], pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def host_rollup(flat_ds):
+    """Per-(doc, hostname) rollups over spans (A3 recast, SQL-checkable):
+    url counts, distinct urls, status-0 count, container presence, min
+    offset.  Pure partial-agg → groupby; no tree needed."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        sel = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "hostname": t["hostname"],
+                "media_ref": t["media_ref"],
+                "is0": pc.cast(pc.less_equal(t["status"], 0), pa.int64()),
+                "is_doc": pc.cast(pc.equal(t["kind"], "document"), pa.int64()),
+                "offset": pc.cast(t["offset"], pa.int64()),
+            }
+        )
+        sel = sel.filter(pc.not_equal(sel["hostname"], ""))
+        g = sel.group_by(["doc_id", "hostname", "media_ref"]).aggregate(
+            [("is0", "sum"), ("is_doc", "sum"), ("offset", "min"), ("media_ref", "count")]
+        )
+        return g.rename_columns(
+            ["doc_id", "hostname", "media_ref", "n_status0", "n_doc", "min_off", "n"]
+        )
+
+    partials = flat_ds.map_batches(partial, batch_format="pyarrow")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        g = t.group_by(["doc_id", "hostname"]).aggregate(
+            [("n", "sum"), ("media_ref", "count_distinct"), ("n_status0", "sum"),
+             ("n_doc", "sum"), ("min_off", "min")]
+        )
+        g = g.rename_columns(
+            ["doc_id", "hostname", "n_spans", "n_unique_urls", "n_status0", "n_doc", "min_offset"]
+        )
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "hostname": g["hostname"],
+                "n_spans": pc.cast(g["n_spans"], pa.int64()),
+                "n_unique_urls": pc.cast(g["n_unique_urls"], pa.int64()),
+                "n_status0": pc.cast(g["n_status0"], pa.int64()),
+                "has_document": pc.greater(g["n_doc"], 0),
+                "min_offset": pc.cast(g["min_offset"], pa.int64()),
+            }
+        )
+
+    return partials.groupby(["doc_id", "hostname"]).map_groups(finalize, batch_format="pyarrow")

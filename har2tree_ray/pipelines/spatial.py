@@ -1,0 +1,192 @@
+"""Spatial joins of the north rule: kNN referrer matching via cell-neighbor
+rings, and point-in-polygon membership against broadcast host boundaries.
+
+* ``knn_referrer`` — generalizes the reference's exact referer match (J3,
+  /root/reference/har2tree/har2tree.py:973-988) to nearest-cell matching:
+  for every media span, the nearest document span of the same doc whose grid
+  cell lies within a Chebyshev k-ring (longitude wrapping) at KNN_RES.
+  Deterministic: order by (squared-degree distance, candidate offset).
+  Per-doc group work — embarrassingly parallel, no cross-doc state.
+
+* ``pip_media_in_host`` — recast of external-resource membership (J5/J8,
+  har2tree.py:990-1014,389-426): host boundary = bbox of the host's document
+  spans (ε-expanded), media spans tested for containment.  The boundary
+  table is the classic *small side*: built by a partial-aggregate shuffle,
+  then broadcast once via ``ray.put`` into a CoveringIndex actor pool that
+  prunes tests through a cell→boxes covering (the "compiled S2 covering
+  index in actor state" of the north star — ST5).  Pruning is lossless for
+  axis-aligned boxes (monotone cell mapping + clamped edges), so results
+  equal the oracle's brute-force join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data.aggregate import Max, Min
+
+from .. import geo
+
+KNN_RES = 6
+KNN_RING = 2
+QUERY_KINDS = ("img", "media")
+PIP_EPS = 0.25
+COVER_RES = 4
+
+
+# ------------------------------------------------------------ kNN referrer
+
+
+def knn_referrer(flat_ds):
+    """(doc_id, offset, parent_offset, cell_dist) per matched media span."""
+    slim = flat_ds.select_columns(["doc_id", "offset", "kind", "lat", "lng"])
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        lat = df["lat"].to_numpy()
+        lng = df["lng"].to_numpy()
+        ix, iy = geo.cell_xy(lat, lng, KNN_RES)
+        isq = df["kind"].isin(QUERY_KINDS).to_numpy()
+        isc = (df["kind"] == "document").to_numpy()
+        if not isq.any() or not isc.any():
+            return pd.DataFrame(
+                columns=["doc_id", "offset", "parent_offset", "cell_dist"]
+            ).astype({"offset": "int64", "parent_offset": "int64", "cell_dist": "int64"})
+        qi = np.where(isq)[0]
+        ci = np.where(isc)[0]
+        # ring filter: Chebyshev cell distance with lng wraparound
+        dist = geo.chebyshev_cell_distance(
+            ix[qi][:, None], iy[qi][:, None], ix[ci][None, :], iy[ci][None, :], KNN_RES
+        )
+        ok = dist <= KNN_RING
+        d2 = (lat[qi][:, None] - lat[ci][None, :]) ** 2 + (lng[qi][:, None] - lng[ci][None, :]) ** 2
+        offs = df["offset"].to_numpy()
+        rows = []
+        cand_off = offs[ci]
+        order = np.argsort(cand_off, kind="stable")
+        for row in range(len(qi)):
+            mask = ok[row]
+            if not mask.any():
+                continue
+            dd = np.where(mask, d2[row], np.inf)
+            # argmin with offset tie-break: among min distance, smallest offset
+            m = dd.min()
+            best = cand_off[(dd == m)].min()
+            bi = np.flatnonzero(cand_off == best)[0]
+            rows.append(
+                (df["doc_id"].iloc[0], int(offs[qi[row]]), int(best), int(dist[row][bi]))
+            )
+        out = pd.DataFrame(rows, columns=["doc_id", "offset", "parent_offset", "cell_dist"])
+        return out
+
+    return slim.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
+
+
+# --------------------------------------------------- host boundary boxes
+
+
+def host_boxes(flat_ds) -> pd.DataFrame:
+    """Small-side boundary table: per hostname, ε-expanded bbox of its
+    *document* spans.  Partial min/max per batch → tiny groupby."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        sel = t.filter(
+            pc.and_(pc.equal(t["kind"], "document"), pc.not_equal(t["hostname"], ""))
+        )
+        g = sel.select(["hostname", "lat", "lng"]).group_by("hostname").aggregate(
+            [("lat", "min"), ("lat", "max"), ("lng", "min"), ("lng", "max")]
+        )
+        return g.rename_columns(["hostname", "lat_min", "lat_max", "lng_min", "lng_max"])
+
+    partials = flat_ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("hostname").aggregate(
+        Min("lat_min", alias_name="min_lat"),
+        Max("lat_max", alias_name="max_lat"),
+        Min("lng_min", alias_name="min_lng"),
+        Max("lng_max", alias_name="max_lng"),
+    )
+    df = agg.to_pandas()  # small side by construction (one row per hostname)
+    df["min_lat"] -= PIP_EPS
+    df["max_lat"] += PIP_EPS
+    df["min_lng"] -= PIP_EPS
+    df["max_lng"] += PIP_EPS
+    return df
+
+
+class CoveringIndex:
+    """Actor-pool stage holding the broadcast covering index (ST5).
+
+    ``__init__`` fetches the boxes once per actor (``ray.get`` of the
+    driver's ``ray.put``) and compiles cell → candidate-box lists at
+    COVER_RES; ``__call__`` tests each media span only against the boxes
+    covering its cell.
+    """
+
+    def __init__(self, boxes_ref) -> None:
+        boxes: pd.DataFrame = ray.get(boxes_ref)
+        self.hostnames = boxes["hostname"].to_numpy()
+        self.min_lat = boxes["min_lat"].to_numpy()
+        self.max_lat = boxes["max_lat"].to_numpy()
+        self.min_lng = boxes["min_lng"].to_numpy()
+        self.max_lng = boxes["max_lng"].to_numpy()
+        self.cover: dict[int, np.ndarray] = {}
+        n = 1 << COVER_RES
+        x0, _ = geo.cell_xy(np.zeros_like(self.min_lng), self.min_lng, COVER_RES)
+        x1, _ = geo.cell_xy(np.zeros_like(self.max_lng), self.max_lng, COVER_RES)
+        _, y0 = geo.cell_xy(self.max_lat, np.zeros_like(self.max_lat), COVER_RES)
+        _, y1 = geo.cell_xy(self.min_lat, np.zeros_like(self.min_lat), COVER_RES)
+        tmp: dict[int, list[int]] = {}
+        for b in range(len(self.hostnames)):
+            for yy in range(int(y0[b]), int(y1[b]) + 1):
+                for xx in range(int(x0[b]), int(x1[b]) + 1):
+                    tmp.setdefault(yy * n + xx, []).append(b)
+        self.cover = {k: np.asarray(v) for k, v in tmp.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["kind"], value_set=pa.array(QUERY_KINDS))
+        t = batch.filter(mask)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        lng = t["lng"].to_numpy(zero_copy_only=False)
+        ix, iy = geo.cell_xy(lat, lng, COVER_RES)
+        cells = geo.cell_id(ix, iy, COVER_RES)
+        doc = t["doc_id"].to_pylist()
+        offs = t["offset"].to_numpy(zero_copy_only=False)
+        out_doc, out_off, out_host = [], [], []
+        for i in range(len(lat)):
+            cand = self.cover.get(int(cells[i]))
+            if cand is None:
+                continue
+            hit = (
+                (lat[i] >= self.min_lat[cand]) & (lat[i] <= self.max_lat[cand])
+                & (lng[i] >= self.min_lng[cand]) & (lng[i] <= self.max_lng[cand])
+            )
+            for b in cand[hit]:
+                out_doc.append(doc[i])
+                out_off.append(int(offs[i]))
+                out_host.append(self.hostnames[b])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.string()),
+                "offset": pa.array(out_off, pa.int32()),
+                "box_hostname": pa.array(out_host, pa.string()),
+            }
+        )
+
+
+def pip_media_in_host(flat_ds, concurrency: int | tuple[int, int] | None = None):
+    """(doc_id, offset, box_hostname) for every media span inside a host
+    boundary box (cross-host membership included)."""
+    from ..stages.parser import default_pool_size
+
+    boxes = host_boxes(flat_ds)
+    ref = ray.put(boxes)
+    slim = flat_ds.select_columns(["doc_id", "offset", "kind", "lat", "lng"])
+    return slim.map_batches(
+        CoveringIndex,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=concurrency or default_pool_size(),
+    )

@@ -1,0 +1,247 @@
+"""URL-tree construction — the parity-critical per-document shuffle.
+
+Recast of ``Har2Tree.make_tree`` (/root/reference/har2tree/har2tree.py:
+718-757, joins J1-J8 :879-1014, fallback cascade :770-853, orphan cap
+:722-732, status-0 dedup :575-607).  Ray Data shape (SURVEY.md §7 step 5):
+
+    flat+parsed spans → groupby("doc_id") → map_groups(build_doc_tree)
+
+Each group is one document; the ordered, mutating, consume-once attach
+cascade runs sequentially *inside* the group while all documents stream in
+parallel.  Output is the EDGE_SCHEMA table (a tree is rows sharing doc_id).
+
+Deterministic attach-rule cascade (DFS pre-order from the root, matching the
+reference's `_make_subtree` recursion order):
+
+  1. ``redirect``        — effective redirect target: ``@redirect`` (HTTP,
+     M24) else ``@meta_refresh`` whose target is a known URL (M23) else the
+     first ``location.href`` target that is a known URL (M22).  Multi-match
+     keeps candidates up to and including the first with status>0
+     (har2tree.py:914-923); consume-once.
+  2. ``frame``           — parent's ``@frame=`` URLs (J4).
+  3. ``initiator``       — child's ``@initiator=`` equals parent URL (J2).
+  4. ``referer``         — child's ``@referer=`` equals parent URL (J3).
+  5. ``referer_nofrag``  — fragment-stripped referer match (J3).
+  6. ``external_<cls>``  — child URL appears in the parent's extracted
+     refs, tag-class order src → href → cssurl; skipped when the child has
+     a referer that resolves inside the doc (anti-join, har2tree.py:1008-1010).
+
+Fallback cascade for orphans (offset order, ≤1000 processed — the
+defensive cap of har2tree.py:722-732, remainder dropped and counted):
+  ``fallback_referer``  — referer matches an attached node's URL;
+  ``fallback_hostname`` — deepest attached container node on the referer's
+  hostname (recast of `_guess_best_node_for_partial_referer`
+  har2tree.py:759-768), tie-break smallest offset;
+  ``fallback_root``     — everything else.
+After each fallback attach, the DFS re-runs from the new node so its own
+children can attach (har2tree.py:722-732 re-enter).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.urls import split_url, strip_fragment
+
+ORPHAN_CAP = 1000
+_CONTAINER_KINDS = ("document", "script", "iframe")
+
+
+def _effective_redirect(node: dict, url_index: dict) -> str:
+    if node["redirect_url"]:
+        return node["redirect_url"]
+    mr = node["meta_refresh"]
+    if mr and mr in url_index:
+        return mr
+    for t in node["jsloc_urls"]:
+        if t in url_index:
+            return t
+    return ""
+
+
+def build_doc_tree(nodes: list[dict]) -> tuple[list[dict], int]:
+    """Pure per-document cascade over parsed span dicts (offset-sorted).
+
+    Returns (edge rows, n_dropped_orphans).  Separated from the Ray group
+    function so unit tests and the graft stage can reuse it.
+    """
+    nodes = sorted(nodes, key=lambda r: r["offset"])
+    # D1 status-0 retry dedup: drop status<=0 when a >0 twin of the same URL
+    # exists anywhere in the doc (har2tree.py:575-607)
+    alive_urls = {n["media_ref"] for n in nodes if n["status"] > 0}
+    nodes = [n for n in nodes if n["status"] > 0 or n["media_ref"] not in alive_urls]
+    # M3 empty-URL filter
+    nodes = [n for n in nodes if n["media_ref"]]
+    if not nodes:
+        return [], 0
+
+    by_id = {i: n for i, n in enumerate(nodes)}
+    url_index: dict[str, list[int]] = {}
+    for i, n in by_id.items():
+        url_index.setdefault(n["media_ref"], []).append(i)
+    all_urls = set(url_index)
+
+    root = 0
+    unattached = set(by_id) - {root}
+    edges: list[dict] = [
+        {"child_offset": nodes[root]["offset"], "parent_offset": -1,
+         "attach_rule": "root", "depth": 0,
+         "child_hostname": nodes[root]["hostname"], "parent_hostname": "",
+         "child_kind": nodes[root]["kind"]}
+    ]
+    depth = {root: 0}
+
+    def referer_resolves(n: dict) -> bool:
+        r = n["referer"]
+        return bool(r) and (r in all_urls or strip_fragment(r) in all_urls)
+
+    def attach(child: int, parent: int, rule: str) -> None:
+        unattached.discard(child)
+        depth[child] = depth[parent] + 1
+        edges.append(
+            {"child_offset": by_id[child]["offset"],
+             "parent_offset": by_id[parent]["offset"],
+             "attach_rule": rule, "depth": depth[child],
+             "child_hostname": by_id[child]["hostname"],
+             "parent_hostname": by_id[parent]["hostname"],
+             "child_kind": by_id[child]["kind"]}
+        )
+
+    def collect_children(u: int) -> list[int]:
+        node = by_id[u]
+        url = node["media_ref"]
+        attached_now: list[int] = []
+
+        def take(cand: int, rule: str) -> None:
+            attach(cand, u, rule)
+            attached_now.append(cand)
+
+        # 1. redirect (consume up to first status>0 — har2tree.py:914-923)
+        target = _effective_redirect(node, url_index)
+        if target:
+            cands = [i for i in url_index.get(target, []) if i in unattached]
+            picked = []
+            for c in cands:
+                picked.append(c)
+                if by_id[c]["status"] > 0:
+                    break
+            for c in picked:
+                take(c, "redirect")
+        # 2. frames
+        for fu in node["frame_urls"]:
+            for c in [i for i in url_index.get(fu, []) if i in unattached]:
+                take(c, "frame")
+        # 3. initiator / 4. referer / 5. referer_nofrag
+        for c in sorted(unattached):
+            if by_id[c]["initiator_url"] == url:
+                take(c, "initiator")
+        for c in sorted(unattached):
+            if by_id[c]["referer"] == url:
+                take(c, "referer")
+        for c in sorted(unattached):
+            r = by_id[c]["referer"]
+            if r and r != url and strip_fragment(r) == url:
+                take(c, "referer_nofrag")
+        # 6. external resources by tag class (anti-join on resolvable referer)
+        for cls, key in (("src", "ext_src"), ("href", "ext_href"), ("cssurl", "ext_cssurl")):
+            for ref in node[key]:
+                for c in [i for i in url_index.get(ref, []) if i in unattached]:
+                    if referer_resolves(by_id[c]):
+                        continue
+                    take(c, f"external_{cls}")
+        return attached_now
+
+    def dfs(start: int) -> None:
+        stack = [start]
+        while stack:
+            u = stack.pop()
+            children = collect_children(u)
+            stack.extend(reversed(children))
+
+    dfs(root)
+
+    # fallback cascade (J6) with the 1000-orphan cap (A5)
+    processed = 0
+    while unattached and processed < ORPHAN_CAP:
+        o = min(unattached)
+        processed += 1
+        node = by_id[o]
+        parent, rule = root, "fallback_root"
+        r = node["referer"]
+        if r:
+            targets = [i for i in url_index.get(r, []) if i not in unattached]
+            if not targets:
+                targets = [i for i in url_index.get(strip_fragment(r), []) if i not in unattached]
+            if targets:
+                parent, rule = min(targets), "fallback_referer"
+            else:
+                _, ref_host, _ = split_url(r)
+                cands = [
+                    i for i, n in by_id.items()
+                    if i not in unattached and n["hostname"] == ref_host
+                    and n["kind"] in _CONTAINER_KINDS
+                ]
+                if cands:
+                    # deepest container, tie-break smallest offset
+                    parent = min(cands, key=lambda i: (-depth[i], i))
+                    rule = "fallback_hostname"
+        attach(o, parent, rule)
+        dfs(o)
+
+    return edges, len(unattached)
+
+
+_PARSED_COLS = [
+    "doc_id", "offset", "kind", "media_ref", "hostname", "status",
+    "redirect_url", "meta_refresh", "referer", "initiator_url",
+    "frame_urls", "ext_src", "ext_href", "ext_cssurl", "jsloc_urls",
+]
+
+
+def _group_fn(df: pd.DataFrame) -> pd.DataFrame:
+    rows = df.to_dict("records")
+    for r in rows:
+        for k in ("frame_urls", "ext_src", "ext_href", "ext_cssurl", "jsloc_urls"):
+            v = r[k]
+            r[k] = list(v) if v is not None else []
+    edges, _dropped = build_doc_tree(rows)
+    doc_id = df["doc_id"].iloc[0]
+    out = pd.DataFrame(
+        edges,
+        columns=["child_offset", "parent_offset", "attach_rule", "depth",
+                 "child_hostname", "parent_hostname", "child_kind"],
+    )
+    out.insert(0, "doc_id", doc_id)
+    out["child_offset"] = out["child_offset"].astype("int32")
+    out["parent_offset"] = out["parent_offset"].astype("int32")
+    out["depth"] = out["depth"].astype("int32")
+    return out
+
+
+def build_edges(parsed_ds):
+    """Parsed flat spans → EDGE_SCHEMA Dataset (one shuffle on doc_id)."""
+    slim = parsed_ds.select_columns(_PARSED_COLS)
+    return slim.groupby("doc_id").map_groups(_group_fn, batch_format="pandas")
+
+
+def tree_stats(edges_ds):
+    """Per-doc tree stats from the edge table (recast of Har2Tree.stats'
+    tree-shape fields — har2tree.py:504-528): depth, node count, per-rule
+    counts."""
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        doc_id = df["doc_id"].iloc[0]
+        rules = df["attach_rule"].value_counts()
+        return pd.DataFrame(
+            [{
+                "doc_id": doc_id,
+                "n_nodes": len(df),
+                "tree_depth": int(df["depth"].max()),
+                "n_redirect_edges": int(rules.get("redirect", 0)),
+                "n_external_edges": int(sum(v for k, v in rules.items() if k.startswith("external_"))),
+                "n_fallback_edges": int(sum(v for k, v in rules.items() if k.startswith("fallback_"))),
+            }]
+        )
+
+    return edges_ds.groupby("doc_id").map_groups(per_doc, batch_format="pandas")

@@ -16,7 +16,8 @@ from collections.abc import Callable
 from .sources.interleaved import read_interleaved, read_table
 from .stages import dedup
 from .stages.normalize import flat_spans
-from .pipelines import stats, tiling
+from .stages.parser import parse_spans
+from .pipelines import cookies, graft, hosttree, spatial, stats, tiling, tree
 from .synth import ensure_interleaved, interleaved_path
 
 RES = tiling.DEFAULT_RES
@@ -98,6 +99,54 @@ def q_tile_rollup(sf_dir: str):
 
 def q_tile_vectorize(sf_dir: str):
     return tiling.tile_vectorize(flat_spans(read_interleaved(sf_dir), drop_text=True), RES)
+
+
+def _parsed(sf_dir: str):
+    return parse_spans(flat_spans(read_interleaved(sf_dir)))
+
+
+def q_redirect_chain(sf_dir: str):
+    return graft.redirect_chain(_parsed(sf_dir))
+
+
+def q_landing(sf_dir: str):
+    return graft.landing(_parsed(sf_dir))
+
+
+def q_host_rollup(sf_dir: str):
+    return hosttree.host_rollup(flat_spans(read_interleaved(sf_dir)))
+
+
+def q_cookie_events(sf_dir: str):
+    return cookies.cookie_events(flat_spans(read_interleaved(sf_dir)))
+
+
+def q_cookie_asof(sf_dir: str):
+    return cookies.cookie_asof(flat_spans(read_interleaved(sf_dir)))
+
+
+def q_knn_referrer(sf_dir: str):
+    return spatial.knn_referrer(flat_spans(read_interleaved(sf_dir), drop_text=True))
+
+
+def q_pip_media_in_host(sf_dir: str):
+    return spatial.pip_media_in_host(flat_spans(read_interleaved(sf_dir), drop_text=True))
+
+
+def q_edges(sf_dir: str):
+    return tree.build_edges(_parsed(sf_dir))
+
+
+def q_tree_stats(sf_dir: str):
+    return tree.tree_stats(tree.build_edges(_parsed(sf_dir)))
+
+
+def q_host_edges(sf_dir: str):
+    return hosttree.host_edges(_parsed(sf_dir))
+
+
+def q_graft_edges(sf_dir: str):
+    return graft.graft_edges(_parsed(sf_dir))
 
 
 # -------------------------------------------------------------- oracle SQL
@@ -187,6 +236,151 @@ GROUP BY cell_x, cell_y
 """)
 
 
+_CHAIN_CTE = """
+, redir AS (
+    SELECT doc_id, "offset", media_ref,
+           regexp_extract(text, '@redirect=(\\S+)', 1) AS target
+    FROM flat
+),
+firsts AS (
+    SELECT doc_id, media_ref, MIN("offset") AS first_off
+    FROM flat GROUP BY doc_id, media_ref
+),
+roots AS (SELECT doc_id, MIN("offset") AS root_off FROM flat GROUP BY doc_id),
+chain AS (
+    SELECT r.doc_id, 0 AS hop, r."offset" AS off, r.media_ref AS url, r.target
+    FROM redir r JOIN roots ro ON r.doc_id = ro.doc_id AND r."offset" = ro.root_off
+    UNION ALL
+    SELECT c.doc_id, c.hop + 1, n."offset", n.media_ref, n.target
+    FROM chain c
+    JOIN firsts fi ON fi.doc_id = c.doc_id AND fi.media_ref = c.target
+    JOIN redir n ON n.doc_id = c.doc_id AND n.media_ref = c.target
+                AND n."offset" = fi.first_off
+    WHERE c.target <> '' AND fi.first_off > c.off AND c.hop < 16
+)
+"""
+
+
+def _oracle_redirect_chain(path: str) -> str:
+    return ("WITH RECURSIVE " + _FLAT_CTE.format(path=path).split("WITH", 1)[1]
+            + _CHAIN_CTE + """
+SELECT doc_id, CAST(hop AS BIGINT) AS hop, url FROM chain
+""")
+
+
+def _oracle_landing(path: str) -> str:
+    return ("WITH RECURSIVE " + _FLAT_CTE.format(path=path).split("WITH", 1)[1]
+            + _CHAIN_CTE + """
+SELECT doc_id,
+       MAX(CASE WHEN hop = 0 THEN url END) AS root_url,
+       ARG_MAX(url, hop) AS landing_url,
+       CAST(MAX(hop) AS BIGINT) AS n_hops
+FROM chain GROUP BY doc_id
+""")
+
+
+def _oracle_host_rollup(path: str) -> str:
+    return _FLAT_CTE.format(path=path) + """
+SELECT doc_id, hostname,
+       COUNT(*) AS n_spans,
+       COUNT(DISTINCT media_ref) AS n_unique_urls,
+       CAST(SUM(CASE WHEN status <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_status0,
+       BOOL_OR(kind = 'document') AS has_document,
+       CAST(MIN("offset") AS BIGINT) AS min_offset
+FROM flat
+WHERE hostname <> ''
+GROUP BY doc_id, hostname
+"""
+
+
+_COOKIE_EVENTS_SQL = """
+, events AS (
+    SELECT doc_id, "offset", 'set' AS side,
+           regexp_extract(text, '@setcookie=([^=\\s]+)=(\\S+)@(\\S+)', 1) AS name,
+           regexp_extract(text, '@setcookie=([^=\\s]+)=(\\S+)@(\\S+)', 2) AS value,
+           regexp_extract(text, '@setcookie=([^=\\s]+)=(\\S+)@(\\S+)', 3) AS domain,
+           hostname,
+           NOT (regexp_replace(hostname, ':[0-9]+$', '') LIKE '%' ||
+                regexp_extract(text, '@setcookie=([^=\\s]+)=(\\S+)@(\\S+)', 3)) AS third_party
+    FROM flat WHERE regexp_matches(text, '@setcookie=')
+    UNION ALL
+    SELECT doc_id, "offset", 'sent' AS side,
+           regexp_extract(text, '@cookie=([^=\\s]+)=(\\S+)', 1) AS name,
+           regexp_extract(text, '@cookie=([^=\\s]+)=(\\S+)', 2) AS value,
+           '' AS domain, hostname, FALSE AS third_party
+    FROM flat WHERE regexp_matches(text, '@cookie=')
+)
+"""
+
+
+def _oracle_cookie_events(path: str) -> str:
+    return _FLAT_CTE.format(path=path) + _COOKIE_EVENTS_SQL + """
+SELECT doc_id, "offset", side, name, value, domain, hostname, third_party
+FROM events
+"""
+
+
+def _oracle_cookie_asof(path: str) -> str:
+    return _FLAT_CTE.format(path=path) + _COOKIE_EVENTS_SQL + """
+, matches AS (
+    SELECT snd.doc_id, snd."offset" AS "offset", snd.name,
+           st."offset" AS setter_offset,
+           ROW_NUMBER() OVER (
+               PARTITION BY snd.doc_id, snd."offset", snd.name
+               ORDER BY st."offset" DESC) AS rn
+    FROM events snd
+    JOIN events st ON st.doc_id = snd.doc_id
+        AND snd.side = 'sent' AND st.side = 'set'
+        AND st.name = snd.name AND st."offset" < snd."offset"
+        AND regexp_replace(snd.hostname, ':[0-9]+$', '') LIKE '%' || st.domain
+)
+SELECT doc_id, CAST("offset" AS BIGINT) AS "offset", name,
+       CAST(setter_offset AS BIGINT) AS setter_offset
+FROM matches WHERE rn = 1
+"""
+
+
+def _oracle_knn_referrer(path: str, res: int = spatial.KNN_RES, ring: int = spatial.KNN_RING) -> str:
+    n = 1 << res
+    return (_FLAT_CTE.format(path=path) + "," + _CELL_CTE.format(n=n) + f"""
+SELECT doc_id, CAST("offset" AS BIGINT) AS "offset",
+       CAST(parent_offset AS BIGINT) AS parent_offset,
+       cell_dist
+FROM (
+    SELECT q.doc_id, q."offset", c."offset" AS parent_offset,
+           GREATEST(LEAST(ABS(q.cell_x - c.cell_x), {n} - ABS(q.cell_x - c.cell_x)),
+                    ABS(q.cell_y - c.cell_y)) AS cell_dist,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.doc_id, q."offset"
+               ORDER BY (q.lat - c.lat) * (q.lat - c.lat)
+                      + (q.lng - c.lng) * (q.lng - c.lng),
+                        c."offset") AS rn
+    FROM cells q JOIN cells c
+      ON q.doc_id = c.doc_id AND c.kind = 'document'
+     AND GREATEST(LEAST(ABS(q.cell_x - c.cell_x), {n} - ABS(q.cell_x - c.cell_x)),
+                  ABS(q.cell_y - c.cell_y)) <= {ring}
+    WHERE q.kind IN ('img', 'media')
+) WHERE rn = 1
+""")
+
+
+def _oracle_pip(path: str, eps: float = spatial.PIP_EPS) -> str:
+    return _FLAT_CTE.format(path=path) + f"""
+, boxes AS (
+    SELECT hostname,
+           MIN(lat) - {eps} AS min_lat, MAX(lat) + {eps} AS max_lat,
+           MIN(lng) - {eps} AS min_lng, MAX(lng) + {eps} AS max_lng
+    FROM flat WHERE kind = 'document' AND hostname <> ''
+    GROUP BY hostname
+)
+SELECT f.doc_id, f."offset", b.hostname AS box_hostname
+FROM flat f JOIN boxes b
+  ON f.lat >= b.min_lat AND f.lat <= b.max_lat
+ AND f.lng >= b.min_lng AND f.lng <= b.max_lng
+WHERE f.kind IN ('img', 'media')
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 _INTERLEAVED_ORACLES = {
@@ -197,6 +391,13 @@ _INTERLEAVED_ORACLES = {
     "tile_assign": _oracle_tile_assign,
     "tile_rollup": _oracle_tile_rollup,
     "tile_vectorize": _oracle_tile_vectorize,
+    "redirect_chain": _oracle_redirect_chain,
+    "landing": _oracle_landing,
+    "host_rollup": _oracle_host_rollup,
+    "cookie_events": _oracle_cookie_events,
+    "cookie_asof": _oracle_cookie_asof,
+    "knn_referrer": _oracle_knn_referrer,
+    "pip_media_in_host": _oracle_pip,
 }
 
 
@@ -209,6 +410,19 @@ def queries() -> dict[str, Callable]:
         "tile_assign": q_tile_assign,
         "tile_rollup": q_tile_rollup,
         "tile_vectorize": q_tile_vectorize,
+        "redirect_chain": q_redirect_chain,
+        "landing": q_landing,
+        "host_rollup": q_host_rollup,
+        "cookie_events": q_cookie_events,
+        "cookie_asof": q_cookie_asof,
+        "knn_referrer": q_knn_referrer,
+        "pip_media_in_host": q_pip_media_in_host,
+        # non-SQL-expressible (ordered consume-once cascade; pytest-verified
+        # against an independent in-process implementation):
+        "edges": q_edges,
+        "tree_stats": q_tree_stats,
+        "host_edges": q_host_edges,
+        "graft_edges": q_graft_edges,
     }
 
 

@@ -149,14 +149,16 @@ class MinHasher:
 
 def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                             num_perm: int = 64, bands: int = 16, k: int = 3,
-                            concurrency: int = 4):
+                            concurrency: int | tuple[int, int] | None = None):
     """LSH candidate duplicate pairs (id_a < id_b), deduped across bands."""
+    from .parser import default_pool_size
+
     sigs = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col,
                                    num_perm=num_perm, bands=bands, k=k),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=concurrency or default_pool_size(),
     )
 
     def bucket_pairs(t: pa.Table) -> pa.Table:

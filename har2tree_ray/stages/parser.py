@@ -1,0 +1,83 @@
+"""SpanParser — the stateful actor-pool parsing stage (stage B of the
+lifecycle, SURVEY.md §3.1).
+
+Recasts the reference's heavy per-entry content parsers — POST-body decode
+dispatch (M12, /root/reference/har2tree/nodes.py:260-498), external/embedded
+resource extraction (M19, helper.py:356-466), JS-redirect (M22), meta-refresh
+(M23), initiator (M25), cookie normalizers (M14/M15) — as one single-pass
+regex extractor over span text.  The reference loads parser machinery into
+lazy globals (MagicDb helper.py:477-485, soup builders helper.py:283-294);
+here that state (compiled patterns) is built once per actor in ``__init__``
+and reused per ``__call__`` batch: ``map_batches(SpanParser, concurrency=N)``.
+
+Output adds Arrow-native feature columns (lists stay ``list<string>`` — no
+Python object columns) consumed by the tree-builder shuffle.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions import parse
+
+
+_STR_COLS = frozenset({"redirect_url", "meta_refresh", "referer", "initiator_url"})
+
+
+class SpanParser:
+    """Callable class for ``ds.map_batches(SpanParser, concurrency=...)``."""
+
+    def __init__(self) -> None:
+        # compiled once per actor (regexes are module-level compiled; binding
+        # them locally here pins the lookup cost out of the batch loop)
+        self._extract = parse.parse_span_features
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        cols: dict[str, list] = {
+            "redirect_url": [""] * n,
+            "meta_refresh": [""] * n,
+            "referer": [""] * n,
+            "initiator_url": [""] * n,
+            "frame_urls": [None] * n,
+            "ext_src": [None] * n,
+            "ext_href": [None] * n,
+            "ext_cssurl": [None] * n,
+            "jsloc_urls": [None] * n,
+            "embedded_mimes": [None] * n,
+            "embedded_hashes": [None] * n,
+            "setcookies": [None] * n,
+            "cookies_sent": [None] * n,
+        }
+        for i, t in enumerate(texts):
+            f = self._extract(t)
+            for k in cols:
+                cols[k][i] = f[k]
+        out = batch
+        for k, v in cols.items():
+            typ = pa.string() if k in _STR_COLS else pa.list_(pa.string())
+            out = out.append_column(k, pa.array(v, typ))
+        return out
+
+
+def default_pool_size() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds that never reserve every CPU: min 1 so
+    the pool cannot deadlock a small cluster, max ~half the CPUs so the
+    read/shuffle stages keep running alongside (ray_guide: a pool that
+    reserves every CPU serializes the pipeline)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return (1, max(2, cpus // 2))
+
+
+def parse_spans(flat_ds, concurrency: int | tuple[int, int] | None = None,
+                batch_size: int = 2048):
+    """Flat span Dataset → Dataset with parsed attach-evidence columns."""
+    return flat_ds.map_batches(
+        SpanParser,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or default_pool_size(),
+    )

@@ -12,6 +12,13 @@ SQL_CHECKED = [
     "tile_assign",
     "tile_rollup",
     "tile_vectorize",
+    "redirect_chain",
+    "landing",
+    "host_rollup",
+    "cookie_events",
+    "cookie_asof",
+    "knn_referrer",
+    "pip_media_in_host",
 ]
 
 

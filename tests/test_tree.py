@@ -1,0 +1,161 @@
+"""Tree-builder parity: engine (distributed cascade) vs the independent
+recursive oracle, plus hand-built scenario fixtures mirroring the reference
+capture_samples (FIXTURES.md §3)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from har2tree_ray import synth
+from har2tree_ray.pipelines.tree import build_doc_tree
+
+from .tree_oracle import build_tree_oracle
+
+
+def _mk(kind, url, offset, text=""):
+    return {"kind": kind, "media_ref": url, "offset": offset,
+            "text": f"@geo=1.000000,2.000000 {text}"}
+
+
+def _engine_rows(spans):
+    """Raw span dicts → engine build_doc_tree input (parsed rows)."""
+    from har2tree_ray.functions import parse, urls
+
+    rows = []
+    for s in spans:
+        f = parse.parse_span_features(s["text"])
+        _, host, _ = urls.split_url(s["media_ref"])
+        rows.append({
+            "offset": s["offset"], "kind": s["kind"], "media_ref": s["media_ref"],
+            "hostname": host, "status": parse.parse_status(s["text"]),
+            "redirect_url": f["redirect_url"], "meta_refresh": f["meta_refresh"],
+            "referer": f["referer"], "initiator_url": f["initiator_url"],
+            "frame_urls": f["frame_urls"], "ext_src": f["ext_src"],
+            "ext_href": f["ext_href"], "ext_cssurl": f["ext_cssurl"],
+            "jsloc_urls": f["jsloc_urls"],
+        })
+    return rows
+
+
+def _edges(spans):
+    edges, dropped = build_doc_tree(_engine_rows(spans))
+    return [(e["child_offset"], e["parent_offset"], e["attach_rule"], e["depth"])
+            for e in edges], dropped
+
+
+def test_redirect_chain_scenario():
+    spans = [
+        _mk("document", "https://a.com/1", 0, "@redirect=https://b.com/2 @status=301"),
+        _mk("document", "https://b.com/2", 1, "@redirect=https://c.com/3 @status=302"),
+        _mk("document", "https://c.com/3", 2, 'src="https://c.com/x.png"'),
+        _mk("img", "https://c.com/x.png", 3),
+    ]
+    edges, dropped = _edges(spans)
+    assert dropped == 0
+    assert edges == [
+        (0, -1, "root", 0),
+        (1, 0, "redirect", 1),
+        (2, 1, "redirect", 2),
+        (3, 2, "external_src", 3),
+    ]
+
+
+def test_status0_retry_dedup():
+    spans = [
+        _mk("document", "https://a.com/1", 0, 'src="https://a.com/x.js"'),
+        _mk("script", "https://a.com/x.js", 1, "@status=0"),
+        _mk("script", "https://a.com/x.js", 2),
+    ]
+    edges, _ = _edges(spans)
+    # dead attempt dropped; retry attaches
+    assert (2, 0, "external_src", 1) in edges
+    assert not any(c == 1 for c, *_ in edges)
+
+
+def test_status0_kept_without_retry():
+    spans = [
+        _mk("document", "https://a.com/1", 0, 'src="https://a.com/x.js"'),
+        _mk("script", "https://a.com/x.js", 1, "@status=0"),
+    ]
+    edges, _ = _edges(spans)
+    assert (1, 0, "external_src", 1) in edges
+
+
+def test_referer_precedence_over_external():
+    # child has a resolvable referer → external anti-join skips it (J5 skip),
+    # referer rule attaches it instead
+    spans = [
+        _mk("document", "https://a.com/1", 0, 'src="https://a.com/x.png"'),
+        _mk("document", "https://a.com/2", 1, "@referer=https://a.com/1"),
+        _mk("img", "https://a.com/x.png", 2, "@referer=https://a.com/2"),
+    ]
+    edges, _ = _edges(spans)
+    assert (1, 0, "referer", 1) in edges
+    assert (2, 1, "referer", 2) in edges
+
+
+def test_fallback_hostname_deepest():
+    spans = [
+        _mk("document", "https://a.com/1", 0, "@redirect=https://b.com/2"),
+        _mk("document", "https://b.com/2", 1, "@initiator_chain=x"),
+        _mk("document", "https://b.com/3", 2, "@initiator=https://b.com/2"),
+        # orphan with partial referer to b.com → deepest b.com container (off 2)
+        _mk("img", "https://c.com/i.png", 3, "@referer=https://b.com/unknown.html"),
+    ]
+    edges, _ = _edges(spans)
+    assert (3, 2, "fallback_hostname", 3) in edges
+
+
+def test_frame_and_meta_refresh():
+    spans = [
+        _mk("document", "https://a.com/1", 0,
+            "@frame=https://f.com/frame.html @meta_refresh=https://m.com/next"),
+        _mk("iframe", "https://f.com/frame.html", 1),
+        _mk("document", "https://m.com/next", 2),
+    ]
+    edges, _ = _edges(spans)
+    # @redirect absent → meta_refresh becomes the effective redirect (M23/M24)
+    assert (2, 0, "redirect", 1) in edges
+    assert (1, 0, "frame", 1) in edges
+
+
+def test_orphan_cap():
+    spans = [_mk("document", "https://a.com/1", 0)]
+    spans += [_mk("img", f"https://z{i}.com/i.png", i + 1) for i in range(1100)]
+    edges, dropped = _edges(spans)
+    assert len(edges) == 1 + 1000
+    assert dropped == 100
+
+
+@pytest.mark.parametrize("cap", range(0, 60, 7))
+def test_oracle_parity_local(cap):
+    """Engine cascade == independent recursive oracle, per capture."""
+    for row in synth.generate_capture(cap):
+        got, _ = _edges(row["spans"])
+        want = build_tree_oracle(row["spans"])
+        assert got == want, f"doc {row['doc_id']}"
+
+
+def test_engine_ray_pipeline_matches_oracle():
+    """Full distributed path (normalize → parser pool → groupby → map_groups)
+    equals the oracle on the sf0.001 tier."""
+    import __ray_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    got = m.queries()["edges"](sf).to_pandas()
+    rows = synth.capture_batch_table(np.arange(synth.SF_CAPTURES["sf0.001"])).to_pylist()
+    want = []
+    for r in rows:
+        for (c, p, rule, d) in build_tree_oracle(r["spans"]):
+            want.append((r["doc_id"], c, p, rule, d))
+    want_df = pd.DataFrame(
+        want, columns=["doc_id", "child_offset", "parent_offset", "attach_rule", "depth"]
+    )
+    got_slim = got[["doc_id", "child_offset", "parent_offset", "attach_rule", "depth"]]
+    key = ["doc_id", "child_offset"]
+    got_slim = got_slim.sort_values(key).reset_index(drop=True)
+    want_df = want_df.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_slim.astype({"child_offset": "int64", "parent_offset": "int64", "depth": "int64"}),
+        want_df.astype({"child_offset": "int64", "parent_offset": "int64", "depth": "int64"}),
+    )
