@@ -14,7 +14,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from .sources.interleaved import read_interleaved, read_table
-from .stages import dedup
+from .stages import dedup, embed, text
 from .stages.normalize import flat_spans
 from .stages.parser import parse_spans
 from .pipelines import cookies, graft, hosttree, spatial, stats, tiling, tree
@@ -147,6 +147,62 @@ def q_host_edges(sf_dir: str):
 
 def q_graft_edges(sf_dir: str):
     return graft.graft_edges(_parsed(sf_dir))
+
+
+# ------------------------------------------- documents / embeddings tables
+# (training-data pipeline operators — text analysis, dedup family, ANN)
+
+
+def _docs(sf_dir: str):
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+
+def q_doc_tokens(sf_dir: str):
+    return text.token_stats(_docs(sf_dir))
+
+
+def q_doc_quality(sf_dir: str):
+    return text.quality_stats(_docs(sf_dir))
+
+
+def q_doc_langid(sf_dir: str):
+    return text.langid(_docs(sf_dir))
+
+
+def q_doc_fingerprint(sf_dir: str):
+    return text.fingerprints(_docs(sf_dir))
+
+
+def q_doc_jaccard_pairs(sf_dir: str):
+    return text.ngram_jaccard_pairs(_docs(sf_dir))
+
+
+def q_doc_exact_dedup(sf_dir: str):
+    return dedup.exact_dedup(_docs(sf_dir), "doc_id", "text")
+
+
+def q_doc_minhash_pairs(sf_dir: str):
+    return dedup.minhash_candidate_pairs(_docs(sf_dir))
+
+
+def q_doc_simhash(sf_dir: str):
+    return dedup.simhash_table(_docs(sf_dir))
+
+
+def _embeds(sf_dir: str):
+    return read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+
+def q_embed_neardup(sf_dir: str):
+    return embed.embed_neardup(_embeds(sf_dir))
+
+
+def q_embed_neardup_lsh(sf_dir: str):
+    return embed.embed_neardup_lsh(_embeds(sf_dir))
+
+
+def q_ann_topk(sf_dir: str):
+    return embed.ann_topk(_embeds(sf_dir))
 
 
 # -------------------------------------------------------------- oracle SQL
@@ -383,6 +439,28 @@ WHERE f.kind IN ('img', 'media')
 
 # ----------------------------------------------------------------- registry
 
+def _oracle_doc_exact_dedup(_path: str) -> str:
+    return """
+SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY text
+"""
+
+
+# oracles over the driver-registered views (documents / embeddings) —
+# independent of the synthesized interleaved path
+_TABLE_ORACLES = {
+    "doc_tokens": lambda _p: text.token_stats_sql(),
+    "doc_quality": lambda _p: text.quality_stats_sql(),
+    "doc_langid": lambda _p: text.langid_sql(),
+    "doc_fingerprint": lambda _p: text.fingerprints_sql(),
+    "doc_jaccard_pairs": lambda _p: text.ngram_jaccard_sql(),
+    "doc_exact_dedup": _oracle_doc_exact_dedup,
+    "embed_neardup": lambda _p: embed.embed_neardup_sql(),
+    "ann_topk": lambda _p: embed.ann_topk_sql(),
+}
+
+
 _INTERLEAVED_ORACLES = {
     "flatten_spans": _oracle_flatten,
     "doc_stats": _oracle_doc_stats,
@@ -423,6 +501,18 @@ def queries() -> dict[str, Callable]:
         "tree_stats": q_tree_stats,
         "host_edges": q_host_edges,
         "graft_edges": q_graft_edges,
+        # training-data pipeline operators (documents / embeddings tables)
+        "doc_tokens": q_doc_tokens,
+        "doc_quality": q_doc_quality,
+        "doc_langid": q_doc_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_jaccard_pairs": q_doc_jaccard_pairs,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_minhash_pairs": q_doc_minhash_pairs,  # approximate — rows-only
+        "doc_simhash": q_doc_simhash,              # blake2-based — rows-only
+        "embed_neardup": q_embed_neardup,
+        "embed_neardup_lsh": q_embed_neardup_lsh,  # approximate — rows-only
+        "ann_topk": q_ann_topk,
     }
 
 
@@ -431,4 +521,6 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     interleaved input if missing so the paths inside the SQL resolve
     regardless of evaluation order."""
     path = ensure_interleaved(sf_dir)
-    return {name: make(path) for name, make in _INTERLEAVED_ORACLES.items()}
+    out = {name: make(path) for name, make in _INTERLEAVED_ORACLES.items()}
+    out.update({name: make(path) for name, make in _TABLE_ORACLES.items()})
+    return out

@@ -1,0 +1,343 @@
+"""Text-analysis operators over the ``documents`` table — the training-data
+pipeline additions (no har2tree counterpart; the reference's nearest analog is
+the per-body hashing/feature extraction in har2tree/nodes.py:541-567).
+
+Every operator is a vectorized ``map_batches(fn, batch_format="pyarrow")``
+stage with module-level compiled patterns (no per-batch recompiles) and a
+DuckDB-expressible definition so the driver's oracle can hash-compare:
+
+* ``token_stats``   — whitespace + BPE-ish regex token counting
+* ``quality_stats`` — length / punctuation / stopword-ratio quality scoring
+* ``langid``        — deterministic stopword+CJK n-gram language heuristic
+* ``fingerprints``  — winnowing document fingerprint (min rolling-window md5)
+* ``ngram_jaccard_pairs`` — exact n-gram Jaccard near-dup join
+
+Scale notes: all single-pass per row except the Jaccard join, whose only
+shuffles are keyed on (gram) then (doc pair); hot grams (stop-grams) are cut
+by document frequency (DF_CAP) *before* the pair expansion, which is what
+bounds the per-group fan-out at corpus scale — the per-doc distinct-gram
+count is attached to every gram row at explode time (denormalized) so no
+extra join against a counts table is needed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# --- shared vocab/patterns (compiled once per process) ----------------------
+
+_WS_TOKEN = re.compile(r"\S+")
+# BPE-ish pre-tokenizer: letter runs | digit runs | single other-glyph
+_BPE_TOKEN = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+_BPE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+_PUNCT = re.compile(r"[^\w\s]")
+_CJK = re.compile("[一-鿿]")
+_CJK_SQL = "[\\x{4E00}-\\x{9FFF}]"
+
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "for",
+             "on", "with", "as", "at", "by")
+
+# Per-language function-word sets for the lang-ID heuristic; checked in
+# alphabetical order of language code for a deterministic arg-max tie-break.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von"),
+    "en": ("the", "a", "and", "of", "to", "is", "in", "it", "for"),
+    "es": ("el", "la", "que", "de", "y", "los", "las", "un", "una", "es"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est", "dans"),
+}
+FINGERPRINT_WINDOW = 8  # words per rolling window
+JACCARD_GRAM = 4        # words per shingle
+JACCARD_DF_CAP = 50     # drop grams present in more docs (stop-gram cut)
+JACCARD_TAU = 0.5
+
+
+def _sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# ------------------------------------------------------------- token stats
+
+
+def _token_batch(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    n_ws = [len(_WS_TOKEN.findall(t)) for t in texts]
+    bpe = [_BPE_TOKEN.findall(t) for t in texts]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_ws_tokens": pa.array(n_ws, pa.int64()),
+        "n_bpe_tokens": pa.array([len(b) for b in bpe], pa.int64()),
+        "n_unique_bpe": pa.array([len(set(b)) for b in bpe], pa.int64()),
+        "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+    })
+
+
+def token_stats(ds):
+    return ds.map_batches(_token_batch, batch_format="pyarrow")
+
+
+def token_stats_sql(rel: str = "documents") -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_SQL}'))) AS BIGINT) AS n_unique_bpe,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM {rel}
+"""
+
+
+# ----------------------------------------------------------- quality score
+
+
+def _quality_batch(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    stop = set(STOPWORDS)
+    n_chars, n_words, n_stop, n_punct, mean_wl, ratio, score = [], [], [], [], [], [], []
+    for t in texts:
+        words = _WS_TOKEN.findall(t)
+        nw = len(words)
+        ns = sum(1 for w in words if w in stop)
+        total_wc = sum(len(w) for w in words)
+        n_chars.append(len(t))
+        n_words.append(nw)
+        n_stop.append(ns)
+        n_punct.append(len(_PUNCT.findall(t)))
+        mean_wl.append(total_wc / nw if nw else 0.0)
+        r = ns / nw if nw else 0.0
+        ratio.append(r)
+        score.append(0.5 * r + min(nw, 100) / 200.0)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_chars": pa.array(n_chars, pa.int64()),
+        "n_words": pa.array(n_words, pa.int64()),
+        "n_stopwords": pa.array(n_stop, pa.int64()),
+        "n_punct": pa.array(n_punct, pa.int64()),
+        "mean_word_len": pa.array(mean_wl, pa.float64()),
+        "stopword_ratio": pa.array(ratio, pa.float64()),
+        "quality_score": pa.array(score, pa.float64()),
+    })
+
+
+def quality_stats(ds):
+    return ds.map_batches(_quality_batch, batch_format="pyarrow")
+
+
+def quality_stats_sql(rel: str = "documents") -> str:
+    # float expressions mirror the Python op order exactly (exact compare)
+    return f"""
+WITH w AS (
+    SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS words,
+           len(list_filter(regexp_extract_all(text, '\\S+'),
+                           x -> x IN ({_sql_list(STOPWORDS)}))) AS ns
+    FROM {rel}
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(words) AS BIGINT) AS n_words,
+       CAST(ns AS BIGINT) AS n_stopwords,
+       CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
+       CASE WHEN len(words) = 0 THEN 0.0
+            ELSE CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words)
+       END AS mean_word_len,
+       CASE WHEN len(words) = 0 THEN 0.0
+            ELSE CAST(ns AS DOUBLE) / len(words) END AS stopword_ratio,
+       0.5 * (CASE WHEN len(words) = 0 THEN 0.0
+                   ELSE CAST(ns AS DOUBLE) / len(words) END)
+           + LEAST(len(words), 100) / 200.0 AS quality_score
+FROM w
+"""
+
+
+# ------------------------------------------------------------------ lang ID
+
+
+def _langid_batch(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    sets = {lang: set(ws) for lang, ws in LANG_STOPWORDS.items()}
+    langs = sorted(LANG_STOPWORDS)  # alphabetical = tie-break order
+    preds, scores = [], []
+    for t in texts:
+        words = _WS_TOKEN.findall(t)
+        sc = {lang: sum(1 for w in words if w in sets[lang]) for lang in langs}
+        sc["zh"] = len(_CJK.findall(t))
+        best = max(sc.values())
+        if best == 0:
+            preds.append("und")
+            scores.append(0)
+        else:
+            preds.append(next(lang for lang in sorted(sc) if sc[lang] == best))
+            scores.append(best)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "lang_pred": pa.array(preds, pa.string()),
+        "lang_score": pa.array(scores, pa.int64()),
+    })
+
+
+def langid(ds):
+    return ds.map_batches(_langid_batch, batch_format="pyarrow")
+
+
+def langid_sql(rel: str = "documents") -> str:
+    score_cols = ",\n".join(
+        f"           len(list_filter(regexp_extract_all(text, '\\S+'), "
+        f"x -> x IN ({_sql_list(ws)}))) AS s_{lang}"
+        for lang, ws in LANG_STOPWORDS.items()
+    )
+    langs = sorted(list(LANG_STOPWORDS) + ["zh"])
+    cases = "\n".join(f"            WHEN s_{la} = g THEN '{la}'" for la in langs)
+    return f"""
+WITH s AS (
+    SELECT doc_id,
+{score_cols},
+           len(regexp_extract_all(text, '{_CJK_SQL}')) AS s_zh
+    FROM {rel}
+), g AS (
+    SELECT *, GREATEST({", ".join("s_" + la for la in langs)}) AS g FROM s
+)
+SELECT doc_id,
+       CASE WHEN g = 0 THEN 'und'
+{cases}
+       END AS lang_pred,
+       CAST(g AS BIGINT) AS lang_score
+FROM g
+"""
+
+
+# -------------------------------------------------- winnowing fingerprint
+
+
+def _fingerprint_batch(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    w = FINGERPRINT_WINDOW
+    out = []
+    for t in texts:
+        words = _WS_TOKEN.findall(t)
+        if len(words) <= w:
+            windows = [" ".join(words)]
+        else:
+            windows = [" ".join(words[i:i + w]) for i in range(len(words) - w + 1)]
+        out.append(min(hashlib.md5(g.encode("utf-8")).hexdigest() for g in windows))
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "fingerprint": pa.array(out, pa.string()),
+    })
+
+
+def fingerprints(ds):
+    return ds.map_batches(_fingerprint_batch, batch_format="pyarrow")
+
+
+def fingerprints_sql(rel: str = "documents") -> str:
+    w = FINGERPRINT_WINDOW
+    return f"""
+WITH w AS (
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM {rel}
+), g AS (
+    SELECT doc_id, md5(array_to_string(ws[i:i + {w - 1}], ' ')) AS h
+    FROM w, UNNEST(range(1, GREATEST(len(ws) - {w - 1}, 1) + 1)) AS t(i)
+)
+SELECT doc_id, MIN(h) AS fingerprint FROM g GROUP BY doc_id
+"""
+
+
+# -------------------------------------------------- n-gram Jaccard near-dup
+
+
+def _explode_grams(batch: pa.Table) -> pa.Table:
+    """One row per (doc, distinct gram); n_grams (the doc's distinct-gram
+    count) is denormalized onto every row so the pair stage needs no join."""
+    k = JACCARD_GRAM
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    out_id, out_gram, out_n = [], [], []
+    for i, t in zip(ids, texts):
+        words = _WS_TOKEN.findall(t)
+        if len(words) <= k:
+            grams = {" ".join(words)}
+        else:
+            grams = {" ".join(words[j:j + k]) for j in range(len(words) - k + 1)}
+        out_id.extend([i] * len(grams))
+        out_gram.extend(sorted(grams))
+        out_n.extend([len(grams)] * len(grams))
+    return pa.table({
+        "doc_id": pa.array(out_id),
+        "gram": pa.array(out_gram, pa.string()),
+        "n_grams": pa.array(out_n, pa.int64()),
+    })
+
+
+def ngram_jaccard_pairs(ds, tau: float = JACCARD_TAU, df_cap: int = JACCARD_DF_CAP):
+    """Exact near-dup pairs by n-gram Jaccard ≥ tau.
+
+    shuffle 1: groupby(gram) — stop-gram DF cut, then pair fan-out;
+    shuffle 2: groupby(pair) — intersection count → jaccard.
+    """
+    grams = ds.map_batches(_explode_grams, batch_format="pyarrow")
+
+    def pairs_per_gram(t: pa.Table) -> pa.Table:
+        if t.num_rows > df_cap or t.num_rows < 2:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "n_a": pa.array([], pa.int64()),
+                             "n_b": pa.array([], pa.int64())})
+        ids = t["doc_id"].to_pylist()
+        ns = t["n_grams"].to_pylist()
+        order = sorted(range(len(ids)), key=lambda j: ids[j])
+        a, b, na, nb = [], [], [], []
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                a.append(ids[order[x]])
+                b.append(ids[order[y]])
+                na.append(ns[order[x]])
+                nb.append(ns[order[y]])
+        return pa.table({"doc_a": pa.array(a, pa.int64()),
+                         "doc_b": pa.array(b, pa.int64()),
+                         "n_a": pa.array(na, pa.int64()),
+                         "n_b": pa.array(nb, pa.int64())})
+
+    pair_rows = grams.groupby("gram").map_groups(pairs_per_gram, batch_format="pyarrow")
+
+    def jaccard(t: pa.Table) -> pa.Table:
+        inter = t.num_rows
+        na = t["n_a"][0].as_py()
+        nb = t["n_b"][0].as_py()
+        j = inter * 1.0 / (na + nb - inter)
+        if j < tau:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        return pa.table({"doc_a": t["doc_a"].slice(0, 1),
+                         "doc_b": t["doc_b"].slice(0, 1),
+                         "jaccard": pa.array([j], pa.float64())})
+
+    return pair_rows.groupby(["doc_a", "doc_b"]).map_groups(jaccard, batch_format="pyarrow")
+
+
+def ngram_jaccard_sql(rel: str = "documents", tau: float = JACCARD_TAU,
+                      df_cap: int = JACCARD_DF_CAP) -> str:
+    k = JACCARD_GRAM
+    return f"""
+WITH w AS (
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM {rel}
+), g AS (
+    SELECT DISTINCT doc_id, array_to_string(ws[i:i + {k - 1}], ' ') AS gram
+    FROM w, UNNEST(range(1, GREATEST(len(ws) - {k - 1}, 1) + 1)) AS t(i)
+), cnt AS (
+    SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
+), keep AS (
+    SELECT gram FROM g GROUP BY gram HAVING COUNT(*) <= {df_cap} AND COUNT(*) >= 2
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+    FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    JOIN keep k ON k.gram = a.gram
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, i * 1.0 / (ca.n + cb.n - i) AS jaccard
+FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+WHERE i * 1.0 / (ca.n + cb.n - i) >= {tau}
+"""

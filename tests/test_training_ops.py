@@ -1,0 +1,109 @@
+"""Training-data pipeline operators: text analysis, dedup family, embedding
+similarity — oracle parity at sf0.001 plus semantic checks the SQL compare
+can't express (LSH recall, simhash Hamming locality)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.oracle_utils import assert_matches_oracle, to_pandas
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", [
+    "doc_tokens", "doc_quality", "doc_langid", "doc_fingerprint",
+    "doc_jaccard_pairs", "doc_exact_dedup", "embed_neardup", "ann_topk",
+])
+def test_oracle_parity(name):
+    assert_matches_oracle(name, SF)
+
+
+def test_minhash_recall_of_jaccard_pairs():
+    """LSH candidates must cover every true Jaccard near-dup pair (at the
+    0.5 threshold the banding curve puts detection probability ≈ 1)."""
+    from har2tree_ray import queries as q
+
+    true = to_pandas(q.q_doc_jaccard_pairs(SF))
+    cand = to_pandas(q.q_doc_minhash_pairs(SF))
+    true_pairs = set(zip(true["doc_a"], true["doc_b"]))
+    cand_pairs = set(zip(cand["id_a"], cand["id_b"]))
+    assert true_pairs, "fixture should contain planted near-dups"
+    missed = true_pairs - cand_pairs
+    assert not missed, f"minhash missed true pairs: {missed}"
+
+
+def test_lsh_neardup_recall():
+    from har2tree_ray import queries as q
+
+    exact = to_pandas(q.q_embed_neardup(SF))
+    approx = to_pandas(q.q_embed_neardup_lsh(SF))
+    es = set(zip(exact["vec_id_a"], exact["vec_id_b"]))
+    ls = set(zip(approx["vec_id_a"], approx["vec_id_b"]))
+    # in-bucket exact verification ⇒ no false positives, ever
+    assert ls <= es
+    if es:
+        assert len(es & ls) / len(es) >= 0.9
+
+
+def test_simhash_near_dup_locality():
+    """Near-identical texts (the planted Jaccard pairs) must land within a
+    small Hamming distance; the all-pairs median must be far larger."""
+    from har2tree_ray import queries as q
+
+    sh = to_pandas(q.q_doc_simhash(SF)).set_index("id")
+    hashes = ((sh["simhash_hi"].astype(np.uint64) << np.uint64(32))
+              | sh["simhash_lo"].astype(np.uint64))
+    pairs = to_pandas(q.q_doc_jaccard_pairs(SF))
+    assert len(pairs) > 0
+
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    near = [ham(hashes[a], hashes[b]) for a, b in zip(pairs["doc_a"], pairs["doc_b"])]
+    assert max(near) <= 16
+    rng = np.random.RandomState(0)
+    ids = hashes.index.to_numpy()
+    rand = [ham(hashes[rng.choice(ids)], hashes[rng.choice(ids)]) for _ in range(200)]
+    assert np.median(rand) > max(near)
+
+
+def test_exact_dedup_keeps_first_id():
+    import ray.data as rd
+
+    from har2tree_ray.stages.dedup import exact_dedup
+
+    ds = rd.from_items([
+        {"doc_id": 3, "text": "aa"}, {"doc_id": 1, "text": "aa"},
+        {"doc_id": 2, "text": "bb"},
+    ])
+    out = to_pandas(exact_dedup(ds, "doc_id", "text")).sort_values("keep_id")
+    assert out["keep_id"].tolist() == [1, 2]
+    assert out["n_dups"].tolist() == [2, 1]
+
+
+def test_ann_topk_is_true_topk():
+    """Brute-force the ground truth in numpy and compare the id sets."""
+    import duckdb
+
+    from har2tree_ray import queries as q
+    from har2tree_ray.stages.embed import ANN_K, ANN_NUM_QUERIES
+
+    got = to_pandas(q.q_ann_topk(SF))
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{SF}/embeddings.parquet') ORDER BY vec_id"
+    ).df()
+    ids = df["vec_id"].to_numpy()
+    m = np.array(df["embedding"].tolist(), dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m[:ANN_NUM_QUERIES] @ m.T
+    for qi in range(ANN_NUM_QUERIES):
+        s = sims[qi].copy()
+        s[ids == ids[qi]] = -np.inf
+        order = np.lexsort((ids, -s))[:ANN_K]
+        want = ids[order].tolist()
+        have = got[got["query_id"] == ids[qi]].sort_values("rank")["vec_id"].tolist()
+        assert have == want, f"query {ids[qi]}: {have} != {want}"
