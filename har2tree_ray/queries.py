@@ -14,7 +14,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from .sources.interleaved import read_interleaved, read_table
-from .stages import dedup, embed, text
+from .stages import dedup, embed, media, text
 from .stages.normalize import flat_spans
 from .stages.parser import parse_spans
 from .pipelines import cookies, graft, hosttree, spatial, stats, tiling, tree
@@ -187,6 +187,18 @@ def q_doc_minhash_pairs(sf_dir: str):
 
 def q_doc_simhash(sf_dir: str):
     return dedup.simhash_table(_docs(sf_dir))
+
+
+def q_media_features(sf_dir: str):
+    return media.media_features(flat_spans(read_interleaved(sf_dir), drop_text=True))
+
+
+def q_media_frames(sf_dir: str):
+    return media.frame_sample(flat_spans(read_interleaved(sf_dir), drop_text=True))
+
+
+def q_media_payloads(sf_dir: str):
+    return media.media_payloads(flat_spans(read_interleaved(sf_dir), drop_text=True))
 
 
 def _embeds(sf_dir: str):
@@ -476,6 +488,8 @@ _INTERLEAVED_ORACLES = {
     "cookie_asof": _oracle_cookie_asof,
     "knn_referrer": _oracle_knn_referrer,
     "pip_media_in_host": _oracle_pip,
+    "media_features": media.media_features_sql,
+    "media_frames": media.media_frames_sql,
 }
 
 
@@ -513,6 +527,10 @@ def queries() -> dict[str, Callable]:
         "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,  # approximate — rows-only
         "ann_topk": q_ann_topk,
+        # multimodal plumbing (decode stage stubbed — see stages/media.py)
+        "media_features": q_media_features,
+        "media_frames": q_media_frames,
+        "media_payloads": q_media_payloads,        # binary columns — rows-only
     }
 
 

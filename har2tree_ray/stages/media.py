@@ -1,0 +1,226 @@
+"""Multimodal (image / audio / video) column plumbing.
+
+The reference holds response bodies and downloaded blobs as BytesIO
+(/root/reference/har2tree/nodes.py:549-553, har2tree.py:158-170); here media
+payloads are opaque ``large_binary`` columns with typed metadata, and
+decode / feature-extract / frame-sample are ``map_batches`` stages — the
+decode itself is an actor-pool stage so a real codec (PIL / ffmpeg) loads
+once per worker.
+
+THIS CONTAINER HAS NO IMAGE/AUDIO LIBS: the decode step is a clearly-marked
+deterministic stub — payload bytes are synthesized from the media_ref
+(blake2b keystream behind a parseable fake header) and "decoding" parses
+that header back.  The Ray-side plumbing — binary schema, small batch sizes
+for wide rows, actor signature, output layout — is real and tested; swap
+``_decode_stub`` for a PIL/av call on a real cluster (see ``MediaDecoder``).
+
+Feature values are derived from ascii codes of the payload's md5-derived
+header fields so a DuckDB oracle can recompute them exactly.
+
+Scale notes: payload columns make blocks wide — ``attach_payloads`` and the
+decoder run with small ``batch_size`` (256) so batch × concurrency stays in
+worker heap; frame sampling multiplies rows, never bytes (frames reference
+byte ranges, they don't copy them).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_KINDS = ("img", "media")
+FRAME_SAMPLE_EVERY = 30
+MAGIC = b"FAKEMEDIA1"
+PAYLOAD_BATCH = 256
+
+
+def _hex_ascii(h: str, i: int) -> int:
+    """ascii code of the i-th (1-based) char of a hex digest — mirrors
+    DuckDB ``ascii(substr(md5(x), i, 1))``."""
+    return ord(h[i - 1])
+
+
+def fake_media_meta(media_ref: str) -> dict:
+    """Deterministic metadata a real decoder would produce, derived from
+    md5(media_ref) so the SQL oracle reproduces it bit-for-bit."""
+    h = hashlib.md5(media_ref.encode("utf-8")).hexdigest()
+    return {
+        "n_bytes": 256 + (_hex_ascii(h, 1) * 256 + _hex_ascii(h, 2)) % 3840,
+        "width": 16 + (_hex_ascii(h, 3) * 256 + _hex_ascii(h, 4)) % 1008,
+        "height": 16 + (_hex_ascii(h, 5) * 256 + _hex_ascii(h, 6)) % 1008,
+        "n_frames": 1 + _hex_ascii(h, 7) % 240,
+    }
+
+
+def synth_payload(media_ref: str) -> bytes:
+    """Opaque binary payload: parseable header + blake2b keystream body."""
+    m = fake_media_meta(media_ref)
+    header = (MAGIC
+              + m["width"].to_bytes(2, "big") + m["height"].to_bytes(2, "big")
+              + m["n_frames"].to_bytes(2, "big"))
+    body_len = m["n_bytes"] - len(header)
+    stream = bytearray()
+    counter = 0
+    seed = media_ref.encode("utf-8")
+    while len(stream) < body_len:
+        stream += hashlib.blake2b(seed + counter.to_bytes(4, "big"),
+                                  digest_size=64).digest()
+        counter += 1
+    return bytes(header + stream[:body_len])
+
+
+def media_features_sql(flat_path: str) -> str:
+    """Oracle: recompute the decoder's outputs straight from md5(media_ref)
+    over the same interleaved parquet."""
+    def f(i: int) -> str:
+        return f"ascii(substr(md5(s.media_ref), {i}, 1))"
+
+    return f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+)
+SELECT doc_id,
+       CAST(s."offset" AS INTEGER) AS "offset",
+       s.media_ref AS media_ref,
+       s.kind AS kind,
+       CAST(256 + ({f(1)} * 256 + {f(2)}) % 3840 AS BIGINT) AS n_bytes,
+       CAST(16 + ({f(3)} * 256 + {f(4)}) % 1008 AS BIGINT) AS width,
+       CAST(16 + ({f(5)} * 256 + {f(6)}) % 1008 AS BIGINT) AS height,
+       CAST(1 + {f(7)} % 240 AS BIGINT) AS n_frames
+FROM ex WHERE s.kind IN ('img', 'media')
+"""
+
+
+def media_frames_sql(flat_path: str, every: int = FRAME_SAMPLE_EVERY) -> str:
+    def f(i: int) -> str:
+        return f"ascii(substr(md5(s.media_ref), {i}, 1))"
+
+    return f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+), m AS (
+    SELECT doc_id, CAST(s."offset" AS INTEGER) AS "offset",
+           s.media_ref AS media_ref,
+           1 + {f(7)} % 240 AS n_frames
+    FROM ex WHERE s.kind = 'media'
+)
+SELECT doc_id, "offset", media_ref,
+       CAST(fi AS BIGINT) AS frame_idx,
+       CAST(n_frames AS BIGINT) AS n_frames
+FROM m, UNNEST(range(0, n_frames, {every})) AS t(fi)
+"""
+
+
+# ----------------------------------------------------------- payload attach
+
+
+def attach_payloads(batch: pa.Table) -> pa.Table:
+    """media spans → + ``payload: large_binary`` (+ sha).  In production the
+    payload column comes off storage with the row; here it is synthesized."""
+    refs = batch["media_ref"].to_pylist()
+    payloads = [synth_payload(r) for r in refs]
+    return batch.append_column(
+        "payload", pa.array(payloads, pa.large_binary())
+    ).append_column(
+        "payload_sha256",
+        pa.array([hashlib.sha256(p).hexdigest() for p in payloads], pa.string()),
+    )
+
+
+def media_spans(flat_ds):
+    import pyarrow.compute as pc
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["kind"], pa.array(MEDIA_KINDS)))
+
+    return flat_ds.select_columns(
+        ["doc_id", "offset", "media_ref", "kind"]
+    ).map_batches(keep, batch_format="pyarrow")
+
+
+def media_payloads(flat_ds):
+    """Binary-column plumbing end-to-end (rows-only check: sha/bytes are not
+    SQL-reproducible)."""
+    return media_spans(flat_ds).map_batches(
+        attach_payloads, batch_format="pyarrow", batch_size=PAYLOAD_BATCH)
+
+
+# ------------------------------------------------------------------ decoder
+
+
+class MediaDecoder:
+    """Actor-pool decode stage: ``large_binary`` payload → typed features.
+
+    __init__ is where a real codec loads once per actor; __call__ decodes a
+    batch.  The real path is gated on import so the same class works in a
+    container that has PIL — everything else about the stage (schema, batch
+    size, actor pool) is production-shaped."""
+
+    def __init__(self) -> None:
+        try:  # real decoder, once per actor — absent in this container
+            import PIL.Image  # noqa: F401
+            self._real = True
+        except ImportError:
+            self._real = False
+
+    def _decode_stub(self, payload: bytes) -> tuple[int, int, int]:
+        if not payload.startswith(MAGIC):
+            raise ValueError("bad magic")
+        w = int.from_bytes(payload[10:12], "big")
+        h = int.from_bytes(payload[12:14], "big")
+        nf = int.from_bytes(payload[14:16], "big")
+        return w, h, nf
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._real:
+            raise NotImplementedError(
+                "real PIL decode path not exercised in this container")
+        payloads = batch["payload"].to_pylist()
+        dims = [self._decode_stub(p) for p in payloads]
+        out = batch.drop_columns(["payload", "payload_sha256"])
+        return out.append_column(
+            "n_bytes", pa.array([len(p) for p in payloads], pa.int64())
+        ).append_column(
+            "width", pa.array([d[0] for d in dims], pa.int64())
+        ).append_column(
+            "height", pa.array([d[1] for d in dims], pa.int64())
+        ).append_column(
+            "n_frames", pa.array([d[2] for d in dims], pa.int64())
+        )
+
+
+def media_features(flat_ds, concurrency=None):
+    """payload attach → actor-pool decode → feature columns (oracled)."""
+    from .parser import default_pool_size
+
+    return media_payloads(flat_ds).map_batches(
+        MediaDecoder,
+        batch_format="pyarrow",
+        batch_size=PAYLOAD_BATCH,
+        concurrency=concurrency or default_pool_size(),
+    )
+
+
+# ------------------------------------------------------------ frame sample
+
+
+def frame_sample(flat_ds, every: int = FRAME_SAMPLE_EVERY):
+    """kind='media' spans → one row per sampled frame index (row expansion
+    via repeated take — no payload bytes are duplicated)."""
+    feats = media_features(flat_ds)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.equal(batch["kind"], "media"))
+        nf = t["n_frames"].to_numpy(zero_copy_only=False)
+        counts = (nf + every - 1) // every  # frames 0, every, 2*every, ...
+        idx = np.repeat(np.arange(t.num_rows), counts)
+        frame_idx = np.concatenate(
+            [np.arange(0, n, every) for n in nf]) if len(nf) else np.array([], np.int64)
+        out = t.select(["doc_id", "offset", "media_ref", "n_frames"]).take(pa.array(idx))
+        return out.append_column("frame_idx", pa.array(frame_idx, pa.int64()))
+
+    return feats.map_batches(expand, batch_format="pyarrow")

@@ -1,0 +1,53 @@
+"""Multimodal plumbing: payload synthesis, actor-pool decode, frame sampling
+— oracle parity for the feature/frame queries plus binary round-trip checks."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from har2tree_ray.stages import media
+from tests.oracle_utils import assert_matches_oracle, to_pandas
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", ["media_features", "media_frames"])
+def test_oracle_parity(name):
+    assert_matches_oracle(name, SF)
+
+
+def test_payload_roundtrip():
+    ref = "https://h1.example1.com/p1/r2.png"
+    p = media.synth_payload(ref)
+    m = media.fake_media_meta(ref)
+    assert len(p) == m["n_bytes"]
+    assert p.startswith(media.MAGIC)
+    w, h, nf = media.MediaDecoder()._decode_stub(p)
+    assert (w, h, nf) == (m["width"], m["height"], m["n_frames"])
+    # deterministic: same ref → same bytes
+    assert p == media.synth_payload(ref)
+
+
+def test_media_payloads_binary_schema():
+    from har2tree_ray import queries as q
+
+    df = to_pandas(q.q_media_payloads(SF).limit(50))
+    assert len(df) == 50
+    assert all(isinstance(b, bytes) for b in df["payload"])
+    for b, sha in zip(df["payload"], df["payload_sha256"]):
+        assert hashlib.sha256(b).hexdigest() == sha
+
+
+def test_frame_sample_counts():
+    from har2tree_ray import queries as q
+
+    frames = to_pandas(q.q_media_frames(SF))
+    # every sampled index is a multiple of the stride and within range
+    assert (frames["frame_idx"] % media.FRAME_SAMPLE_EVERY == 0).all()
+    assert (frames["frame_idx"] < frames["n_frames"]).all()
+    per_span = frames.groupby(["doc_id", "offset"]).agg(
+        n=("frame_idx", "size"), nf=("n_frames", "first"))
+    expect = (per_span["nf"] + media.FRAME_SAMPLE_EVERY - 1) // media.FRAME_SAMPLE_EVERY
+    assert (per_span["n"] == expect).all()
