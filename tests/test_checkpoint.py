@@ -1,0 +1,89 @@
+"""Checkpoint/resume: interrupted runs redo only unfinished partitions;
+manifests carry lineage + metrics; code changes invalidate cleanly."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from har2tree_ray.state import checkpoint as ck
+from har2tree_ray.synth import ensure_interleaved
+
+SF = "/root/testdata/sf0.001"
+
+
+def _input_files():
+    d = ensure_interleaved(SF)
+    return [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
+
+
+def _make(files):
+    import ray.data as rd
+
+    from har2tree_ray.stages.normalize import flat_spans
+
+    return flat_spans(rd.read_parquet(files), drop_text=True)
+
+
+def test_resume_skips_completed(tmp_path):
+    out = str(tmp_path / "out")
+    parts = ck.plan_partitions(_input_files(), files_per_part=1)
+    assert len(parts) >= 1
+
+    # first run: fail after the first partition (simulated crash)
+    calls = {"n": 0}
+
+    def flaky(files):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("crash")
+        return _make(files)
+
+    if len(parts) > 1:
+        with pytest.raises(RuntimeError):
+            ck.run_checkpointed(out, parts, flaky, code_version="v1")
+    else:
+        ck.run_checkpointed(out, parts, flaky, code_version="v1")
+    done = ck.completed_partitions(out, parts, "v1")
+    assert parts[0].part_id in done
+
+    # resume: completed partition skipped, rest runs
+    r = ck.run_checkpointed(out, parts, _make, code_version="v1")
+    assert parts[0].part_id in r["skipped"]
+    assert set(r["done"]) | set(r["skipped"]) == {p.part_id for p in parts}
+
+    # manifests carry lineage + metrics
+    m = ck.load_manifest(out, parts[0].part_id)
+    assert m["inputs"] == parts[0].inputs
+    assert m["n_rows"] > 0 and m["wall_s"] >= 0
+
+    # a fully-resumed run is a no-op
+    r2 = ck.run_checkpointed(out, parts, _make, code_version="v1")
+    assert not r2["done"]
+
+    # version bump invalidates everything
+    r3 = ck.run_checkpointed(out, parts, _make, code_version="v2")
+    assert not r3["skipped"]
+
+    # output row count equals a direct run
+    import ray.data as rd
+
+    written = rd.read_parquet([ck._partition_dir(out, p.part_id) for p in parts]).count()
+    direct = _make(_input_files()).count()
+    assert written == direct
+
+
+def test_manifest_commit_is_atomic(tmp_path):
+    out = str(tmp_path / "out")
+    parts = ck.plan_partitions(_input_files(), files_per_part=100)[:1]
+    ck.run_checkpointed(out, parts, _make, code_version="v1")
+    # corrupt manifest → treated as incomplete, partition re-runs
+    path = ck._manifest_path(out, parts[0].part_id)
+    with open(path, "w") as f:
+        f.write("{not json")
+    assert ck.load_manifest(out, parts[0].part_id) is None
+    r = ck.run_checkpointed(out, parts, _make, code_version="v1")
+    assert r["done"] == [parts[0].part_id]
+    assert json.load(open(path))["n_rows"] > 0
