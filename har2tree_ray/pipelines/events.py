@@ -1,0 +1,204 @@
+"""Event-stream operators over the ``events`` table (event_id, ts, user_id,
+event_type, value, props-JSON) — the windowed / sessionization / as-of
+custom operators a training-data pipeline needs (SURVEY §2.9's ordering
+concerns generalized to a real timestamped stream; the reference's only
+temporal join is the cookie as-of, har2tree/har2tree.py:372-385).
+
+Partitioning: every operator here shuffles at most once, keyed on
+``user_id`` (sessionize, as-of) or on the window key (tumbling agg); the
+tumbling aggregate pre-aggregates inside ``map_batches`` so only partial
+(window, type) rows — not events — cross the exchange.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SESSION_GAP_MIN = 30
+WINDOW = "1h"
+
+
+# ------------------------------------------------------------ sessionization
+
+
+def sessionize(events_ds, gap_min: int = SESSION_GAP_MIN):
+    """Per-user session windows: a new session starts when the gap from the
+    previous event exceeds ``gap_min`` minutes.
+
+    One shuffle: groupby(user_id); within a group the sort is per-user
+    (bounded), never global."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        # exact-integer money (values carry 2 decimals) — float summation
+        # order would otherwise differ between engines
+        df["cents"] = (df["value"] * 100).round().astype("int64")
+        gap = df["ts"].diff() > pd.Timedelta(minutes=gap_min)
+        sid = gap.cumsum().astype("int64") + 1
+        g = df.groupby(sid)
+        out = pd.DataFrame({
+            "user_id": df["user_id"].iloc[0],
+            "session_id": g.size().index,
+            "n_events": g.size().to_numpy().astype("int64"),
+            "start_ts": g["ts"].min().to_numpy(),
+            "end_ts": g["ts"].max().to_numpy(),
+            "total_cents": g["cents"].sum().to_numpy().astype("int64"),
+        })
+        return out.reset_index(drop=True)
+
+    return events_ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def sessionize_sql(gap_min: int = SESSION_GAP_MIN) -> str:
+    return f"""
+WITH o AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL {gap_min} MINUTE
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+), s AS (
+    SELECT *, 1 + SUM(brk) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM o
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# -------------------------------------------------------- tumbling window agg
+
+
+def window_agg(events_ds):
+    """Tumbling 1-hour windows × event_type — partial aggregation inside
+    map_batches (combiner), then a small groupby over (window, type) partials
+    (SURVEY guidance: push aggregation partial before the shuffle)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["window_start"] = df["ts"].dt.floor("h")
+        df["cents"] = (df["value"] * 100).round().astype("int64")
+        g = df.groupby(["window_start", "event_type"], sort=False).agg(
+            part_n=("event_id", "size"), part_cents=("cents", "sum"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    partials = events_ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.Table.from_pandas(pd.DataFrame({
+            "window_start": [df["window_start"].iloc[0]],
+            "event_type": [df["event_type"].iloc[0]],
+            "n_events": [int(df["part_n"].sum())],
+            "total_cents": [int(df["part_cents"].sum())],
+        }), preserve_index=False)
+
+    return partials.groupby(["window_start", "event_type"]).map_groups(
+        merge, batch_format="pyarrow")
+
+
+def window_agg_sql() -> str:
+    return """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+# ----------------------------------------------------------------- as-of join
+
+
+def asof_error_click(events_ds):
+    """As-of join within the stream: each 'error' event matched to the most
+    recent preceding 'click' of the same user (NULL-free: unmatched errors
+    are dropped).  Generalizes the reference's cookie as-of
+    (har2tree/har2tree.py:372-385) to a timestamped table."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        clicks = df[df["event_type"] == "click"]
+        errors = df[df["event_type"] == "error"]
+        if clicks.empty or errors.empty:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "error_id": pd.Series([], dtype="int64"),
+                                 "click_id": pd.Series([], dtype="int64"),
+                                 "lag_us": pd.Series([], dtype="int64")})
+        idx = np.searchsorted(clicks["ts"].to_numpy(), errors["ts"].to_numpy(),
+                              side="left") - 1
+        keep = idx >= 0
+        e = errors[keep]
+        c = clicks.iloc[idx[keep]]
+        lag_us = (e["ts"].to_numpy() - c["ts"].to_numpy()) // np.timedelta64(1, "us")
+        return pd.DataFrame({
+            "user_id": e["user_id"].to_numpy(),
+            "error_id": e["event_id"].to_numpy(),
+            "click_id": c["event_id"].to_numpy(),
+            "lag_us": lag_us.astype("int64"),
+        })
+
+    return events_ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def asof_error_click_sql() -> str:
+    return """
+WITH m AS (
+    SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id,
+           CAST(date_diff('microsecond', c.ts, e.ts) AS BIGINT) AS lag_us,
+           ROW_NUMBER() OVER (PARTITION BY e.event_id
+                              ORDER BY c.ts DESC, c.event_id DESC) AS rn
+    FROM events e JOIN events c
+      ON c.user_id = e.user_id AND c.event_type = 'click'
+     AND e.event_type = 'error' AND c.ts < e.ts
+)
+SELECT user_id, error_id, click_id, lag_us FROM m WHERE rn = 1
+"""
+
+
+# ------------------------------------------------------------- JSON decoding
+
+
+def props_rollup(events_ds):
+    """JSON-decode the props column (the reference's mime-routed POST-body
+    decode M12, har2tree/nodes.py:260-498, recast to a typed table) and
+    aggregate per event_type."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        types = batch["event_type"].to_pylist()
+        ks = [json.loads(p).get("k", 0) for p in batch["props"].to_pylist()]
+        df = pd.DataFrame({"event_type": types, "k": ks})
+        g = df.groupby("event_type", sort=False)["k"].agg(["sum", "count", "max"])
+        g.columns = ["part_sum", "part_n", "part_max"]
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    partials = events_ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.Table.from_pandas(pd.DataFrame({
+            "event_type": [df["event_type"].iloc[0]],
+            "sum_k": [int(df["part_sum"].sum())],
+            "n": [int(df["part_n"].sum())],
+            "max_k": [int(df["part_max"].max())],
+        }), preserve_index=False)
+
+    return partials.groupby("event_type").map_groups(merge, batch_format="pyarrow")
+
+
+def props_rollup_sql() -> str:
+    return """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""

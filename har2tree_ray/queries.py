@@ -17,7 +17,7 @@ from .sources.interleaved import read_interleaved, read_table
 from .stages import dedup, embed, media, text
 from .stages.normalize import flat_spans
 from .stages.parser import parse_spans
-from .pipelines import cookies, graft, hosttree, spatial, stats, tiling, tree
+from .pipelines import cookies, events, graft, hosttree, spatial, stats, tiling, tree
 from .synth import ensure_interleaved, interleaved_path
 
 RES = tiling.DEFAULT_RES
@@ -187,6 +187,26 @@ def q_doc_minhash_pairs(sf_dir: str):
 
 def q_doc_simhash(sf_dir: str):
     return dedup.simhash_table(_docs(sf_dir))
+
+
+def _events(sf_dir: str):
+    return read_table(sf_dir, "events")
+
+
+def q_event_sessions(sf_dir: str):
+    return events.sessionize(_events(sf_dir))
+
+
+def q_event_window_agg(sf_dir: str):
+    return events.window_agg(_events(sf_dir))
+
+
+def q_event_asof(sf_dir: str):
+    return events.asof_error_click(_events(sf_dir))
+
+
+def q_event_props_rollup(sf_dir: str):
+    return events.props_rollup(_events(sf_dir))
 
 
 def q_media_features(sf_dir: str):
@@ -470,6 +490,10 @@ _TABLE_ORACLES = {
     "doc_exact_dedup": _oracle_doc_exact_dedup,
     "embed_neardup": lambda _p: embed.embed_neardup_sql(),
     "ann_topk": lambda _p: embed.ann_topk_sql(),
+    "event_sessions": lambda _p: events.sessionize_sql(),
+    "event_window_agg": lambda _p: events.window_agg_sql(),
+    "event_asof": lambda _p: events.asof_error_click_sql(),
+    "event_props_rollup": lambda _p: events.props_rollup_sql(),
 }
 
 
@@ -527,6 +551,11 @@ def queries() -> dict[str, Callable]:
         "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,  # approximate — rows-only
         "ann_topk": q_ann_topk,
+        # event-stream operators (windowed / sessionize / as-of / JSON decode)
+        "event_sessions": q_event_sessions,
+        "event_window_agg": q_event_window_agg,
+        "event_asof": q_event_asof,
+        "event_props_rollup": q_event_props_rollup,
         # multimodal plumbing (decode stage stubbed — see stages/media.py)
         "media_features": q_media_features,
         "media_frames": q_media_frames,

@@ -1,0 +1,58 @@
+"""Event-stream operators (sessionize / tumbling window / as-of / JSON
+props): oracle parity plus targeted semantics on hand-built fixtures."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from tests.oracle_utils import assert_matches_oracle, to_pandas
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", [
+    "event_sessions", "event_window_agg", "event_asof", "event_props_rollup",
+])
+def test_oracle_parity(name):
+    assert_matches_oracle(name, SF)
+
+
+def _mk(rows):
+    import ray.data as rd
+
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"])
+    return rd.from_pandas(df)
+
+
+def test_sessionize_gap_split():
+    from har2tree_ray.pipelines.events import sessionize
+
+    ds = _mk([
+        {"event_id": 1, "user_id": 1, "ts": "2024-01-01 00:00:00", "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "user_id": 1, "ts": "2024-01-01 00:10:00", "event_type": "view", "value": 2.0, "props": "{}"},
+        # 31-minute gap → new session
+        {"event_id": 3, "user_id": 1, "ts": "2024-01-01 00:41:00", "event_type": "view", "value": 3.0, "props": "{}"},
+        {"event_id": 4, "user_id": 2, "ts": "2024-01-01 00:00:00", "event_type": "view", "value": 4.0, "props": "{}"},
+    ])
+    out = to_pandas(sessionize(ds)).sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    assert out["session_id"].tolist() == [1, 2, 1]
+    assert out["n_events"].tolist() == [2, 1, 1]
+    assert out["total_cents"].tolist() == [300, 300, 400]
+
+
+def test_asof_matches_latest_prior_click():
+    from har2tree_ray.pipelines.events import asof_error_click
+
+    ds = _mk([
+        {"event_id": 1, "user_id": 1, "ts": "2024-01-01 00:00:00", "event_type": "click", "value": 0.0, "props": "{}"},
+        {"event_id": 2, "user_id": 1, "ts": "2024-01-01 00:05:00", "event_type": "click", "value": 0.0, "props": "{}"},
+        {"event_id": 3, "user_id": 1, "ts": "2024-01-01 00:06:00", "event_type": "error", "value": 0.0, "props": "{}"},
+        # error before any click → dropped
+        {"event_id": 5, "user_id": 2, "ts": "2024-01-01 00:00:00", "event_type": "error", "value": 0.0, "props": "{}"},
+    ])
+    out = to_pandas(asof_error_click(ds))
+    assert len(out) == 1
+    assert out.iloc[0]["click_id"] == 2
+    assert out.iloc[0]["lag_us"] == 60_000_000
