@@ -85,24 +85,48 @@ def host_rollup(flat_ds):
 
     partials = flat_ds.map_batches(partial, batch_format="pyarrow")
 
-    def finalize(t: pa.Table) -> pa.Table:
+    # shuffle 1 (native vectorized aggregate — NOT map_groups; per-group
+    # Python dispatch over 100k+ tiny groups was the dominant cost):
+    # one row per (doc, host, url)
+    from ray.data.aggregate import Min as AggMin
+    per_url = partials.groupby(["doc_id", "hostname", "media_ref"]).aggregate(
+        Sum("n", alias_name="n"),
+        Sum("n_status0", alias_name="n_status0"),
+        Sum("n_doc", alias_name="n_doc"),
+        AggMin("min_off", alias_name="min_off"),
+    )
+
+    def partial2(t: pa.Table) -> pa.Table:
+        # local pre-agg to (doc, host); each (doc,host,url) row is globally
+        # unique after shuffle 1, so a row count = distinct-url count
         g = t.group_by(["doc_id", "hostname"]).aggregate(
-            [("n", "sum"), ("media_ref", "count_distinct"), ("n_status0", "sum"),
+            [("n", "sum"), ("media_ref", "count"), ("n_status0", "sum"),
              ("n_doc", "sum"), ("min_off", "min")]
         )
-        g = g.rename_columns(
-            ["doc_id", "hostname", "n_spans", "n_unique_urls", "n_status0", "n_doc", "min_offset"]
+        return g.rename_columns(
+            ["doc_id", "hostname", "n_spans", "n_urls", "n_status0", "n_doc", "min_off"]
         )
+
+    p2 = per_url.map_batches(partial2, batch_format="pyarrow")
+    agg = p2.groupby(["doc_id", "hostname"]).aggregate(
+        Sum("n_spans", alias_name="n_spans"),
+        Sum("n_urls", alias_name="n_unique_urls"),
+        Sum("n_status0", alias_name="n_status0"),
+        Sum("n_doc", alias_name="n_doc"),
+        AggMin("min_off", alias_name="min_offset"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "doc_id": g["doc_id"],
-                "hostname": g["hostname"],
-                "n_spans": pc.cast(g["n_spans"], pa.int64()),
-                "n_unique_urls": pc.cast(g["n_unique_urls"], pa.int64()),
-                "n_status0": pc.cast(g["n_status0"], pa.int64()),
-                "has_document": pc.greater(g["n_doc"], 0),
-                "min_offset": pc.cast(g["min_offset"], pa.int64()),
+                "doc_id": t["doc_id"],
+                "hostname": t["hostname"],
+                "n_spans": pc.cast(t["n_spans"], pa.int64()),
+                "n_unique_urls": pc.cast(t["n_unique_urls"], pa.int64()),
+                "n_status0": pc.cast(t["n_status0"], pa.int64()),
+                "has_document": pc.greater(t["n_doc"], 0),
+                "min_offset": pc.cast(t["min_offset"], pa.int64()),
             }
         )
 
-    return partials.groupby(["doc_id", "hostname"]).map_groups(finalize, batch_format="pyarrow")
+    return agg.map_batches(finish, batch_format="pyarrow")

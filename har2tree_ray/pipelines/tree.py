@@ -228,20 +228,47 @@ def build_edges(parsed_ds):
 def tree_stats(edges_ds):
     """Per-doc tree stats from the edge table (recast of Har2Tree.stats'
     tree-shape fields — har2tree.py:504-528): depth, node count, per-rule
-    counts."""
+    counts.
 
-    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
-        doc_id = df["doc_id"].iloc[0]
-        rules = df["attach_rule"].value_counts()
-        return pd.DataFrame(
-            [{
-                "doc_id": doc_id,
-                "n_nodes": len(df),
-                "tree_depth": int(df["depth"].max()),
-                "n_redirect_edges": int(rules.get("redirect", 0)),
-                "n_external_edges": int(sum(v for k, v in rules.items() if k.startswith("external_"))),
-                "n_fallback_edges": int(sum(v for k, v in rules.items() if k.startswith("fallback_"))),
-            }]
+    Batch-local pandas pre-aggregation → native Sum/Max shuffle (a
+    map_groups over every doc pays per-group dispatch for tens of thousands
+    of tiny groups; the partial/combine plan shuffles one partial row per
+    (doc, batch) instead)."""
+    from ray.data.aggregate import Max, Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rule = df["attach_rule"]
+        agg = df.assign(
+            is_redirect=(rule == "redirect").astype("int64"),
+            is_external=rule.str.startswith("external_").astype("int64"),
+            is_fallback=rule.str.startswith("fallback_").astype("int64"),
+        ).groupby("doc_id", sort=False).agg(
+            n=("doc_id", "size"), d=("depth", "max"),
+            r=("is_redirect", "sum"), e=("is_external", "sum"),
+            f=("is_fallback", "sum"),
         )
+        return agg.reset_index()
 
-    return edges_ds.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
+    partials = edges_ds.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby("doc_id").aggregate(
+        Sum("n", alias_name="n_nodes"),
+        Max("d", alias_name="tree_depth"),
+        Sum("r", alias_name="n_redirect_edges"),
+        Sum("e", alias_name="n_external_edges"),
+        Sum("f", alias_name="n_fallback_edges"),
+    )
+
+    def cast(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_nodes": pc.cast(t["n_nodes"], pa.int64()),
+            "tree_depth": pc.cast(t["tree_depth"], pa.int64()),
+            "n_redirect_edges": pc.cast(t["n_redirect_edges"], pa.int64()),
+            "n_external_edges": pc.cast(t["n_external_edges"], pa.int64()),
+            "n_fallback_edges": pc.cast(t["n_fallback_edges"], pa.int64()),
+        })
+
+    return agg.map_batches(cast, batch_format="pyarrow")

@@ -1,0 +1,241 @@
+"""Web-artifact metadata pipelines: HHHash, domhash, TLD split, identifier
+extraction, never-sent cookie anti-join.  Reference ops M13/M28/M29/M30/D4
+(SURVEY §2) re-expressed over the flat span / interleaved tables.
+
+All are single-pass ``map_batches`` except:
+* ``host_tld`` groups once on hostname (distinct — tiny output);
+* ``cookies_never_sent`` groups once on doc_id (per-doc anti-join).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import webhash
+
+_BPE = None  # no state needed; patterns live in functions.webhash
+
+
+# ------------------------------------------------------------------ hhhash
+
+
+def span_hhhash(flat_ds):
+    """(doc_id, offset, hhhash) per span — ordered directive-name hash."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "offset": pa.array(batch["offset"].to_pylist(), pa.int32()),
+            "hhhash": pa.array([webhash.hhhash(t) for t in batch["text"].to_pylist()],
+                               pa.string()),
+        })
+
+    return flat_ds.select_columns(["doc_id", "offset", "text"]).map_batches(
+        per_batch, batch_format="pyarrow")
+
+
+def span_hhhash_sql(flat_path: str) -> str:
+    v = webhash.HHHASH_VERSION
+    return f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+), n AS (
+    SELECT doc_id, CAST(s."offset" AS INTEGER) AS "offset",
+           regexp_extract_all(s.text, '@([a-z_]+)=', 1) AS names
+    FROM ex
+)
+SELECT doc_id, "offset",
+       'hhh:{v}:' || sha256(array_to_string(
+           list_filter(names, (x, i) -> i = 1 OR names[i - 1] <> x), ':')) AS hhhash
+FROM n
+"""
+
+
+# ----------------------------------------------------------------- domhash
+
+
+def doc_domhash(interleaved_ds):
+    """(doc_id, domhash) — per-document kind-sequence hash, computed straight
+    on the interleaved rows (spans sorted by offset in-row; NO shuffle)."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        out_ids, out_hash = [], []
+        ids = batch["doc_id"].to_pylist()
+        spans = batch["spans"].to_pylist()
+        for did, sp in zip(ids, spans):
+            ordered = sorted(sp, key=lambda s: s["offset"])
+            out_ids.append(did)
+            out_hash.append(webhash.domhash([s["kind"] for s in ordered]))
+        return pa.table({"doc_id": pa.array(out_ids, pa.string()),
+                         "domhash": pa.array(out_hash, pa.string())})
+
+    return interleaved_ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def doc_domhash_sql(flat_path: str) -> str:
+    return f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+)
+SELECT doc_id,
+       substr(sha256(string_agg(s.kind, '|' ORDER BY s."offset")), 1, 32) AS domhash
+FROM ex GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------- TLD split
+
+
+def host_tld(flat_ds):
+    """Distinct hostnames → (hostname, tld, reg_domain); IPs yield empties
+    (M28: faup returns None for IP hosts)."""
+
+    def first_row(t: pa.Table) -> pa.Table:
+        return t.slice(0, 1)
+
+    hosts = (flat_ds.select_columns(["hostname"])
+             .groupby("hostname").map_groups(first_row, batch_format="pyarrow"))
+
+    def split(batch: pa.Table) -> pa.Table:
+        hs = batch["hostname"].to_pylist()
+        parts = [webhash.split_suffix(h) for h in hs]
+        return pa.table({
+            "hostname": pa.array(hs, pa.string()),
+            "tld": pa.array([p[0] for p in parts], pa.string()),
+            "reg_domain": pa.array([p[1] for p in parts], pa.string()),
+        })
+
+    return hosts.map_batches(split, batch_format="pyarrow")
+
+
+def host_tld_sql(flat_path: str) -> str:
+    sl = ", ".join(f"'{s}'" for s in sorted(webhash.SECOND_LEVEL_SUFFIXES))
+    return f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+), hosts AS (
+    SELECT DISTINCT CASE WHEN regexp_matches(s.media_ref, '^https?://')
+                THEN regexp_extract(s.media_ref, '^https?://([^/?#]+)', 1)
+                ELSE '' END AS hostname
+    FROM ex
+), lab AS (
+    SELECT hostname,
+           string_split(regexp_replace(hostname, ':[0-9]+$', ''), '.') AS l,
+           regexp_replace(hostname, ':[0-9]+$', '') AS noport
+    FROM hosts
+)
+SELECT hostname,
+       CASE WHEN hostname = '' OR len(l) < 2
+                 OR regexp_matches(noport, '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$')
+            THEN ''
+            WHEN len(l) >= 3 AND (l[-2] || '.' || l[-1]) IN ({sl})
+            THEN l[-2] || '.' || l[-1]
+            ELSE l[-1] END AS tld,
+       CASE WHEN hostname = '' OR len(l) < 2
+                 OR regexp_matches(noport, '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$')
+            THEN ''
+            WHEN len(l) >= 3 AND (l[-2] || '.' || l[-1]) IN ({sl})
+            THEN l[-3] || '.' || l[-2] || '.' || l[-1]
+            ELSE l[-2] || '.' || l[-1] END AS reg_domain
+FROM lab
+"""
+
+
+# -------------------------------------------------------------- identifiers
+
+
+def span_identifiers(flat_ds):
+    """Expanded identifier rows: (doc_id, offset, id_type, value) for captcha
+    sitekeys and non-blocklisted google tag IDs (M30)."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        offs = batch["offset"].to_pylist()
+        texts = batch["text"].to_pylist()
+        o_doc, o_off, o_type, o_val = [], [], [], []
+        for d, o, t in zip(ids, offs, texts):
+            sitekeys, gtags = webhash.extract_identifiers(t)
+            for v in sitekeys:
+                o_doc.append(d); o_off.append(o); o_type.append("sitekey"); o_val.append(v)
+            for v in gtags:
+                o_doc.append(d); o_off.append(o); o_type.append("gtag"); o_val.append(v)
+        return pa.table({
+            "doc_id": pa.array(o_doc, pa.string()),
+            "offset": pa.array(o_off, pa.int32()),
+            "id_type": pa.array(o_type, pa.string()),
+            "value": pa.array(o_val, pa.string()),
+        })
+
+    return flat_ds.select_columns(["doc_id", "offset", "text"]).map_batches(
+        per_batch, batch_format="pyarrow")
+
+
+def span_identifiers_sql(flat_path: str) -> str:
+    bl = ", ".join(f"'{b}'" for b in sorted(webhash.GTAG_BLOCKLIST))
+    return f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+), sk AS (
+    SELECT doc_id, CAST(s."offset" AS INTEGER) AS "offset", 'sitekey' AS id_type,
+           UNNEST(regexp_extract_all(s.text, 'data-sitekey="([^"]+)"', 1)) AS value
+    FROM ex
+), gt AS (
+    SELECT doc_id, CAST(s."offset" AS INTEGER) AS "offset", 'gtag' AS id_type,
+           UNNEST(regexp_extract_all(s.text, '\\b(G(?:TM?)?-[A-Z0-9]{{6,10}})\\b', 1)) AS value
+    FROM ex
+)
+SELECT * FROM sk
+UNION ALL
+SELECT * FROM gt WHERE value NOT IN ({bl})
+"""
+
+
+# ------------------------------------------------------- cookies never sent
+
+
+def cookies_never_sent(flat_ds):
+    """D4 recast (har2tree/har2tree.py:362-387): cookies SET in a document
+    with no later SEND of the same name — per-doc anti-join on offset order."""
+    from .cookies import cookie_events
+
+    ev = cookie_events(flat_ds)
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        setters = df[df["side"] == "set"]
+        sent = df[df["side"] == "sent"]
+        rows = []
+        for _, s in setters.iterrows():
+            later = sent[(sent["name"] == s["name"]) & (sent["offset"] > s["offset"])]
+            if later.empty:
+                rows.append({"doc_id": s["doc_id"], "offset": int(s["offset"]),
+                             "name": s["name"], "domain": s["domain"]})
+        out = pd.DataFrame(rows, columns=["doc_id", "offset", "name", "domain"])
+        if out.empty:
+            out = out.astype({"offset": "int64"})
+        return out
+
+    return ev.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
+
+
+def cookies_never_sent_sql(flat_path: str) -> str:
+    return f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+), st AS (
+    SELECT doc_id, CAST(s."offset" AS INTEGER) AS "offset",
+           regexp_extract(s.text, '@setcookie=([^=\\s]+)=(\\S+)@(\\S+)', 1) AS name,
+           regexp_extract(s.text, '@setcookie=([^=\\s]+)=(\\S+)@(\\S+)', 3) AS domain
+    FROM ex WHERE regexp_matches(s.text, '@setcookie=')
+), sd AS (
+    SELECT doc_id, CAST(s."offset" AS INTEGER) AS "offset",
+           regexp_extract(s.text, '@cookie=([^=\\s]+)=(\\S+)', 1) AS name
+    FROM ex WHERE regexp_matches(s.text, '@cookie=')
+)
+SELECT st.doc_id, st."offset", st.name, st.domain
+FROM st
+WHERE NOT EXISTS (
+    SELECT 1 FROM sd
+    WHERE sd.doc_id = st.doc_id AND sd.name = st.name AND sd."offset" > st."offset"
+)
+"""

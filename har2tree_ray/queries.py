@@ -17,7 +17,8 @@ from .sources.interleaved import read_interleaved, read_table
 from .stages import dedup, embed, media, text
 from .stages.normalize import flat_spans
 from .stages.parser import parse_spans
-from .pipelines import cookies, events, graft, hosttree, spatial, stats, tiling, tree
+from .pipelines import (cookies, events, graft, hosttree, render, spatial,
+                        stats, tiling, tree, webmeta)
 from .synth import ensure_interleaved, interleaved_path
 
 RES = tiling.DEFAULT_RES
@@ -187,6 +188,30 @@ def q_doc_minhash_pairs(sf_dir: str):
 
 def q_doc_simhash(sf_dir: str):
     return dedup.simhash_table(_docs(sf_dir))
+
+
+def q_host_tree_json(sf_dir: str):
+    return render.host_tree_json(_parsed(sf_dir))
+
+
+def q_span_hhhash(sf_dir: str):
+    return webmeta.span_hhhash(flat_spans(read_interleaved(sf_dir)))
+
+
+def q_doc_domhash(sf_dir: str):
+    return webmeta.doc_domhash(read_interleaved(sf_dir))
+
+
+def q_host_tld(sf_dir: str):
+    return webmeta.host_tld(flat_spans(read_interleaved(sf_dir), drop_text=True))
+
+
+def q_span_identifiers(sf_dir: str):
+    return webmeta.span_identifiers(flat_spans(read_interleaved(sf_dir)))
+
+
+def q_cookies_never_sent(sf_dir: str):
+    return webmeta.cookies_never_sent(flat_spans(read_interleaved(sf_dir)))
 
 
 def _events(sf_dir: str):
@@ -514,6 +539,11 @@ _INTERLEAVED_ORACLES = {
     "pip_media_in_host": _oracle_pip,
     "media_features": media.media_features_sql,
     "media_frames": media.media_frames_sql,
+    "span_hhhash": webmeta.span_hhhash_sql,
+    "doc_domhash": webmeta.doc_domhash_sql,
+    "host_tld": webmeta.host_tld_sql,
+    "span_identifiers": webmeta.span_identifiers_sql,
+    "cookies_never_sent": webmeta.cookies_never_sent_sql,
 }
 
 
@@ -539,6 +569,7 @@ def queries() -> dict[str, Callable]:
         "tree_stats": q_tree_stats,
         "host_edges": q_host_edges,
         "graft_edges": q_graft_edges,
+        "host_tree_json": q_host_tree_json,  # S3 render sink — rows-only
         # training-data pipeline operators (documents / embeddings tables)
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
@@ -551,6 +582,12 @@ def queries() -> dict[str, Callable]:
         "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,  # approximate — rows-only
         "ann_topk": q_ann_topk,
+        # web-artifact metadata (M13/M28/M29/M30/D4 parity ops)
+        "span_hhhash": q_span_hhhash,
+        "doc_domhash": q_doc_domhash,
+        "host_tld": q_host_tld,
+        "span_identifiers": q_span_identifiers,
+        "cookies_never_sent": q_cookies_never_sent,
         # event-stream operators (windowed / sessionize / as-of / JSON decode)
         "event_sessions": q_event_sessions,
         "event_window_agg": q_event_window_agg,

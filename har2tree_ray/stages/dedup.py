@@ -33,15 +33,43 @@ def span_hash_groups(flat_ds, min_count: int = 2):
     """body_hash → (n_spans, n_docs, n_urls) for hashes seen ≥ min_count.
 
     groupby(body_hash) is the engine's exact-dedup shuffle (SURVEY A2).
-    """
+
+    Two-phase plan: (1) a native vectorized count per hash (batch pre-agg →
+    ``Sum``) finds the duplicated hashes — the overwhelming majority of
+    content is unique, so the survivor set is small by construction; (2) the
+    expensive distinct-doc/url grouping runs ONLY over rows of surviving
+    hashes (broadcast membership filter → map_groups over few groups).
+    A map_groups over *all* hashes would pay per-group Python dispatch for
+    millions of singleton groups."""
+    import ray
+    from ray.data.aggregate import Sum
+
     slim = flat_ds.select_columns(["body_hash", "doc_id", "media_ref"])
+
+    def pre_count(t: pa.Table) -> pa.Table:
+        g = t.group_by("body_hash").aggregate([("body_hash", "count")])
+        return g.rename_columns(["body_hash", "part_n"])
+
+    counts = slim.map_batches(pre_count, batch_format="pyarrow").groupby(
+        "body_hash").aggregate(Sum("part_n", alias_name="n_spans"))
+    dup = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_spans"], min_count)),
+        batch_format="pyarrow").to_pandas()
+    dup_set = set(dup["body_hash"])
+    ref = ray.put(dup_set)
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        keep = ray.get(ref)
+        mask = pa.array([h in keep for h in t["body_hash"].to_pylist()])
+        return t.filter(mask)
+
+    dup_rows = slim.map_batches(only_dups, batch_format="pyarrow")
 
     def per_hash(t: pa.Table) -> pa.Table:
         g = t.group_by("body_hash").aggregate(
             [("doc_id", "count"), ("doc_id", "count_distinct"), ("media_ref", "count_distinct")]
         )
         g = g.rename_columns(["body_hash", "n_spans", "n_docs", "n_urls"])
-        g = g.filter(pc.greater_equal(g["n_spans"], min_count))
         return pa.table(
             {
                 "body_hash": g["body_hash"],
@@ -51,7 +79,7 @@ def span_hash_groups(flat_ds, min_count: int = 2):
             }
         )
 
-    return slim.groupby("body_hash").map_groups(per_hash, batch_format="pyarrow")
+    return dup_rows.groupby("body_hash").map_groups(per_hash, batch_format="pyarrow")
 
 
 def exact_dedup(ds, id_col: str, text_col: str):

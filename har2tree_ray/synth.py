@@ -48,7 +48,9 @@ import pyarrow.parquet as pq
 
 from .schema import INTERLEAVED_SCHEMA
 
-SYNTH_VERSION = 3  # bump to invalidate /tmp caches when generation changes
+SYNTH_VERSION = 5  # bump to invalidate /tmp caches when generation changes
+
+_GTAG_ALPHABET = np.array(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"))
 
 # ---------------------------------------------------------------- host pool
 
@@ -203,7 +205,9 @@ def _generate_doc(rs: np.random.RandomState, doc_id: str, root_referer: str | No
         dom = HOSTS[spans[0]["host_idx"]].split(":")[0]
         name = f"ck{rs.randint(0, 5)}"
         spans[rs.randint(0, len(spans) // 2)]["directives"].append(f"@setcookie={name}=v{rs.randint(0, 9)}@{dom}")
-        spans[rs.randint(len(spans) // 2, len(spans))]["directives"].append(f"@cookie={name}=sent")
+        # ~30% of set cookies are never sent (drives the D4 anti-join)
+        if rs.random_sample() < 0.7:
+            spans[rs.randint(len(spans) // 2, len(spans))]["directives"].append(f"@cookie={name}=sent")
 
     # boilerplate spans: identical text served from different URLs across
     # docs (same library on a CDN) — drives exact content dedup (A2/D3,
@@ -241,6 +245,19 @@ def _generate_doc(rs: np.random.RandomState, doc_id: str, root_referer: str | No
         if rs.random_sample() < 0.05:
             blob = base64.b64encode(bytes(rs.randint(0, 256, size=12, dtype=np.int32).astype(np.uint8)))
             parts.append(f"data:application/octet-stream;base64,{blob.decode()}")
+        # identifiers (M30): captcha sitekeys + google tag IDs, including
+        # blocklisted placeholders the extractor must reject
+        if s["kind"] == "document":
+            r_id = rs.random_sample()
+            if r_id < 0.06:
+                key = "".join(_GTAG_ALPHABET[rs.randint(0, 36, size=10)])
+                parts.append(f'data-sitekey="6L{key}"')
+            elif r_id < 0.12:
+                tag = "".join(_GTAG_ALPHABET[rs.randint(0, 36, size=7)])
+                prefix = "G-" if rs.random_sample() < 0.7 else "GTM-"
+                parts.append(f"gtag {prefix}{tag}")
+            elif r_id < 0.15:
+                parts.append("gtag G-12345678")  # blocklisted placeholder
         n_filler = int(rs.randint(3, 40))
         parts.extend(_VOCAB[int(k)] for k in rs.randint(0, len(_VOCAB), size=n_filler))
         out.append({"kind": s["kind"], "text": " ".join(parts),
