@@ -54,6 +54,11 @@ BENCH_QUERIES = [
     "doc_simhash",
     "embed_neardup",
     "ann_topk",
+    "event_sessions",
+    "event_asof",
+    "media_features",
+    "span_hhhash",
+    "host_tld",
 ]
 
 

@@ -22,6 +22,15 @@ from ..functions import parse
 
 
 def _cookie_rows(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    # cheap vectorized pre-filter: cookie directives are rare (<1% of spans);
+    # the regex loop below only ever sees matching rows
+    mask = pc.or_(
+        pc.match_substring(batch["text"], "@setcookie="),
+        pc.match_substring(batch["text"], "@cookie="),
+    )
+    batch = batch.filter(mask)
     texts = batch["text"].to_pylist()
     docs = batch["doc_id"].to_pylist()
     offs = batch["offset"].to_pylist()

@@ -91,11 +91,18 @@ def host_tld(flat_ds):
     """Distinct hostnames → (hostname, tld, reg_domain); IPs yield empties
     (M28: faup returns None for IP hosts)."""
 
-    def first_row(t: pa.Table) -> pa.Table:
-        return t.slice(0, 1)
+    from ray.data.aggregate import Count
 
+    def local_distinct(t: pa.Table) -> pa.Table:
+        g = t.group_by("hostname").aggregate([("hostname", "count")])
+        return g.select(["hostname"])
+
+    # batch-local distinct first: only unique hostnames per block reach the
+    # shuffle (a groupby over raw span rows would move every row)
     hosts = (flat_ds.select_columns(["hostname"])
-             .groupby("hostname").map_groups(first_row, batch_format="pyarrow"))
+             .map_batches(local_distinct, batch_format="pyarrow")
+             .groupby("hostname").aggregate(Count(alias_name="_n"))
+             .map_batches(lambda t: t.select(["hostname"]), batch_format="pyarrow"))
 
     def split(batch: pa.Table) -> pa.Table:
         hs = batch["hostname"].to_pylist()

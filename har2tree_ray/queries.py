@@ -106,12 +106,18 @@ def _parsed(sf_dir: str):
     return parse_spans(flat_spans(read_interleaved(sf_dir)))
 
 
+def _parsed_light(sf_dir: str):
+    from .stages.parser import parse_redirects
+
+    return parse_redirects(flat_spans(read_interleaved(sf_dir)))
+
+
 def q_redirect_chain(sf_dir: str):
-    return graft.redirect_chain(_parsed(sf_dir))
+    return graft.redirect_chain(_parsed_light(sf_dir))
 
 
 def q_landing(sf_dir: str):
-    return graft.landing(_parsed(sf_dir))
+    return graft.landing(_parsed_light(sf_dir))
 
 
 def q_host_rollup(sf_dir: str):
@@ -147,7 +153,7 @@ def q_host_edges(sf_dir: str):
 
 
 def q_graft_edges(sf_dir: str):
-    return graft.graft_edges(_parsed(sf_dir))
+    return graft.graft_edges(_parsed_light(sf_dir))
 
 
 # ------------------------------------------- documents / embeddings tables

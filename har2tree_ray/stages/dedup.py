@@ -44,7 +44,10 @@ def span_hash_groups(flat_ds, min_count: int = 2):
     import ray
     from ray.data.aggregate import Sum
 
-    slim = flat_ds.select_columns(["body_hash", "doc_id", "media_ref"])
+    # two passes over the slim projection (hash finding, then dup collect) —
+    # materialize it once so the upstream flatten doesn't re-execute; three
+    # narrow columns, a small fraction of the input bytes
+    slim = flat_ds.select_columns(["body_hash", "doc_id", "media_ref"]).materialize()
 
     def pre_count(t: pa.Table) -> pa.Table:
         g = t.group_by("body_hash").aggregate([("body_hash", "count")])
@@ -86,24 +89,29 @@ def exact_dedup(ds, id_col: str, text_col: str):
     """Keep the lexicographically/numerically first id per identical text.
 
     Returns (content_hash, keep_id, n_dups) — one row per distinct content.
+    Batch-local pre-agg → native Min/Sum shuffle (content hashes are mostly
+    unique, so a per-group callable would pay Python dispatch per row).
     """
-    hashed = ds.map_batches(
-        lambda b: add_text_hash(b, text_col).select([id_col, "content_hash"]),
+    from ray.data.aggregate import Min, Sum
+
+    def pre(b: pa.Table) -> pa.Table:
+        h = add_text_hash(b, text_col).select([id_col, "content_hash"])
+        g = h.group_by("content_hash").aggregate([(id_col, "min"), (id_col, "count")])
+        return g.rename_columns(["content_hash", "part_min", "part_n"])
+
+    partials = ds.map_batches(pre, batch_format="pyarrow")
+    agg = partials.groupby("content_hash").aggregate(
+        Min("part_min", alias_name="keep_id"),
+        Sum("part_n", alias_name="n_dups"),
+    )
+    return agg.map_batches(
+        lambda t: pa.table({
+            "content_hash": t["content_hash"],
+            "keep_id": t["keep_id"],
+            "n_dups": pc.cast(t["n_dups"], pa.int64()),
+        }),
         batch_format="pyarrow",
     )
-
-    def pick(t: pa.Table) -> pa.Table:
-        g = t.group_by("content_hash").aggregate([(id_col, "min"), (id_col, "count")])
-        g = g.rename_columns(["content_hash", "keep_id", "n_dups"])
-        return pa.table(
-            {
-                "content_hash": g["content_hash"],
-                "keep_id": g["keep_id"],
-                "n_dups": pc.cast(g["n_dups"], pa.int64()),
-            }
-        )
-
-    return hashed.groupby("content_hash").map_groups(pick, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------- MinHash-LSH
@@ -190,21 +198,36 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     )
 
     def bucket_pairs(t: pa.Table) -> pa.Table:
+        # one whole BAND per group (bounded, e.g. 16 groups total) — the
+        # bucket fan-out is a vectorized pandas groupby inside, never a Ray
+        # group per (band, bucket) hash (that would be ~n_docs tiny groups)
         df = t.to_pandas()
         out_a, out_b = [], []
-        for (_, _), g in df.groupby(["band", "band_hash"], sort=False):
-            ids = sorted(g["id"].unique().tolist())
+        for _, g in df.groupby("band_hash", sort=False):
+            ids = g["id"].unique()
+            if len(ids) < 2:
+                continue
+            ids = sorted(ids.tolist())
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     out_a.append(ids[i])
                     out_b.append(ids[j])
         return pa.table({"id_a": pa.array(out_a), "id_b": pa.array(out_b)})
 
-    pairs = sigs.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pyarrow")
-    # a pair found in several bands collapses to one row
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
-    )
+    pairs = sigs.groupby("band").map_groups(bucket_pairs, batch_format="pyarrow")
+
+    def dedupe(t: pa.Table) -> pa.Table:
+        g = t.group_by(["id_a", "id_b"]).aggregate([("id_a", "count")])
+        return g.select(["id_a", "id_b"])
+
+    # a pair found in several bands collapses to one row (local combine →
+    # one exact pass; pair cardinality is tiny after banding)
+    pre = pairs.map_batches(dedupe, batch_format="pyarrow")
+    from ray.data.aggregate import Count
+
+    agg = pre.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_n"))
+    return agg.map_batches(lambda t: t.select(["id_a", "id_b"]),
+                           batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ SimHash

@@ -81,3 +81,26 @@ def parse_spans(flat_ds, concurrency: int | tuple[int, int] | None = None,
         batch_size=batch_size,
         concurrency=concurrency or default_pool_size(),
     )
+
+
+def parse_redirects(flat_ds):
+    """Light task-based extractor for pipelines that only need the redirect
+    chain evidence (redirect_url, referer) — skips the full feature set, so
+    column pruning carries through to the parse (stateless: plain tasks,
+    no actor pool needed for two compiled regexes)."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        red = [parse.first(parse.RE_REDIRECT, t) for t in texts]
+        ref = [parse.first(parse.RE_REFERER, t) for t in texts]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "offset": batch["offset"],
+            "media_ref": batch["media_ref"],
+            "redirect_url": pa.array(red, pa.string()),
+            "referer": pa.array(ref, pa.string()),
+        })
+
+    return flat_ds.select_columns(
+        ["doc_id", "offset", "media_ref", "text"]
+    ).map_batches(per_batch, batch_format="pyarrow")
