@@ -71,23 +71,28 @@ def parse_span_features(text: str) -> dict:
     (reference stores (sha512, BytesIO) pairs — helper.py:236-250; we keep
     the hash, the blob bytes stay re-derivable from the text).
     """
+    # substring guards before each regex: most spans carry none of these
+    # markers and a C-level ``in`` check is ~10x cheaper than a regex scan
     embedded = []
-    for mime, b64 in RE_DATAURI.findall(text):
-        raw = repair_b64(b64)
-        if raw:
-            embedded.append((mime, hashlib.sha256(raw).hexdigest()))
+    if ";base64," in text:
+        for mime, b64 in RE_DATAURI.findall(text):
+            raw = repair_b64(b64)
+            if raw:
+                embedded.append((mime, hashlib.sha256(raw).hexdigest()))
     return {
-        "redirect_url": first(RE_REDIRECT, text),
-        "meta_refresh": first(RE_META_REFRESH, text),
-        "referer": first(RE_REFERER, text),
-        "initiator_url": first(RE_INITIATOR, text),
-        "frame_urls": RE_FRAME.findall(text),
-        "ext_src": RE_SRC.findall(text),
-        "ext_href": RE_HREF.findall(text),
-        "ext_cssurl": RE_CSSURL.findall(text),
-        "jsloc_urls": RE_JSLOC.findall(text),
+        "redirect_url": first(RE_REDIRECT, text) if "@redirect=" in text else "",
+        "meta_refresh": first(RE_META_REFRESH, text) if "@meta_refresh=" in text else "",
+        "referer": first(RE_REFERER, text) if "@referer=" in text else "",
+        "initiator_url": first(RE_INITIATOR, text) if "@initiator=" in text else "",
+        "frame_urls": RE_FRAME.findall(text) if "@frame=" in text else [],
+        "ext_src": RE_SRC.findall(text) if 'src="' in text else [],
+        "ext_href": RE_HREF.findall(text) if 'href="' in text else [],
+        "ext_cssurl": RE_CSSURL.findall(text) if "url(" in text else [],
+        "jsloc_urls": RE_JSLOC.findall(text) if "location.href=" in text else [],
         "embedded_mimes": [m for m, _ in embedded],
         "embedded_hashes": [h for _, h in embedded],
-        "setcookies": [f"{n}={v}@{d}" for n, v, d in RE_SETCOOKIE.findall(text)],
-        "cookies_sent": [f"{n}={v}" for n, v in RE_COOKIE.findall(text)],
+        "setcookies": [f"{n}={v}@{d}" for n, v, d in RE_SETCOOKIE.findall(text)]
+        if "@setcookie=" in text else [],
+        "cookies_sent": [f"{n}={v}" for n, v in RE_COOKIE.findall(text)]
+        if "@cookie=" in text else [],
     }

@@ -19,12 +19,11 @@ import pyarrow.compute as pc
 
 from ray.data.aggregate import Sum
 
-from .tree import build_edges
 
 
-def host_edges(parsed_ds):
-    """Parsed flat spans → HOST_EDGE_SCHEMA Dataset."""
-    edges = build_edges(parsed_ds)
+def host_edges(edges_ds):
+    """URL-edge Dataset → HOST_EDGE_SCHEMA Dataset."""
+    edges = edges_ds
 
     def project(t: pa.Table) -> pa.Table:
         lvl = pc.cast(t["depth"], pa.int32())

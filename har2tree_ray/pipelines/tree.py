@@ -220,9 +220,70 @@ def _group_fn(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def build_edges(parsed_ds):
-    """Parsed flat spans → EDGE_SCHEMA Dataset (one shuffle on doc_id)."""
+    """Parsed flat spans → EDGE_SCHEMA Dataset (one shuffle on doc_id).
+
+    General path for inputs that arrive as flat spans.  When the source is
+    the interleaved table (rows already doc-grouped) use
+    ``build_edges_interleaved`` — it skips the all-to-all entirely."""
     slim = parsed_ds.select_columns(_PARSED_COLS)
     return slim.groupby("doc_id").map_groups(_group_fn, batch_format="pandas")
+
+
+def doc_edge_rows(spans: list[dict]) -> list[dict]:
+    """One document's span structs → edge dicts (normalize + parse + cascade
+    inline).  Shared by the shuffle-free edge builder and the JSON render."""
+    from ..functions import parse
+
+    nodes = []
+    for s in spans:
+        t = s["text"]
+        f = parse.parse_span_features(t)
+        _, host, _ = split_url(s["media_ref"])
+        f.update(offset=s["offset"], kind=s["kind"],
+                 media_ref=s["media_ref"], hostname=host,
+                 status=parse.parse_status(t))
+        nodes.append(f)
+    edges, _dropped = build_doc_tree(nodes)
+    return edges
+
+
+def _interleaved_batch_edges(batch: pa.Table) -> pa.Table:
+    """One interleaved row = one whole document: normalize + parse + cascade
+    inline, per batch.  ZERO shuffle — the interleaved layout IS the
+    co-partitioning the groupby path exists to create; shuffling flat spans
+    (with 5 list<string> evidence columns) costs more than the cascade
+    itself by an order of magnitude (measured at sf0.1)."""
+    ids = batch["doc_id"].to_pylist()
+    spans_col = batch["spans"].to_pylist()
+    out = {k: [] for k in ["doc_id", "child_offset", "parent_offset",
+                           "attach_rule", "depth", "child_hostname",
+                           "parent_hostname", "child_kind"]}
+    for did, spans in zip(ids, spans_col):
+        for e in doc_edge_rows(spans):
+            out["doc_id"].append(did)
+            out["child_offset"].append(e["child_offset"])
+            out["parent_offset"].append(e["parent_offset"])
+            out["attach_rule"].append(e["attach_rule"])
+            out["depth"].append(e["depth"])
+            out["child_hostname"].append(e["child_hostname"])
+            out["parent_hostname"].append(e["parent_hostname"])
+            out["child_kind"].append(e["child_kind"])
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.string()),
+        "child_offset": pa.array(out["child_offset"], pa.int32()),
+        "parent_offset": pa.array(out["parent_offset"], pa.int32()),
+        "attach_rule": pa.array(out["attach_rule"], pa.string()),
+        "depth": pa.array(out["depth"], pa.int32()),
+        "child_hostname": pa.array(out["child_hostname"], pa.string()),
+        "parent_hostname": pa.array(out["parent_hostname"], pa.string()),
+        "child_kind": pa.array(out["child_kind"], pa.string()),
+    })
+
+
+def build_edges_interleaved(interleaved_ds, batch_size: int = 64):
+    """Interleaved docs → EDGE_SCHEMA Dataset, shuffle-free fast path."""
+    return interleaved_ds.map_batches(
+        _interleaved_batch_edges, batch_format="pyarrow", batch_size=batch_size)
 
 
 def tree_stats(edges_ds):

@@ -17,8 +17,8 @@ from .sources.interleaved import read_interleaved, read_table
 from .stages import dedup, embed, media, text
 from .stages.normalize import flat_spans
 from .stages.parser import parse_spans
-from .pipelines import (cookies, events, graft, hosttree, render, spatial,
-                        stats, tiling, tree, webmeta)
+from .pipelines import (cookies, events, graft, hosttree, relational, render,
+                        spatial, stats, tiling, tree, webmeta)
 from .synth import ensure_interleaved, interleaved_path
 
 RES = tiling.DEFAULT_RES
@@ -140,16 +140,21 @@ def q_pip_media_in_host(sf_dir: str):
     return spatial.pip_media_in_host(flat_spans(read_interleaved(sf_dir), drop_text=True))
 
 
+def _edges(sf_dir: str):
+    # shuffle-free fast path: interleaved rows are already doc-grouped
+    return tree.build_edges_interleaved(read_interleaved(sf_dir))
+
+
 def q_edges(sf_dir: str):
-    return tree.build_edges(_parsed(sf_dir))
+    return _edges(sf_dir)
 
 
 def q_tree_stats(sf_dir: str):
-    return tree.tree_stats(tree.build_edges(_parsed(sf_dir)))
+    return tree.tree_stats(_edges(sf_dir))
 
 
 def q_host_edges(sf_dir: str):
-    return hosttree.host_edges(_parsed(sf_dir))
+    return hosttree.host_edges(_edges(sf_dir))
 
 
 def q_graft_edges(sf_dir: str):
@@ -197,7 +202,7 @@ def q_doc_simhash(sf_dir: str):
 
 
 def q_host_tree_json(sf_dir: str):
-    return render.host_tree_json(_parsed(sf_dir))
+    return render.host_tree_json(read_interleaved(sf_dir))
 
 
 def q_span_hhhash(sf_dir: str):
@@ -218,6 +223,10 @@ def q_span_identifiers(sf_dir: str):
 
 def q_cookies_never_sent(sf_dir: str):
     return webmeta.cookies_never_sent(flat_spans(read_interleaved(sf_dir)))
+
+
+def q_orders_by_nation(sf_dir: str):
+    return relational.orders_by_nation(sf_dir)
 
 
 def _events(sf_dir: str):
@@ -525,6 +534,7 @@ _TABLE_ORACLES = {
     "event_window_agg": lambda _p: events.window_agg_sql(),
     "event_asof": lambda _p: events.asof_error_click_sql(),
     "event_props_rollup": lambda _p: events.props_rollup_sql(),
+    "orders_by_nation": lambda _p: relational.orders_by_nation_sql(),
 }
 
 
@@ -594,6 +604,8 @@ def queries() -> dict[str, Callable]:
         "host_tld": q_host_tld,
         "span_identifiers": q_span_identifiers,
         "cookies_never_sent": q_cookies_never_sent,
+        # broadcast hash join (small-side join pattern, no shuffle)
+        "orders_by_nation": q_orders_by_nation,
         # event-stream operators (windowed / sessionize / as-of / JSON decode)
         "event_sessions": q_event_sessions,
         "event_window_agg": q_event_window_agg,

@@ -159,3 +159,19 @@ def test_engine_ray_pipeline_matches_oracle():
         got_slim.astype({"child_offset": "int64", "parent_offset": "int64", "depth": "int64"}),
         want_df.astype({"child_offset": "int64", "parent_offset": "int64", "depth": "int64"}),
     )
+
+
+def test_interleaved_fast_path_matches_shuffle_path():
+    """The zero-shuffle interleaved cascade must emit exactly the edges the
+    general flat+groupby path emits."""
+    from har2tree_ray.pipelines import tree
+    from har2tree_ray.queries import _parsed
+    from har2tree_ray.sources.interleaved import read_interleaved
+    from tests.oracle_utils import canon, to_pandas
+
+    sf = "/root/testdata/sf0.001"
+    fast = canon(to_pandas(tree.build_edges_interleaved(read_interleaved(sf))))
+    slow = canon(to_pandas(tree.build_edges(_parsed(sf))))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)

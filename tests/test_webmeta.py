@@ -56,10 +56,8 @@ def test_split_suffix():
 def test_host_tree_json_roundtrip():
     """The JSON render must reproduce the host-edge structure exactly."""
     from har2tree_ray import queries as q
-    from har2tree_ray.pipelines.render import host_tree_json
-    from har2tree_ray.queries import _parsed
 
-    docs = to_pandas(host_tree_json(_parsed(SF)))
+    docs = to_pandas(q.q_host_tree_json(SF))
     edges = to_pandas(q.q_host_edges(SF))
     some = docs.head(20)
     for _, row in some.iterrows():
