@@ -48,6 +48,8 @@ def parse_geo(text: str) -> tuple[float, float]:
 
 
 def parse_status(text: str) -> int:
+    if "@status=" not in text:  # default status — most spans omit it
+        return 200
     m = RE_STATUS.search(text)
     return int(m.group(1)) if m else 200
 

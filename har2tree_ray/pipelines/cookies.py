@@ -79,6 +79,66 @@ def cookie_events(flat_ds):
     return slim.map_batches(_cookie_rows, batch_format="pyarrow")
 
 
+def _asof_rows(doc_id: str, events: list[tuple]) -> list[tuple]:
+    """events: (offset, side, name, domain, hostname) — returns matched
+    (doc_id, offset, name, setter_offset) rows.  Pure per-doc as-of."""
+    setters = sorted((e for e in events if e[1] == "set"), key=lambda e: e[0])
+    senders = sorted((e for e in events if e[1] == "sent"), key=lambda e: e[0])
+    rows = []
+    for off, _, name, _, hostname in senders:
+        shost = hostname.split(":")[0]
+        best = None
+        for s_off, _, s_name, s_dom, _ in setters:
+            if s_off >= off:
+                break
+            if s_name == name and shost.endswith(s_dom):
+                best = s_off
+        if best is not None:
+            rows.append((doc_id, off, name, best))
+    return rows
+
+
+def cookie_asof_interleaved(interleaved_ds, batch_size: int = 64):
+    """Shuffle-free cookie as-of join: the join key is doc-local and
+    interleaved rows hold whole documents (substring guards skip the >99%
+    of spans with no cookie directives)."""
+    from ..functions.urls import split_url
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        spans_col = batch["spans"].to_pylist()
+        out = {"doc_id": [], "offset": [], "name": [], "setter_offset": []}
+        for did, spans in zip(ids, spans_col):
+            events = []
+            for s in spans:
+                t = s["text"]
+                has_set = "@setcookie=" in t
+                has_sent = "@cookie=" in t
+                if not (has_set or has_sent):
+                    continue
+                _, host, _ = split_url(s["media_ref"])
+                if has_set:
+                    for name, _v, dom in parse.RE_SETCOOKIE.findall(t):
+                        events.append((s["offset"], "set", name, dom, host))
+                if has_sent:
+                    for name, _v in parse.RE_COOKIE.findall(t):
+                        events.append((s["offset"], "sent", name, "", host))
+            for did2, off, name, setter in _asof_rows(did, events):
+                out["doc_id"].append(did2)
+                out["offset"].append(off)
+                out["name"].append(name)
+                out["setter_offset"].append(setter)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.string()),
+            "offset": pa.array(out["offset"], pa.int64()),
+            "name": pa.array(out["name"], pa.string()),
+            "setter_offset": pa.array(out["setter_offset"], pa.int64()),
+        })
+
+    return interleaved_ds.map_batches(per_batch, batch_format="pyarrow",
+                                      batch_size=batch_size)
+
+
 def cookie_asof(flat_ds):
     """As-of join: (doc_id, offset, name, setter_offset, third_party).
 

@@ -91,7 +91,9 @@ def window_agg(events_ds):
             part_n=("event_id", "size"), part_cents=("cents", "sum"))
         return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
 
-    partials = events_ds.map_batches(partial, batch_format="pyarrow")
+    from ..util import pre_shuffle_coalesce
+
+    partials = pre_shuffle_coalesce(events_ds.map_batches(partial, batch_format="pyarrow"))
 
     def merge(t: pa.Table) -> pa.Table:
         df = t.to_pandas()

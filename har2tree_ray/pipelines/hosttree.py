@@ -44,7 +44,9 @@ def host_edges(edges_ds):
             ["doc_id", "host_level", "hostname", "parent_level", "parent_hostname", "partial_n"]
         )
 
-    partials = edges.map_batches(project, batch_format="pyarrow")
+    from ..util import pre_shuffle_coalesce
+
+    partials = pre_shuffle_coalesce(edges.map_batches(project, batch_format="pyarrow"))
     agg = partials.groupby(
         ["doc_id", "host_level", "hostname", "parent_level", "parent_hostname"]
     ).aggregate(Sum("partial_n", alias_name="n_urls"))
@@ -56,6 +58,58 @@ def host_edges(edges_ds):
         ),
         batch_format="pyarrow",
     )
+
+
+def host_rollup_interleaved(interleaved_ds, batch_size: int = 64):
+    """Shuffle-free host rollup: the (doc, hostname) key is doc-local, and
+    interleaved rows already hold whole documents — aggregate inside the
+    batch, emit final rows directly.  Keep ``host_rollup`` for flat inputs."""
+    from ..functions import parse
+    from ..functions.urls import split_url
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        spans_col = batch["spans"].to_pylist()
+        cols: dict[str, list] = {k: [] for k in [
+            "doc_id", "hostname", "n_spans", "n_unique_urls", "n_status0",
+            "has_document", "min_offset"]}
+        for did, spans in zip(ids, spans_col):
+            agg: dict[str, list] = {}
+            for s in spans:
+                _, host, _ = split_url(s["media_ref"])
+                if not host:
+                    continue
+                a = agg.get(host)
+                if a is None:
+                    a = agg[host] = [0, set(), 0, False, s["offset"]]
+                a[0] += 1
+                a[1].add(s["media_ref"])
+                if parse.parse_status(s["text"]) <= 0:
+                    a[2] += 1
+                if s["kind"] == "document":
+                    a[3] = True
+                if s["offset"] < a[4]:
+                    a[4] = s["offset"]
+            for host, a in agg.items():
+                cols["doc_id"].append(did)
+                cols["hostname"].append(host)
+                cols["n_spans"].append(a[0])
+                cols["n_unique_urls"].append(len(a[1]))
+                cols["n_status0"].append(a[2])
+                cols["has_document"].append(a[3])
+                cols["min_offset"].append(a[4])
+        return pa.table({
+            "doc_id": pa.array(cols["doc_id"], pa.string()),
+            "hostname": pa.array(cols["hostname"], pa.string()),
+            "n_spans": pa.array(cols["n_spans"], pa.int64()),
+            "n_unique_urls": pa.array(cols["n_unique_urls"], pa.int64()),
+            "n_status0": pa.array(cols["n_status0"], pa.int64()),
+            "has_document": pa.array(cols["has_document"], pa.bool_()),
+            "min_offset": pa.array(cols["min_offset"], pa.int64()),
+        })
+
+    return interleaved_ds.map_batches(per_batch, batch_format="pyarrow",
+                                      batch_size=batch_size)
 
 
 def host_rollup(flat_ds):

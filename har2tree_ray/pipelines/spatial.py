@@ -41,48 +41,83 @@ COVER_RES = 4
 # ------------------------------------------------------------ kNN referrer
 
 
+def _knn_doc(doc_id: str, offs: np.ndarray, kinds: np.ndarray,
+             lat: np.ndarray, lng: np.ndarray) -> list[tuple]:
+    """Per-doc kNN: for each media span, nearest document span within the
+    Chebyshev k-ring (deterministic tie-break: squared-degree distance, then
+    candidate offset)."""
+    ix, iy = geo.cell_xy(lat, lng, KNN_RES)
+    isq = np.isin(kinds, QUERY_KINDS)
+    isc = kinds == "document"
+    if not isq.any() or not isc.any():
+        return []
+    qi = np.where(isq)[0]
+    ci = np.where(isc)[0]
+    dist = geo.chebyshev_cell_distance(
+        ix[qi][:, None], iy[qi][:, None], ix[ci][None, :], iy[ci][None, :], KNN_RES
+    )
+    ok = dist <= KNN_RING
+    d2 = (lat[qi][:, None] - lat[ci][None, :]) ** 2 + (lng[qi][:, None] - lng[ci][None, :]) ** 2
+    cand_off = offs[ci]
+    rows = []
+    for row in range(len(qi)):
+        mask = ok[row]
+        if not mask.any():
+            continue
+        dd = np.where(mask, d2[row], np.inf)
+        m = dd.min()
+        best = cand_off[(dd == m)].min()
+        bi = np.flatnonzero(cand_off == best)[0]
+        rows.append((doc_id, int(offs[qi[row]]), int(best), int(dist[row][bi])))
+    return rows
+
+
 def knn_referrer(flat_ds):
     """(doc_id, offset, parent_offset, cell_dist) per matched media span."""
     slim = flat_ds.select_columns(["doc_id", "offset", "kind", "lat", "lng"])
 
     def per_doc(df: pd.DataFrame) -> pd.DataFrame:
-        lat = df["lat"].to_numpy()
-        lng = df["lng"].to_numpy()
-        ix, iy = geo.cell_xy(lat, lng, KNN_RES)
-        isq = df["kind"].isin(QUERY_KINDS).to_numpy()
-        isc = (df["kind"] == "document").to_numpy()
-        if not isq.any() or not isc.any():
-            return pd.DataFrame(
-                columns=["doc_id", "offset", "parent_offset", "cell_dist"]
-            ).astype({"offset": "int64", "parent_offset": "int64", "cell_dist": "int64"})
-        qi = np.where(isq)[0]
-        ci = np.where(isc)[0]
-        # ring filter: Chebyshev cell distance with lng wraparound
-        dist = geo.chebyshev_cell_distance(
-            ix[qi][:, None], iy[qi][:, None], ix[ci][None, :], iy[ci][None, :], KNN_RES
-        )
-        ok = dist <= KNN_RING
-        d2 = (lat[qi][:, None] - lat[ci][None, :]) ** 2 + (lng[qi][:, None] - lng[ci][None, :]) ** 2
-        offs = df["offset"].to_numpy()
-        rows = []
-        cand_off = offs[ci]
-        order = np.argsort(cand_off, kind="stable")
-        for row in range(len(qi)):
-            mask = ok[row]
-            if not mask.any():
-                continue
-            dd = np.where(mask, d2[row], np.inf)
-            # argmin with offset tie-break: among min distance, smallest offset
-            m = dd.min()
-            best = cand_off[(dd == m)].min()
-            bi = np.flatnonzero(cand_off == best)[0]
-            rows.append(
-                (df["doc_id"].iloc[0], int(offs[qi[row]]), int(best), int(dist[row][bi]))
-            )
+        rows = _knn_doc(df["doc_id"].iloc[0], df["offset"].to_numpy(),
+                        df["kind"].to_numpy(), df["lat"].to_numpy(),
+                        df["lng"].to_numpy())
         out = pd.DataFrame(rows, columns=["doc_id", "offset", "parent_offset", "cell_dist"])
+        if out.empty:
+            out = out.astype({"offset": "int64", "parent_offset": "int64",
+                              "cell_dist": "int64"})
         return out
 
     return slim.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
+
+
+def knn_referrer_interleaved(interleaved_ds, batch_size: int = 64):
+    """Shuffle-free kNN referrer: per-doc spatial join computed straight on
+    the doc-grouped interleaved rows."""
+    from ..functions import parse
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        spans_col = batch["spans"].to_pylist()
+        out = {"doc_id": [], "offset": [], "parent_offset": [], "cell_dist": []}
+        for did, spans in zip(ids, spans_col):
+            offs = np.array([s["offset"] for s in spans], dtype=np.int64)
+            kinds = np.array([s["kind"] for s in spans])
+            geos = [parse.parse_geo(s["text"]) for s in spans]
+            lat = np.array([g[0] for g in geos])
+            lng = np.array([g[1] for g in geos])
+            for d, o, p, c in _knn_doc(did, offs, kinds, lat, lng):
+                out["doc_id"].append(d)
+                out["offset"].append(o)
+                out["parent_offset"].append(p)
+                out["cell_dist"].append(c)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.string()),
+            "offset": pa.array(out["offset"], pa.int64()),
+            "parent_offset": pa.array(out["parent_offset"], pa.int64()),
+            "cell_dist": pa.array(out["cell_dist"], pa.int64()),
+        })
+
+    return interleaved_ds.map_batches(per_batch, batch_format="pyarrow",
+                                      batch_size=batch_size)
 
 
 # --------------------------------------------------- host boundary boxes

@@ -19,6 +19,7 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from .. import geo
+from ..util import pre_shuffle_coalesce
 
 DEFAULT_RES = 8
 
@@ -92,9 +93,10 @@ def tile_rollup(flat_ds, res: int = DEFAULT_RES):
             }
         )
 
-    # single shuffle over pre-combined partials; groups are whole cells so
-    # the count_distincts are exact.
-    return partials.groupby("cell_id").map_groups(finalize, batch_format="pyarrow")
+    # single shuffle over pre-combined partials (coalesced to cluster-width
+    # blocks first); groups are whole cells so the count_distincts are exact.
+    return pre_shuffle_coalesce(partials).groupby("cell_id").map_groups(
+        finalize, batch_format="pyarrow")
 
 
 def tile_vectorize(flat_ds, res: int = DEFAULT_RES):
@@ -106,7 +108,8 @@ def tile_vectorize(flat_ds, res: int = DEFAULT_RES):
     enc = flat_ds.map_batches(
         lambda b: _cell_count_partial(b, res), batch_format="pyarrow"
     )
-    agg = enc.groupby("cell_id").aggregate(Sum("partial_n", alias_name="n_spans"))
+    agg = pre_shuffle_coalesce(enc).groupby("cell_id").aggregate(
+        Sum("partial_n", alias_name="n_spans"))
 
     def corners(t: pa.Table) -> pa.Table:
         cid = t["cell_id"].to_numpy(zero_copy_only=False).astype(np.int64)

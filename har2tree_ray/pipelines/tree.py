@@ -310,7 +310,9 @@ def tree_stats(edges_ds):
         )
         return agg.reset_index()
 
-    partials = edges_ds.map_batches(partial, batch_format="pandas")
+    from ..util import pre_shuffle_coalesce
+
+    partials = pre_shuffle_coalesce(edges_ds.map_batches(partial, batch_format="pandas"))
     agg = partials.groupby("doc_id").aggregate(
         Sum("n", alias_name="n_nodes"),
         Max("d", alias_name="tree_depth"),

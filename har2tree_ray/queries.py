@@ -121,7 +121,7 @@ def q_landing(sf_dir: str):
 
 
 def q_host_rollup(sf_dir: str):
-    return hosttree.host_rollup(flat_spans(read_interleaved(sf_dir)))
+    return hosttree.host_rollup_interleaved(read_interleaved(sf_dir))
 
 
 def q_cookie_events(sf_dir: str):
@@ -129,11 +129,11 @@ def q_cookie_events(sf_dir: str):
 
 
 def q_cookie_asof(sf_dir: str):
-    return cookies.cookie_asof(flat_spans(read_interleaved(sf_dir)))
+    return cookies.cookie_asof_interleaved(read_interleaved(sf_dir))
 
 
 def q_knn_referrer(sf_dir: str):
-    return spatial.knn_referrer(flat_spans(read_interleaved(sf_dir), drop_text=True))
+    return spatial.knn_referrer_interleaved(read_interleaved(sf_dir))
 
 
 def q_pip_media_in_host(sf_dir: str):

@@ -53,8 +53,11 @@ def span_hash_groups(flat_ds, min_count: int = 2):
         g = t.group_by("body_hash").aggregate([("body_hash", "count")])
         return g.rename_columns(["body_hash", "part_n"])
 
-    counts = slim.map_batches(pre_count, batch_format="pyarrow").groupby(
-        "body_hash").aggregate(Sum("part_n", alias_name="n_spans"))
+    from ..util import pre_shuffle_coalesce
+
+    counts = pre_shuffle_coalesce(
+        slim.map_batches(pre_count, batch_format="pyarrow")
+    ).groupby("body_hash").aggregate(Sum("part_n", alias_name="n_spans"))
     dup = counts.map_batches(
         lambda t: t.filter(pc.greater_equal(t["n_spans"], min_count)),
         batch_format="pyarrow").to_pandas()

@@ -25,3 +25,28 @@ SQL_CHECKED = [
 @pytest.mark.parametrize("name", SQL_CHECKED)
 def test_oracle_parity(name):
     assert_matches_oracle(name, "/root/testdata/sf0.001")
+
+
+def test_fast_paths_match_shuffle_paths():
+    """Zero-shuffle interleaved implementations must equal the general
+    flat+groupby implementations row-for-row."""
+    import pandas as pd
+
+    from har2tree_ray.pipelines import cookies, hosttree, spatial
+    from har2tree_ray.sources.interleaved import read_interleaved
+    from har2tree_ray.stages.normalize import flat_spans
+    from tests.oracle_utils import canon, to_pandas
+
+    sf = "/root/testdata/sf0.001"
+    inter = read_interleaved(sf)
+    flat = flat_spans(read_interleaved(sf))
+    pairs = [
+        (hosttree.host_rollup_interleaved(inter), hosttree.host_rollup(flat)),
+        (cookies.cookie_asof_interleaved(inter),
+         cookies.cookie_asof(flat_spans(read_interleaved(sf)))),
+        (spatial.knn_referrer_interleaved(inter),
+         spatial.knn_referrer(flat_spans(read_interleaved(sf), drop_text=True))),
+    ]
+    for fast, slow in pairs:
+        pd.testing.assert_frame_equal(
+            canon(to_pandas(fast)), canon(to_pandas(slow)), check_dtype=False)
