@@ -187,26 +187,46 @@ class CoveringIndex:
         lng = t["lng"].to_numpy(zero_copy_only=False)
         ix, iy = geo.cell_xy(lat, lng, COVER_RES)
         cells = geo.cell_id(ix, iy, COVER_RES)
-        doc = t["doc_id"].to_pylist()
+        doc = np.asarray(t["doc_id"].to_pylist(), dtype=object)
         offs = t["offset"].to_numpy(zero_copy_only=False)
-        out_doc, out_off, out_host = [], [], []
-        for i in range(len(lat)):
-            cand = self.cover.get(int(cells[i]))
+        # vectorized per covering cell: the batch's rows group into a handful
+        # of distinct cells; each cell tests all its rows against all its
+        # candidate boxes in one (rows × boxes) broadcast — no per-row loop
+        out_doc: list[np.ndarray] = []
+        out_off: list[np.ndarray] = []
+        out_host: list[np.ndarray] = []
+        order = np.argsort(cells, kind="stable")
+        sorted_cells = cells[order]
+        starts = np.flatnonzero(np.r_[True, sorted_cells[1:] != sorted_cells[:-1]])
+        bounds = np.r_[starts, len(sorted_cells)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            cand = self.cover.get(int(sorted_cells[s]))
             if cand is None:
                 continue
+            rows = order[s:e]
             hit = (
-                (lat[i] >= self.min_lat[cand]) & (lat[i] <= self.max_lat[cand])
-                & (lng[i] >= self.min_lng[cand]) & (lng[i] <= self.max_lng[cand])
+                (lat[rows][:, None] >= self.min_lat[cand][None, :])
+                & (lat[rows][:, None] <= self.max_lat[cand][None, :])
+                & (lng[rows][:, None] >= self.min_lng[cand][None, :])
+                & (lng[rows][:, None] <= self.max_lng[cand][None, :])
             )
-            for b in cand[hit]:
-                out_doc.append(doc[i])
-                out_off.append(int(offs[i]))
-                out_host.append(self.hostnames[b])
+            ri, bi = np.nonzero(hit)
+            out_doc.append(doc[rows[ri]])
+            out_off.append(offs[rows[ri]])
+            out_host.append(self.hostnames[cand[bi]])
+        if out_doc:
+            docs = np.concatenate(out_doc)
+            offsets = np.concatenate(out_off)
+            hosts = np.concatenate(out_host)
+        else:
+            docs = np.array([], dtype=object)
+            offsets = np.array([], dtype=np.int64)
+            hosts = np.array([], dtype=object)
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.string()),
-                "offset": pa.array(out_off, pa.int32()),
-                "box_hostname": pa.array(out_host, pa.string()),
+                "doc_id": pa.array(docs, pa.string()),
+                "offset": pa.array(offsets.astype(np.int32), pa.int32()),
+                "box_hostname": pa.array(hosts, pa.string()),
             }
         )
 

@@ -55,20 +55,16 @@ def fake_media_meta(media_ref: str) -> dict:
 
 
 def synth_payload(media_ref: str) -> bytes:
-    """Opaque binary payload: parseable header + blake2b keystream body."""
+    """Opaque binary payload: parseable header + seeded pseudo-random body
+    (seed from the ref's md5 — deterministic, one C call per payload)."""
     m = fake_media_meta(media_ref)
     header = (MAGIC
               + m["width"].to_bytes(2, "big") + m["height"].to_bytes(2, "big")
               + m["n_frames"].to_bytes(2, "big"))
     body_len = m["n_bytes"] - len(header)
-    stream = bytearray()
-    counter = 0
-    seed = media_ref.encode("utf-8")
-    while len(stream) < body_len:
-        stream += hashlib.blake2b(seed + counter.to_bytes(4, "big"),
-                                  digest_size=64).digest()
-        counter += 1
-    return bytes(header + stream[:body_len])
+    seed = int.from_bytes(hashlib.md5(media_ref.encode("utf-8")).digest()[:4], "big")
+    body = np.random.RandomState(seed).bytes(body_len)
+    return header + body
 
 
 def media_features_sql(flat_path: str) -> str:
