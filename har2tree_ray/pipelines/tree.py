@@ -297,22 +297,27 @@ def tree_stats(edges_ds):
     (doc, batch) instead)."""
     from ray.data.aggregate import Max, Sum
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        rule = df["attach_rule"]
-        agg = df.assign(
-            is_redirect=(rule == "redirect").astype("int64"),
-            is_external=rule.str.startswith("external_").astype("int64"),
-            is_fallback=rule.str.startswith("fallback_").astype("int64"),
-        ).groupby("doc_id", sort=False).agg(
-            n=("doc_id", "size"), d=("depth", "max"),
-            r=("is_redirect", "sum"), e=("is_external", "sum"),
-            f=("is_fallback", "sum"),
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        rule = t["attach_rule"]
+        sel = pa.table({
+            "doc_id": t["doc_id"],
+            "depth": t["depth"],
+            "is_redirect": pc.cast(pc.equal(rule, "redirect"), pa.int64()),
+            "is_external": pc.cast(pc.starts_with(rule, "external_"), pa.int64()),
+            "is_fallback": pc.cast(pc.starts_with(rule, "fallback_"), pa.int64()),
+        })
+        g = sel.group_by("doc_id").aggregate(
+            [("doc_id", "count"), ("depth", "max"), ("is_redirect", "sum"),
+             ("is_external", "sum"), ("is_fallback", "sum")]
         )
-        return agg.reset_index()
+        return g.rename_columns(["doc_id", "n", "d", "r", "e", "f"])
 
     from ..util import pre_shuffle_coalesce
 
-    partials = pre_shuffle_coalesce(edges_ds.map_batches(partial, batch_format="pandas"))
+    partials = pre_shuffle_coalesce(edges_ds.map_batches(partial, batch_format="pyarrow"))
     agg = partials.groupby("doc_id").aggregate(
         Sum("n", alias_name="n_nodes"),
         Max("d", alias_name="tree_depth"),

@@ -158,7 +158,7 @@ def q_host_edges(sf_dir: str):
 
 
 def q_graft_edges(sf_dir: str):
-    return graft.graft_edges(_parsed_light(sf_dir))
+    return graft.graft_edges_interleaved(read_interleaved(sf_dir))
 
 
 # ------------------------------------------- documents / embeddings tables

@@ -50,3 +50,17 @@ def test_fast_paths_match_shuffle_paths():
     for fast, slow in pairs:
         pd.testing.assert_frame_equal(
             canon(to_pandas(fast)), canon(to_pandas(slow)), check_dtype=False)
+
+
+def test_graft_fast_path_matches_shuffle_path():
+    import pandas as pd
+
+    from har2tree_ray.pipelines import graft
+    from har2tree_ray.queries import _parsed_light
+    from har2tree_ray.sources.interleaved import read_interleaved
+    from tests.oracle_utils import canon, to_pandas
+
+    sf = "/root/testdata/sf0.001"
+    fast = canon(to_pandas(graft.graft_edges_interleaved(read_interleaved(sf))))
+    slow = canon(to_pandas(graft.graft_edges(_parsed_light(sf))))
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
