@@ -98,3 +98,44 @@ def parse_span_features(text: str) -> dict:
         "cookies_sent": [f"{n}={v}" for n, v in RE_COOKIE.findall(text)]
         if "@cookie=" in text else [],
     }
+
+
+# ---------------------------------------------------------- POST-body decode
+
+def decode_posted_data(mimetype: str, payload: "str | bytes"):
+    """Mime-routed POST-body decode dispatch — the recast of the reference's
+    biggest per-record parser (M12, /root/reference/har2tree/nodes.py:260-498):
+    base64 repair → form-urlencoded → JSON family → text → pass-through.
+
+    Formats whose parsers aren't in this container (amazon-ion, protobuf,
+    dns-wire — nodes.py:384-441) fall through to the raw-bytes branch, like
+    the reference's final fallback (nodes.py:470-498).  Returns a
+    JSON-serializable value (the engine stores it as a JSON string column —
+    the dynamic ``posted_data`` union of SURVEY §2 hard-part (4))."""
+    import json as _json
+    from urllib.parse import parse_qsl
+
+    if isinstance(payload, str) and mimetype and "base64" in mimetype:
+        raw = repair_b64(payload)
+        if raw:
+            payload = raw
+    if isinstance(payload, bytes):
+        try:
+            payload = payload.decode("utf-8")
+        except UnicodeDecodeError:
+            return {"_raw_b64": base64.b64encode(payload).decode()}
+    mt = (mimetype or "").lower()
+    if "form-urlencoded" in mt:
+        return dict(parse_qsl(payload, keep_blank_values=True))
+    if "json" in mt or mt.endswith("+json"):
+        try:
+            return _json.loads(payload)
+        except ValueError:
+            return payload
+    if mt.startswith("text/") or not mt:
+        # reference tries JSON even for text bodies (nodes.py:466-468)
+        try:
+            return _json.loads(payload)
+        except ValueError:
+            return payload
+    return payload

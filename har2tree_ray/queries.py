@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from .sources.interleaved import read_interleaved, read_table
 from .stages import dedup, embed, media, text
-from .stages.normalize import flat_spans
+from .stages.normalize import explode_spans, flat_spans
 from .stages.parser import parse_spans
 from .pipelines import (cookies, events, graft, hosttree, relational, render,
                         spatial, stats, tiling, tree, webmeta)
@@ -87,19 +87,23 @@ def q_kind_rollup(sf_dir: str):
 
 
 def q_span_dedup(sf_dir: str):
-    return dedup.span_hash_groups(flat_spans(read_interleaved(sf_dir)))
+    return dedup.span_hash_groups(explode_spans(
+        read_interleaved(sf_dir), ["body_hash", "doc_id", "media_ref"]))
 
 
 def q_tile_assign(sf_dir: str):
-    return tiling.tile_assign(flat_spans(read_interleaved(sf_dir), drop_text=True), RES)
+    return tiling.tile_assign(explode_spans(
+        read_interleaved(sf_dir), ["doc_id", "offset", "lat", "lng"]), RES)
 
 
 def q_tile_rollup(sf_dir: str):
-    return tiling.tile_rollup(flat_spans(read_interleaved(sf_dir), drop_text=True), RES)
+    return tiling.tile_rollup(explode_spans(
+        read_interleaved(sf_dir), ["doc_id", "hostname", "lat", "lng"]), RES)
 
 
 def q_tile_vectorize(sf_dir: str):
-    return tiling.tile_vectorize(flat_spans(read_interleaved(sf_dir), drop_text=True), RES)
+    return tiling.tile_vectorize(explode_spans(
+        read_interleaved(sf_dir), ["lat", "lng"]), RES)
 
 
 def _parsed(sf_dir: str):
@@ -125,7 +129,8 @@ def q_host_rollup(sf_dir: str):
 
 
 def q_cookie_events(sf_dir: str):
-    return cookies.cookie_events(flat_spans(read_interleaved(sf_dir)))
+    return cookies.cookie_events(explode_spans(
+        read_interleaved(sf_dir), ["doc_id", "offset", "text", "hostname"]))
 
 
 def q_cookie_asof(sf_dir: str):
@@ -137,7 +142,9 @@ def q_knn_referrer(sf_dir: str):
 
 
 def q_pip_media_in_host(sf_dir: str):
-    return spatial.pip_media_in_host(flat_spans(read_interleaved(sf_dir), drop_text=True))
+    return spatial.pip_media_in_host(explode_spans(
+        read_interleaved(sf_dir),
+        ["doc_id", "offset", "kind", "hostname", "lat", "lng"]))
 
 
 def _edges(sf_dir: str):
@@ -206,7 +213,8 @@ def q_host_tree_json(sf_dir: str):
 
 
 def q_span_hhhash(sf_dir: str):
-    return webmeta.span_hhhash(flat_spans(read_interleaved(sf_dir)))
+    return webmeta.span_hhhash(explode_spans(
+        read_interleaved(sf_dir), ["doc_id", "offset", "text"]))
 
 
 def q_doc_domhash(sf_dir: str):
@@ -214,15 +222,17 @@ def q_doc_domhash(sf_dir: str):
 
 
 def q_host_tld(sf_dir: str):
-    return webmeta.host_tld(flat_spans(read_interleaved(sf_dir), drop_text=True))
+    return webmeta.host_tld(explode_spans(read_interleaved(sf_dir), ["hostname"]))
 
 
 def q_span_identifiers(sf_dir: str):
-    return webmeta.span_identifiers(flat_spans(read_interleaved(sf_dir)))
+    return webmeta.span_identifiers(explode_spans(
+        read_interleaved(sf_dir), ["doc_id", "offset", "text"]))
 
 
 def q_cookies_never_sent(sf_dir: str):
-    return webmeta.cookies_never_sent(flat_spans(read_interleaved(sf_dir)))
+    return webmeta.cookies_never_sent(explode_spans(
+        read_interleaved(sf_dir), ["doc_id", "offset", "text", "hostname"]))
 
 
 def q_orders_by_nation(sf_dir: str):
@@ -249,16 +259,21 @@ def q_event_props_rollup(sf_dir: str):
     return events.props_rollup(_events(sf_dir))
 
 
+def _media_slim(sf_dir: str):
+    return explode_spans(read_interleaved(sf_dir),
+                         ["doc_id", "offset", "media_ref", "kind"])
+
+
 def q_media_features(sf_dir: str):
-    return media.media_features(flat_spans(read_interleaved(sf_dir), drop_text=True))
+    return media.media_features(_media_slim(sf_dir))
 
 
 def q_media_frames(sf_dir: str):
-    return media.frame_sample(flat_spans(read_interleaved(sf_dir), drop_text=True))
+    return media.frame_sample(_media_slim(sf_dir))
 
 
 def q_media_payloads(sf_dir: str):
-    return media.media_payloads(flat_spans(read_interleaved(sf_dir), drop_text=True))
+    return media.media_payloads(_media_slim(sf_dir))
 
 
 def _embeds(sf_dir: str):
@@ -275,6 +290,10 @@ def q_embed_neardup_lsh(sf_dir: str):
 
 def q_ann_topk(sf_dir: str):
     return embed.ann_topk(_embeds(sf_dir))
+
+
+def q_ann_topk_ivf(sf_dir: str):
+    return embed.ann_topk_ivf(_embeds(sf_dir))
 
 
 # -------------------------------------------------------------- oracle SQL
@@ -598,6 +617,7 @@ def queries() -> dict[str, Callable]:
         "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,  # approximate — rows-only
         "ann_topk": q_ann_topk,
+        "ann_topk_ivf": q_ann_topk_ivf,            # approximate — rows-only
         # web-artifact metadata (M13/M28/M29/M30/D4 parity ops)
         "span_hhhash": q_span_hhhash,
         "doc_domhash": q_doc_domhash,

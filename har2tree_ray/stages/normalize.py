@@ -91,3 +91,61 @@ def flat_spans(interleaved_ds, drop_text: bool = False):
     if drop_text:
         ds = ds.drop_columns(["text"])
     return ds
+
+
+_HOST_RE = r"^https?://(?P<host>[^/?#]+)"
+
+
+def _flat_base(batch: pa.Table) -> pa.Table:
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    parent_idx = pc.list_parent_indices(spans)
+    doc_id = pc.take(batch.column("doc_id"), parent_idx)
+    flat = pc.list_flatten(spans)
+    return pa.table({
+        "doc_id": doc_id,
+        "offset": pc.struct_field(flat, "offset"),
+        "kind": pc.struct_field(flat, "kind"),
+        "media_ref": pc.struct_field(flat, "media_ref"),
+        "text": pc.struct_field(flat, "text"),
+    })
+
+
+def explode_spans(interleaved_ds, columns: list[str]):
+    """Column-pruned span explode — the cheap sibling of ``flat_spans`` for
+    pipelines that need only a couple of derived fields.  The flatten and
+    the ``hostname`` derivation are pure Arrow kernels (zero Python rows);
+    ``lat``/``lng``/``body_hash`` run their scalar UDF only when requested.
+
+    Supported columns: doc_id, offset, kind, media_ref, text, hostname,
+    lat, lng, body_hash.
+    """
+    want = set(columns)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        base = _flat_base(batch)
+        out: dict[str, pa.Array | pa.ChunkedArray] = {}
+        for c in ("doc_id", "offset", "kind", "media_ref", "text"):
+            if c in want:
+                out[c] = base[c]
+        if "hostname" in want:
+            # same definition the oracle uses (and urlparse agrees with on
+            # http(s) URLs): netloc of an http(s) ref, else ''
+            m = pc.extract_regex(base["media_ref"], _HOST_RE)
+            out["hostname"] = pc.fill_null(pc.struct_field(m, "host"), "")
+        if "lat" in want or "lng" in want:
+            texts = base["text"].to_pylist()
+            geos = [parse.parse_geo(t) for t in texts]
+            if "lat" in want:
+                out["lat"] = pa.array([g[0] for g in geos], pa.float64())
+            if "lng" in want:
+                out["lng"] = pa.array([g[1] for g in geos], pa.float64())
+        if "body_hash" in want:
+            texts = base["text"].to_pylist()
+            out["body_hash"] = pa.array(
+                [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts],
+                pa.string())
+        return pa.table({c: out[c] for c in columns})
+
+    return interleaved_ds.map_batches(per_batch, batch_format="pyarrow")

@@ -60,3 +60,21 @@ def test_ensure_interleaved_cached(tmp_path, monkeypatch):
     assert files
     n = sum(pq.read_metadata(f).num_rows for f in files)
     assert n >= 10
+
+
+def test_decode_posted_data_dispatch():
+    import base64
+
+    from har2tree_ray.functions.parse import decode_posted_data
+
+    assert decode_posted_data("application/x-www-form-urlencoded", "a=1&b=x%20y") == \
+        {"a": "1", "b": "x y"}
+    assert decode_posted_data("application/json", '{"k": [1, 2]}') == {"k": [1, 2]}
+    assert decode_posted_data("application/csp-report+json", '{"x":1}') == {"x": 1}
+    # dirty-padding base64 repair (nodes.py:115-129)
+    b64 = base64.b64encode(b'{"z":9}').decode().rstrip("=")
+    assert decode_posted_data("application/json; base64", b64) == {"z": 9}
+    assert decode_posted_data("text/plain", "notjson") == "notjson"
+    assert decode_posted_data("text/plain", "[1,2]") == [1, 2]
+    out = decode_posted_data("application/octet-stream", b"\xff\xfe")
+    assert "_raw_b64" in out

@@ -107,3 +107,20 @@ def test_ann_topk_is_true_topk():
         want = ids[order].tolist()
         have = got[got["query_id"] == ids[qi]].sort_values("rank")["vec_id"].tolist()
         assert have == want, f"query {ids[qi]}: {have} != {want}"
+
+
+def test_ann_ivf_recall():
+    """IVF approximate top-k must recover most of the exact top-k."""
+    from har2tree_ray import queries as q
+    from har2tree_ray.stages.embed import ann_topk_ivf
+    from har2tree_ray.sources.interleaved import read_table
+
+    exact = to_pandas(q.q_ann_topk(SF))
+    approx = to_pandas(ann_topk_ivf(read_table(SF, "embeddings",
+                                               columns=["vec_id", "embedding"])))
+    recalls = []
+    for qid, g in exact.groupby("query_id"):
+        want = set(g["vec_id"])
+        have = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(want & have) / len(want))
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
