@@ -62,8 +62,7 @@ def synth_payload(media_ref: str) -> bytes:
               + m["width"].to_bytes(2, "big") + m["height"].to_bytes(2, "big")
               + m["n_frames"].to_bytes(2, "big"))
     body_len = m["n_bytes"] - len(header)
-    seed = int.from_bytes(hashlib.md5(media_ref.encode("utf-8")).digest()[:4], "big")
-    body = np.random.RandomState(seed).bytes(body_len)
+    body = hashlib.shake_256(media_ref.encode("utf-8")).digest(body_len)
     return header + body
 
 
