@@ -73,3 +73,60 @@ def kind_rollup(interleaved_ds):
         ),
         batch_format="pyarrow",
     )
+
+
+def capture_stats(interleaved_ds):
+    """Per-capture rollup (the CrawledTree analog of A1): docs, spans,
+    distinct hostnames.  Zero-shuffle per-doc partials (one row per doc,
+    hostnames as a deduped list) → tiny groupby(capture_id) merge —
+    captures hold ≤ a few docs, so group state is bounded."""
+    import pandas as pd
+    import pyarrow.compute as pc2
+
+    from ..stages.normalize import _flat_base, _HOST_RE
+
+    def per_doc_partial(batch: pa.Table) -> pa.Table:
+        base = _flat_base(batch)
+        m = pc2.extract_regex(base["media_ref"], _HOST_RE)
+        host = pc2.fill_null(pc2.struct_field(m, "host"), "")
+        t = pa.table({"doc_id": base["doc_id"], "hostname": host})
+        df = t.to_pandas()
+        g = df.groupby("doc_id", sort=False)["hostname"].agg(
+            n_spans="size", hosts=lambda s: sorted({h for h in s if h}))
+        g = g.reset_index()
+        g["capture_id"] = g["doc_id"].str.replace(r"\.\d+$", "", regex=True)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = interleaved_ds.map_batches(per_doc_partial, batch_format="pyarrow")
+
+    def per_capture(df: pd.DataFrame) -> pd.DataFrame:
+        hosts = set()
+        for hs in df["hosts"]:
+            hosts.update(hs)
+        return pd.DataFrame([{
+            "capture_id": df["capture_id"].iloc[0],
+            "n_docs": len(df),
+            "n_spans": int(df["n_spans"].sum()),
+            "n_hosts": len(hosts),
+        }])
+
+    return partials.groupby("capture_id").map_groups(per_capture, batch_format="pandas")
+
+
+def capture_stats_sql(flat_path: str) -> str:
+    return f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+), f AS (
+    SELECT regexp_replace(doc_id, '\\.\\d+$', '') AS capture_id, doc_id,
+           CASE WHEN regexp_matches(s.media_ref, '^https?://')
+                THEN regexp_extract(s.media_ref, '^https?://([^/?#]+)', 1)
+                ELSE '' END AS hostname
+    FROM ex
+)
+SELECT capture_id,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(COUNT(DISTINCT CASE WHEN hostname <> '' THEN hostname END) AS BIGINT) AS n_hosts
+FROM f GROUP BY capture_id
+"""

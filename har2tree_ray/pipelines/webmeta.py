@@ -246,3 +246,121 @@ WHERE NOT EXISTS (
     WHERE sd.doc_id = st.doc_id AND sd.name = st.name AND sd."offset" > st."offset"
 )
 """
+
+
+# ------------------------------------------------------ embedded data-URIs
+
+
+def embedded_blobs(flat_ds):
+    """Data-URI embedded resources (M19 unpacking, helper.py:85-127,236-250):
+    (doc_id, offset, mime, payload_b64, n_bytes) — one row per blob; decode
+    validity (base64 repair) is enforced engine-side, n_bytes is the decoded
+    length so the SQL oracle can cross-check it via from_base64."""
+    from ..functions import parse
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        offs = batch["offset"].to_pylist()
+        texts = batch["text"].to_pylist()
+        o = {"doc_id": [], "offset": [], "mime": [], "payload_b64": [], "n_bytes": []}
+        for d, off, t in zip(ids, offs, texts):
+            if ";base64," not in t:
+                continue
+            for mime, b64 in parse.RE_DATAURI.findall(t):
+                raw = parse.repair_b64(b64)
+                if not raw:
+                    continue
+                o["doc_id"].append(d)
+                o["offset"].append(off)
+                o["mime"].append(mime)
+                o["payload_b64"].append(b64)
+                o["n_bytes"].append(len(raw))
+        return pa.table({
+            "doc_id": pa.array(o["doc_id"], pa.string()),
+            "offset": pa.array(o["offset"], pa.int32()),
+            "mime": pa.array(o["mime"], pa.string()),
+            "payload_b64": pa.array(o["payload_b64"], pa.string()),
+            "n_bytes": pa.array(o["n_bytes"], pa.int64()),
+        })
+
+    return flat_ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def embedded_blobs_sql(flat_path: str) -> str:
+    rx = "data:([\\w/+.-]+);base64,([A-Za-z0-9+/=]+)"
+    return f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+), m AS (
+    SELECT doc_id, CAST(s."offset" AS INTEGER) AS "offset",
+           UNNEST(regexp_extract_all(s.text, '{rx}', 1)) AS mime,
+           UNNEST(regexp_extract_all(s.text, '{rx}', 2)) AS payload_b64
+    FROM ex
+)
+SELECT doc_id, "offset", mime, payload_b64,
+       CAST(octet_length(from_base64(payload_b64)) AS BIGINT) AS n_bytes
+FROM m
+"""
+
+
+# --------------------------------------------------- rendered-page URL list
+
+
+_URL_CHANNELS = (
+    ('src="([^"]+)"', "src"),
+    ('href="([^"]+)"', "href"),
+    (r"url\(([^)]+)\)", "cssurl"),
+    (r"location\.href='([^']+)'", "jsloc"),
+)
+
+
+def urls_in_doc(interleaved_ds, batch_size: int = 64):
+    """Sorted distinct http(s) URLs referenced anywhere in a document's
+    markup channels — the recast of ``urls_in_rendered_page`` (M31,
+    nodes.py:661-701) with the M20 cleanup (non-http and data: refs
+    dropped).  Zero-shuffle: per-doc on the interleaved rows."""
+    from ..functions import parse
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        spans_col = batch["spans"].to_pylist()
+        out_doc, out_url = [], []
+        for did, spans in zip(ids, spans_col):
+            found: set[str] = set()
+            for s in spans:
+                t = s["text"]
+                f = parse.parse_span_features(t)
+                for u in (f["ext_src"] + f["ext_href"] + f["ext_cssurl"]
+                          + f["jsloc_urls"]):
+                    u = u.strip(" '\"")  # same char-set trim as the oracle
+                    if u.startswith(("http://", "https://")):
+                        found.add(u)
+            for u in sorted(found):
+                out_doc.append(did)
+                out_url.append(u)
+        return pa.table({"doc_id": pa.array(out_doc, pa.string()),
+                         "url": pa.array(out_url, pa.string())})
+
+    return interleaved_ds.map_batches(per_batch, batch_format="pyarrow",
+                                      batch_size=batch_size)
+
+
+def urls_in_doc_sql(flat_path: str) -> str:
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT doc_id, UNNEST(regexp_extract_all(s.text, '{rx}', 1)) AS u
+    FROM ex""" for rx, _name in (
+            ('src="([^"]+)"', "src"),
+            ('href="([^"]+)"', "href"),
+            ('url\\(([^)]+)\\)', "cssurl"),
+            ("location\\.href=''([^'']+)''", "jsloc"),
+        ))
+    return f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+), raw AS (
+{unions}
+)
+SELECT DISTINCT doc_id, trim(u, ' ''\"') AS url
+FROM raw
+WHERE regexp_matches(trim(u, ' ''\"'), '^https?://')
+"""

@@ -235,6 +235,19 @@ def q_cookies_never_sent(sf_dir: str):
         read_interleaved(sf_dir), ["doc_id", "offset", "text", "hostname"]))
 
 
+def q_embedded_blobs(sf_dir: str):
+    return webmeta.embedded_blobs(explode_spans(
+        read_interleaved(sf_dir), ["doc_id", "offset", "text"]))
+
+
+def q_urls_in_doc(sf_dir: str):
+    return webmeta.urls_in_doc(read_interleaved(sf_dir))
+
+
+def q_capture_stats(sf_dir: str):
+    return stats.capture_stats(read_interleaved(sf_dir))
+
+
 def q_orders_by_nation(sf_dir: str):
     return relational.orders_by_nation(sf_dir)
 
@@ -579,6 +592,9 @@ _INTERLEAVED_ORACLES = {
     "host_tld": webmeta.host_tld_sql,
     "span_identifiers": webmeta.span_identifiers_sql,
     "cookies_never_sent": webmeta.cookies_never_sent_sql,
+    "embedded_blobs": webmeta.embedded_blobs_sql,
+    "urls_in_doc": webmeta.urls_in_doc_sql,
+    "capture_stats": stats.capture_stats_sql,
 }
 
 
@@ -624,6 +640,9 @@ def queries() -> dict[str, Callable]:
         "host_tld": q_host_tld,
         "span_identifiers": q_span_identifiers,
         "cookies_never_sent": q_cookies_never_sent,
+        "embedded_blobs": q_embedded_blobs,
+        "urls_in_doc": q_urls_in_doc,
+        "capture_stats": q_capture_stats,
         # broadcast hash join (small-side join pattern, no shuffle)
         "orders_by_nation": q_orders_by_nation,
         # event-stream operators (windowed / sessionize / as-of / JSON decode)

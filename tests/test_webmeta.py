@@ -86,3 +86,18 @@ def test_host_tree_json_roundtrip():
         # deterministic output
         assert row["json"] == json.dumps(json.loads(row["json"]),
                                          sort_keys=True, separators=(",", ":"))
+
+
+@pytest.mark.parametrize("name", ["embedded_blobs", "urls_in_doc", "capture_stats"])
+def test_oracle_parity_extras(name):
+    assert_matches_oracle(name, SF)
+
+
+def test_embedded_blob_roundtrip():
+    from har2tree_ray.functions.parse import repair_b64
+    from har2tree_ray import queries as q
+
+    df = to_pandas(q.q_embedded_blobs(SF))
+    assert len(df) > 0
+    for b64, n in zip(df["payload_b64"].head(50), df["n_bytes"].head(50)):
+        assert len(repair_b64(b64)) == n
