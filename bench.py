@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     "host_tld",
     "host_tree_json",
     "orders_by_nation",
+    "capture_stats",
+    "urls_in_doc",
+    "embedded_blobs",
+    "ann_topk_ivf",
 ]
 
 
