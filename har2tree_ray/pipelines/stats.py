@@ -130,3 +130,84 @@ SELECT capture_id,
        CAST(COUNT(DISTINCT CASE WHEN hostname <> '' THEN hostname END) AS BIGINT) AS n_hosts
 FROM f GROUP BY capture_id
 """
+
+
+def doc_sample(interleaved_ds, pct: int = 10):
+    """Deterministic hash-based document sample (engine addition — the
+    reference has no sampling, SURVEY §2.6): keep docs whose md5(doc_id)
+    bucket < pct.  Content-addressed, so the sample is stable across runs
+    and partitionings and the SQL oracle reproduces it exactly."""
+    import hashlib
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        keep = [
+            (int(hashlib.md5(d.encode()).hexdigest()[:8], 16) % 100) < pct
+            for d in ids
+        ]
+        return batch.filter(pa.array(keep)).select(["doc_id"])
+
+    return interleaved_ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def doc_sample_sql(flat_path: str, pct: int = 10) -> str:
+    # md5 hex → int via per-nibble ascii arithmetic (DuckDB lacks strtol);
+    # ascii('0'..'9')=48..57, ascii('a'..'f')=97..102 → value = a - 48 - 39*(a>=97)
+    nib = ("CAST(ascii(substr(h, {i}, 1)) - 48 - 39 * "
+           "CAST(ascii(substr(h, {i}, 1)) >= 97 AS INTEGER) AS BIGINT)")
+    expr = " + ".join(
+        f"{nib.format(i=i)} * CAST({16 ** (8 - i)} AS BIGINT)" for i in range(1, 9))
+    return f"""
+WITH d AS (
+    SELECT DISTINCT doc_id, md5(doc_id) AS h
+    FROM read_parquet('{flat_path}/*.parquet')
+)
+SELECT doc_id FROM d WHERE ({expr}) % 100 < {pct}
+"""
+
+
+def top_hosts(interleaved_ds, k: int = 10):
+    """Global top-k hostnames by span count — partial counts per batch →
+    tiny groupby merge → driver-side sort of the (bounded) host table.
+    Ties broken by hostname ascending (deterministic)."""
+    import pyarrow.compute as pc2
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.normalize import _HOST_RE, _flat_base
+
+    def partial(batch: pa.Table) -> pa.Table:
+        base = _flat_base(batch)
+        m = pc2.extract_regex(base["media_ref"], _HOST_RE)
+        host = pc2.fill_null(pc2.struct_field(m, "host"), "")
+        t = pa.table({"hostname": host})
+        t = t.filter(pc2.not_equal(t["hostname"], ""))
+        g = t.group_by("hostname").aggregate([("hostname", "count")])
+        return g.rename_columns(["hostname", "part_n"])
+
+    agg = (interleaved_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("hostname").aggregate(Sum("part_n", alias_name="n_spans")))
+    df = agg.to_pandas()  # bounded: one row per distinct hostname
+    df = df.sort_values(["n_spans", "hostname"], ascending=[False, True],
+                        kind="mergesort").head(k).reset_index(drop=True)
+    df["rank"] = range(1, len(df) + 1)
+    df["n_spans"] = df["n_spans"].astype("int64")
+    return pa.Table.from_pandas(df[["rank", "hostname", "n_spans"]],
+                                preserve_index=False)
+
+
+def top_hosts_sql(flat_path: str, k: int = 10) -> str:
+    return f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+), h AS (
+    SELECT regexp_extract(s.media_ref, '^https?://([^/?#]+)', 1) AS hostname
+    FROM ex WHERE regexp_matches(s.media_ref, '^https?://')
+), c AS (
+    SELECT hostname, CAST(COUNT(*) AS BIGINT) AS n_spans
+    FROM h GROUP BY hostname
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_spans DESC, hostname) AS BIGINT) AS rank,
+       hostname, n_spans
+FROM c ORDER BY n_spans DESC, hostname LIMIT {k}
+"""

@@ -248,6 +248,14 @@ def q_capture_stats(sf_dir: str):
     return stats.capture_stats(read_interleaved(sf_dir))
 
 
+def q_doc_sample(sf_dir: str):
+    return stats.doc_sample(read_interleaved(sf_dir, columns=["doc_id"]))
+
+
+def q_top_hosts(sf_dir: str):
+    return stats.top_hosts(read_interleaved(sf_dir))
+
+
 def q_orders_by_nation(sf_dir: str):
     return relational.orders_by_nation(sf_dir)
 
@@ -595,6 +603,8 @@ _INTERLEAVED_ORACLES = {
     "embedded_blobs": webmeta.embedded_blobs_sql,
     "urls_in_doc": webmeta.urls_in_doc_sql,
     "capture_stats": stats.capture_stats_sql,
+    "doc_sample": stats.doc_sample_sql,
+    "top_hosts": stats.top_hosts_sql,
 }
 
 
@@ -643,6 +653,8 @@ def queries() -> dict[str, Callable]:
         "embedded_blobs": q_embedded_blobs,
         "urls_in_doc": q_urls_in_doc,
         "capture_stats": q_capture_stats,
+        "doc_sample": q_doc_sample,
+        "top_hosts": q_top_hosts,
         # broadcast hash join (small-side join pattern, no shuffle)
         "orders_by_nation": q_orders_by_nation,
         # event-stream operators (windowed / sessionize / as-of / JSON decode)

@@ -64,3 +64,10 @@ def test_graft_fast_path_matches_shuffle_path():
     fast = canon(to_pandas(graft.graft_edges_interleaved(read_interleaved(sf))))
     slow = canon(to_pandas(graft.graft_edges(_parsed_light(sf))))
     pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+
+
+def test_sampling_and_topk_oracle_parity():
+    from tests.oracle_utils import assert_matches_oracle
+
+    assert_matches_oracle("doc_sample", "/root/testdata/sf0.001")
+    assert_matches_oracle("top_hosts", "/root/testdata/sf0.001")
