@@ -136,7 +136,10 @@ def host_boxes(flat_ds) -> pd.DataFrame:
         )
         return g.rename_columns(["hostname", "lat_min", "lat_max", "lng_min", "lng_max"])
 
-    partials = flat_ds.map_batches(partial, batch_format="pyarrow")
+    from ..util import pre_shuffle_coalesce
+
+    partials = pre_shuffle_coalesce(
+        flat_ds.map_batches(partial, batch_format="pyarrow"))
     agg = partials.groupby("hostname").aggregate(
         Min("lat_min", alias_name="min_lat"),
         Max("lat_max", alias_name="max_lat"),
@@ -236,6 +239,9 @@ def pip_media_in_host(flat_ds, concurrency: int | tuple[int, int] | None = None)
     boundary box (cross-host membership included)."""
     from ..stages.parser import default_pool_size
 
+    # the slim projection feeds BOTH passes (boundary aggregation, covering
+    # probe) — materialize it once instead of re-executing the explode
+    flat_ds = flat_ds.materialize()
     boxes = host_boxes(flat_ds)
     ref = ray.put(boxes)
     slim = flat_ds.select_columns(["doc_id", "offset", "kind", "lat", "lng"])

@@ -135,12 +135,16 @@ def explode_spans(interleaved_ds, columns: list[str]):
             m = pc.extract_regex(base["media_ref"], _HOST_RE)
             out["hostname"] = pc.fill_null(pc.struct_field(m, "host"), "")
         if "lat" in want or "lng" in want:
-            texts = base["text"].to_pylist()
-            geos = [parse.parse_geo(t) for t in texts]
+            # vectorized: Arrow C++ regex + cast, no Python row loop.  The
+            # cast parses decimal text to the same IEEE double as float().
+            m = pc.extract_regex(base["text"],
+                                 r"@geo=(?P<glat>-?\d+\.\d+),(?P<glng>-?\d+\.\d+)")
             if "lat" in want:
-                out["lat"] = pa.array([g[0] for g in geos], pa.float64())
+                out["lat"] = pc.fill_null(
+                    pc.cast(pc.struct_field(m, "glat"), pa.float64()), 0.0)
             if "lng" in want:
-                out["lng"] = pa.array([g[1] for g in geos], pa.float64())
+                out["lng"] = pc.fill_null(
+                    pc.cast(pc.struct_field(m, "glng"), pa.float64()), 0.0)
         if "body_hash" in want:
             texts = base["text"].to_pylist()
             out["body_hash"] = pa.array(
