@@ -97,10 +97,13 @@ def host_tld(flat_ds):
         g = t.group_by("hostname").aggregate([("hostname", "count")])
         return g.select(["hostname"])
 
+    from ..util import pre_shuffle_coalesce
+
     # batch-local distinct first: only unique hostnames per block reach the
     # shuffle (a groupby over raw span rows would move every row)
-    hosts = (flat_ds.select_columns(["hostname"])
-             .map_batches(local_distinct, batch_format="pyarrow")
+    hosts = (pre_shuffle_coalesce(
+                flat_ds.select_columns(["hostname"])
+                .map_batches(local_distinct, batch_format="pyarrow"))
              .groupby("hostname").aggregate(Count(alias_name="_n"))
              .map_batches(lambda t: t.select(["hostname"]), batch_format="pyarrow"))
 

@@ -49,24 +49,33 @@ def span_hash_groups(flat_ds, min_count: int = 2):
     # narrow columns, a small fraction of the input bytes
     slim = flat_ds.select_columns(["body_hash", "doc_id", "media_ref"]).materialize()
 
+    def _prefix64(t: pa.Table) -> pa.Array:
+        # int64 key for the COUNT shuffle: sorting 8-byte ints is far
+        # cheaper than 64-char hex strings; a prefix collision can only ADD
+        # a false dup candidate (filtered exactly in phase 2), never lose one
+        return pa.array(
+            [int(h[:15], 16) for h in t["body_hash"].to_pylist()], pa.int64())
+
     def pre_count(t: pa.Table) -> pa.Table:
-        g = t.group_by("body_hash").aggregate([("body_hash", "count")])
-        return g.rename_columns(["body_hash", "part_n"])
+        k = pa.table({"hkey": _prefix64(t)})
+        g = k.group_by("hkey").aggregate([("hkey", "count")])
+        return g.rename_columns(["hkey", "part_n"])
 
     from ..util import pre_shuffle_coalesce
 
     counts = pre_shuffle_coalesce(
         slim.map_batches(pre_count, batch_format="pyarrow")
-    ).groupby("body_hash").aggregate(Sum("part_n", alias_name="n_spans"))
+    ).groupby("hkey").aggregate(Sum("part_n", alias_name="n_spans"))
     dup = counts.map_batches(
         lambda t: t.filter(pc.greater_equal(t["n_spans"], min_count)),
         batch_format="pyarrow").to_pandas()
-    dup_set = set(dup["body_hash"])
+    dup_set = set(dup["hkey"])
     ref = ray.put(dup_set)
 
     def only_dups(t: pa.Table) -> pa.Table:
         keep = ray.get(ref)
-        mask = pa.array([h in keep for h in t["body_hash"].to_pylist()])
+        mask = pa.array([int(h[:15], 16) in keep
+                         for h in t["body_hash"].to_pylist()])
         return t.filter(mask)
 
     dup_rows = slim.map_batches(only_dups, batch_format="pyarrow")
@@ -76,6 +85,8 @@ def span_hash_groups(flat_ds, min_count: int = 2):
             [("doc_id", "count"), ("doc_id", "count_distinct"), ("media_ref", "count_distinct")]
         )
         g = g.rename_columns(["body_hash", "n_spans", "n_docs", "n_urls"])
+        # exact re-filter: prefix collisions may have admitted singletons
+        g = g.filter(pc.greater_equal(g["n_spans"], min_count))
         return pa.table(
             {
                 "body_hash": g["body_hash"],
