@@ -89,28 +89,74 @@ def capture_stats(interleaved_ds):
         base = _flat_base(batch)
         m = pc2.extract_regex(base["media_ref"], _HOST_RE)
         host = pc2.fill_null(pc2.struct_field(m, "host"), "")
-        t = pa.table({"doc_id": base["doc_id"], "hostname": host})
-        df = t.to_pandas()
-        g = df.groupby("doc_id", sort=False)["hostname"].agg(
-            n_spans="size", hosts=lambda s: sorted({h for h in s if h}))
-        g = g.reset_index()
-        g["capture_id"] = g["doc_id"].str.replace(r"\.\d+$", "", regex=True)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        ids = base["doc_id"].to_pylist()
+        hosts = host.to_pylist()
+        per_doc: dict[str, tuple[int, set]] = {}
+        for d, h in zip(ids, hosts):
+            e = per_doc.get(d)
+            if e is None:
+                e = per_doc[d] = [0, set()]
+            e[0] += 1
+            if h:
+                e[1].add(h)
+        # marker-row layout so the whole rollup stays in NATIVE aggregates
+        # (a map_groups over every capture pays per-group dispatch):
+        # one stats row per doc (hostname='') + one row per (doc, host)
+        caps, hosts_c, spans_c, docs_c = [], [], [], []
+        for d in sorted(per_doc):
+            cap = d.rsplit(".", 1)[0]
+            caps.append(cap)
+            hosts_c.append("")
+            spans_c.append(per_doc[d][0])
+            docs_c.append(1)
+            for h in sorted(per_doc[d][1]):
+                caps.append(cap)
+                hosts_c.append(h)
+                spans_c.append(0)
+                docs_c.append(0)
+        return pa.table({
+            "capture_id": pa.array(caps, pa.string()),
+            "hostname": pa.array(hosts_c, pa.string()),
+            "n_spans": pa.array(spans_c, pa.int64()),
+            "n_docs": pa.array(docs_c, pa.int64()),
+        })
 
-    partials = interleaved_ds.map_batches(per_doc_partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
 
-    def per_capture(df: pd.DataFrame) -> pd.DataFrame:
-        hosts = set()
-        for hs in df["hosts"]:
-            hosts.update(hs)
-        return pd.DataFrame([{
-            "capture_id": df["capture_id"].iloc[0],
-            "n_docs": len(df),
-            "n_spans": int(df["n_spans"].sum()),
-            "n_hosts": len(hosts),
-        }])
+    from ..util import pre_shuffle_coalesce
 
-    return partials.groupby("capture_id").map_groups(per_capture, batch_format="pandas")
+    partials = pre_shuffle_coalesce(
+        interleaved_ds.map_batches(per_doc_partial, batch_format="pyarrow"))
+    # shuffle 1: dedup (capture, host) across docs; stats rows (hostname='')
+    # sum up per capture
+    per_host = partials.groupby(["capture_id", "hostname"]).aggregate(
+        Sum("n_spans", alias_name="n_spans"), Sum("n_docs", alias_name="n_docs"))
+
+    def mark(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc3
+
+        return t.append_column(
+            "is_host", pc3.cast(pc3.not_equal(t["hostname"], ""), pa.int64()))
+
+    # shuffle 2: per-capture sums — each (capture, host) row is unique, so
+    # Sum(is_host) is the exact distinct-host count
+    agg = per_host.map_batches(mark, batch_format="pyarrow").groupby(
+        "capture_id").aggregate(
+        Sum("n_spans", alias_name="n_spans"),
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("is_host", alias_name="n_hosts"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc3
+
+        return pa.table({
+            "capture_id": t["capture_id"],
+            "n_docs": pc3.cast(t["n_docs"], pa.int64()),
+            "n_spans": pc3.cast(t["n_spans"], pa.int64()),
+            "n_hosts": pc3.cast(t["n_hosts"], pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def capture_stats_sql(flat_path: str) -> str:
