@@ -17,7 +17,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from ..stages.normalize import flatten_normalize
 

@@ -14,8 +14,6 @@ import pyarrow as pa
 
 from ..functions import webhash
 
-_BPE = None  # no state needed; patterns live in functions.webhash
-
 
 # ------------------------------------------------------------------ hhhash
 
