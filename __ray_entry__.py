@@ -5,9 +5,11 @@ function here (or in har2tree_ray) calls ``ray.init``/``ray.shutdown``.
 
 ``entry()`` runs the flagship pipeline (interleaved docs → flatten/normalize
 → tile rollup) at sf0.001.  ``queries()``/``oracle_sql()`` expose every
-implemented operator per SURVEY.md §2 (oracle omitted for the genuinely
-non-SQL-expressible ones — tree building etc.; those are pytest-verified
-against an independent in-process reference implementation).
+implemented operator per SURVEY.md §2 — 49 queries, 39 with exact DuckDB
+oracles; the oracle is omitted only for the genuinely non-SQL-expressible
+ones (the consume-once tree cascade family, approximate/scale-path variants,
+binary payload plumbing), each of which is pytest-verified against an
+independent in-process implementation or its exact counterpart.
 """
 
 from __future__ import annotations
