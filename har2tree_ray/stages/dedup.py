@@ -169,22 +169,48 @@ class MinHasher:
         self.num_perm, self.bands, self.k = num_perm, bands, k
         self.rows_per_band = num_perm // bands
         self.a, self.b = _minhash_params(num_perm)
+        # per-actor shingle-hash memo: boilerplate/common grams repeat
+        # heavily across documents, and blake2 per gram is the hot call
+        self._gram_cache: dict[str, int] = {}
+
+    def _hashes(self, text: str) -> np.ndarray:
+        words = text.split()
+        if len(words) < self.k:
+            grams = [" ".join(words)] if words else [""]
+        else:
+            grams = [" ".join(words[i:i + self.k])
+                     for i in range(len(words) - self.k + 1)]
+        cache = self._gram_cache
+        out = np.empty(len(grams), dtype=np.uint64)
+        for i, g in enumerate(grams):
+            h = cache.get(g)
+            if h is None:
+                h = cache[g] = int.from_bytes(
+                    hashlib.blake2b(g.encode(), digest_size=8).digest(), "little")
+            out[i] = h
+        if len(cache) > 2_000_000:  # bound actor memory
+            cache.clear()
+        return out
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.k)
-        # (a*x + b) mod p, min over shingles, per permutation
+        sh = self._hashes(text)
         vals = (self.a[None, :] * sh[:, None] + self.b[None, :]) % _MERSENNE
         return vals.min(axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
+        # per-doc affine+min: the (shingles × perms) intermediate stays
+        # L2-resident per document — a single flat batch matmul measured
+        # ~10x SLOWER (numpy uint64 modulo over a 50 MB intermediate)
+        sigs = [self.signature(t) for t in texts]
         out_id, out_band, out_bh = [], [], []
-        for i, t in zip(ids, texts):
-            sig = self.signature(t)
+        r = self.rows_per_band
+        for row, i in enumerate(ids):
+            sig = sigs[row]
             for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                bh = hashlib.blake2b(sig[b * r:(b + 1) * r].tobytes(),
+                                     digest_size=8).hexdigest()
                 out_id.append(i)
                 out_band.append(b)
                 out_bh.append(bh)
