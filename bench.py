@@ -8,10 +8,12 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...}, "sf": "...", "num_cpus": N, "docs_per_sec": ...}
 
-``--scaling`` mode: runs the headline pipeline twice in fresh subprocesses
-(num_cpus=8 then num_cpus=32) on the same input and reports both throughputs
-plus scaling efficiency (north-rule two-cluster-size criterion, evidenced
-in-sandbox — BASELINE.json ``north_rule``).
+``--scaling`` mode: runs the five flagship pipeline stages at num_cpus=8 and
+num_cpus=32 in fresh subprocesses (paired reps, warm per-query timing, sf0.5
+input) and reports both throughputs, the scaling efficiency, and the
+machine's own Ray-free CPU scaling ceiling (north-rule two-cluster-size
+criterion, evidenced in-sandbox — BASELINE.json ``north_rule``).
+``--cpu-baseline``: just the machine ceiling.
 
 Ray session ownership: THIS script (and only this script / tests / CLIs)
 calls ray.init; the library never does.
