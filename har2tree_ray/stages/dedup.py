@@ -158,15 +158,19 @@ class MinHasher:
 
     Permutation parameters are built once per actor (``__init__``), batches
     are signed in ``__call__`` — the stateful-stage contract (SURVEY §2.3).
-    Emits one row per (doc, band): ``(id, band, band_hash)``; the LSH
-    candidate join is then a plain groupby on (band, band_hash).
+    Emits one row per (doc, band): ``(id, band, band_hash, bh_part)`` where
+    ``bh_part`` is a hash-range partition of ``band_hash`` — the LSH
+    candidate shuffle keys on (band, bh_part), so no reducer ever sees a
+    whole band (group size is O(corpus / n_parts), not O(corpus)).
     """
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text",
-                 num_perm: int = 64, bands: int = 16, k: int = 3):
+                 num_perm: int = 64, bands: int = 16, k: int = 3,
+                 n_parts: int = 32):
         assert num_perm % bands == 0
         self.id_col, self.text_col = id_col, text_col
         self.num_perm, self.bands, self.k = num_perm, bands, k
+        self.n_parts = n_parts
         self.rows_per_band = num_perm // bands
         self.a, self.b = _minhash_params(num_perm)
         # per-actor shingle-hash memo: boilerplate/common grams repeat
@@ -204,7 +208,7 @@ class MinHasher:
         # L2-resident per document — a single flat batch matmul measured
         # ~10x SLOWER (numpy uint64 modulo over a 50 MB intermediate)
         sigs = [self.signature(t) for t in texts]
-        out_id, out_band, out_bh = [], [], []
+        out_id, out_band, out_bh, out_part = [], [], [], []
         r = self.rows_per_band
         for row, i in enumerate(ids):
             sig = sigs[row]
@@ -214,38 +218,59 @@ class MinHasher:
                 out_id.append(i)
                 out_band.append(b)
                 out_bh.append(bh)
+                out_part.append(int(bh[:4], 16) % self.n_parts)
         return pa.table(
             {
                 "id": pa.array(out_id),
                 "band": pa.array(out_band, pa.int32()),
                 "band_hash": pa.array(out_bh, pa.string()),
+                "bh_part": pa.array(out_part, pa.int32()),
             }
         )
 
 
 def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                             num_perm: int = 64, bands: int = 16, k: int = 3,
+                            n_parts: int = 32, max_bucket: int = 10_000,
                             concurrency: int | tuple[int, int] | None = None):
-    """LSH candidate duplicate pairs (id_a < id_b), deduped across bands."""
+    """LSH candidate duplicate pairs (id_a < id_b), deduped across bands.
+
+    The candidate shuffle keys on ``(band, bh_part)`` — a hash-range of
+    ``band_hash`` — so reducer group size is O(corpus / n_parts), never the
+    whole band (a ``groupby("band")`` would funnel every doc's row for one
+    band into a single group: bounded group *count*, unbounded group
+    *size*).  All rows of one bucket share ``bh_part`` by construction, so
+    no cross-bucket pair is ever lost.  Buckets larger than ``max_bucket``
+    distinct ids (degenerate boilerplate content — O(B²) pair fan-out) are
+    dropped with a logged count, never silently.
+    """
+    import logging
+
     from .parser import default_pool_size
 
     sigs = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col,
-                                   num_perm=num_perm, bands=bands, k=k),
+                                   num_perm=num_perm, bands=bands, k=k,
+                                   n_parts=n_parts),
         batch_format="pyarrow",
         concurrency=concurrency or default_pool_size(),
     )
 
     def bucket_pairs(t: pa.Table) -> pa.Table:
-        # one whole BAND per group (bounded, e.g. 16 groups total) — the
-        # bucket fan-out is a vectorized pandas groupby inside, never a Ray
-        # group per (band, bucket) hash (that would be ~n_docs tiny groups)
+        # one (band, bh_part) hash-range per group — the per-bucket fan-out
+        # is a vectorized pandas groupby inside the batch, never a Ray group
+        # per (band, bucket) hash (that would be ~n_docs tiny groups)
         df = t.to_pandas()
         out_a, out_b = [], []
-        for _, g in df.groupby("band_hash", sort=False):
+        for bh, g in df.groupby("band_hash", sort=False):
             ids = g["id"].unique()
             if len(ids) < 2:
+                continue
+            if len(ids) > max_bucket:
+                logging.getLogger("har2tree_ray.dedup").warning(
+                    "minhash bucket %s dropped: %d ids > max_bucket=%d",
+                    bh, len(ids), max_bucket)
                 continue
             ids = sorted(ids.tolist())
             for i in range(len(ids)):
@@ -254,7 +279,8 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                     out_b.append(ids[j])
         return pa.table({"id_a": pa.array(out_a), "id_b": pa.array(out_b)})
 
-    pairs = sigs.groupby("band").map_groups(bucket_pairs, batch_format="pyarrow")
+    pairs = sigs.groupby(["band", "bh_part"]).map_groups(
+        bucket_pairs, batch_format="pyarrow")
 
     def dedupe(t: pa.Table) -> pa.Table:
         g = t.group_by(["id_a", "id_b"]).aggregate([("id_a", "count")])

@@ -102,15 +102,33 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= {tau}
 # ---------------------------------------------------------- ANN top-k
 
 
+def query_rows(ds, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """The ``n`` smallest vec_ids + their normalized vectors WITHOUT
+    materializing the corpus: each batch keeps its local n smallest rows
+    (tiny partials), the driver merges num_blocks × n rows."""
+
+    def local_min(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        if len(vid) > n:
+            idx = np.argpartition(vid, n - 1)[:n]
+            t = t.take(pa.array(np.sort(idx)))
+        return t.select(["vec_id", "embedding"])
+
+    part = ds.map_batches(local_min, batch_format="pyarrow").to_pandas()
+    part = part.sort_values("vec_id", kind="mergesort").head(n)
+    ids = part["vec_id"].to_numpy()
+    mat = _normalize(np.array(part["embedding"].tolist(), dtype=np.float64))
+    return ids, mat
+
+
 def ann_topk(ds, k: int = ANN_K, num_queries: int = ANN_NUM_QUERIES):
     """Brute-force cosine top-k for the first ``num_queries`` vec_ids.
 
-    Query matrix (tiny) broadcast via ray.put; each batch emits its local
+    Query matrix (tiny, picked by a streaming partial-min — the corpus is
+    never materialized) broadcast via ray.put; each batch emits its local
     top-k candidates per query (small partials), the final merge is a
     groupby(query_id) over ≤ num_blocks × k rows — no global sort."""
-    ids, mat = load_corpus(ds)
-    q_ids = ids[:num_queries]
-    q_mat = mat[:num_queries]
+    q_ids, q_mat = query_rows(ds, num_queries)
     ref = ray.put((q_ids, q_mat))
 
     def per_batch(batch: pa.Table) -> pa.Table:
@@ -228,9 +246,21 @@ def embed_neardup_lsh(ds, tau: float = NEARDUP_TAU, bits: int = LSH_BITS,
 
     pairs = hashed.groupby(["table_id", "bucket"]).map_groups(
         verify, batch_format="pyarrow")
-    # the same pair verified in several tables collapses to one row
-    return pairs.groupby(["vec_id_a", "vec_id_b"]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow")
+
+    # the same pair verified in several tables collapses to one row:
+    # batch-local exact dedup → native Count shuffle (a map_groups here
+    # would dispatch one Ray group PER PAIR — per-group Python overhead
+    # scaling with the candidate count)
+    def local_dedupe(t: pa.Table) -> pa.Table:
+        g = t.group_by(["vec_id_a", "vec_id_b"]).aggregate([("vec_id_a", "count")])
+        return g.select(["vec_id_a", "vec_id_b"])
+
+    from ray.data.aggregate import Count
+
+    pre = pairs.map_batches(local_dedupe, batch_format="pyarrow")
+    agg = pre.groupby(["vec_id_a", "vec_id_b"]).aggregate(Count(alias_name="_n"))
+    return agg.map_batches(lambda t: t.select(["vec_id_a", "vec_id_b"]),
+                           batch_format="pyarrow")
 
 
 # ----------------------------------------------------- IVF ANN (scale path)
