@@ -24,12 +24,9 @@ import pyarrow.compute as pc
 MAX_HOPS = 16
 
 
-def _doc_chain(df: pd.DataFrame) -> list[str]:
-    """Offset-ordered redirect-chain URLs for one doc's flat spans."""
-    df = df.sort_values("offset", kind="mergesort")
-    urls = df["media_ref"].tolist()
-    redirects = df["redirect_url"].tolist()
-    # first span with a min offset is the chain start
+def _walk_chain(urls: list[str], redirects: list[str]) -> list[str]:
+    """Offset-ordered redirect-chain walk over parallel (url, target) lists;
+    forward-only scan (har2tree.py:268-302), no cycles, ≤ MAX_HOPS."""
     by_url_first: dict[str, int] = {}
     for i, u in enumerate(urls):
         by_url_first.setdefault(u, i)
@@ -40,11 +37,28 @@ def _doc_chain(df: pd.DataFrame) -> list[str]:
         if not target or target not in by_url_first:
             break
         nxt = by_url_first[target]
-        if nxt <= cur:  # forward-only scan (har2tree.py:268-302); no cycles
+        if nxt <= cur:
             break
         chain.append(urls[nxt])
         cur = nxt
     return chain
+
+
+def _doc_chain(df: pd.DataFrame) -> list[str]:
+    """Offset-ordered redirect-chain URLs for one doc's flat spans."""
+    df = df.sort_values("offset", kind="mergesort")
+    return _walk_chain(df["media_ref"].tolist(), df["redirect_url"].tolist())
+
+
+def _row_chain(spans: list[dict]) -> tuple[list[dict], list[str]]:
+    """One interleaved row's spans → (offset-sorted spans, chain urls)."""
+    from ..functions import parse
+
+    spans = sorted(spans, key=lambda s: s["offset"])
+    urls = [s["media_ref"] for s in spans]
+    redirects = [parse.first(parse.RE_REDIRECT, s["text"])
+                 if "@redirect=" in s["text"] else "" for s in spans]
+    return spans, _walk_chain(urls, redirects)
 
 
 def redirect_chain(parsed_ds):
@@ -80,6 +94,54 @@ def landing(parsed_ds):
 
     slim = parsed_ds.select_columns(["doc_id", "offset", "media_ref", "redirect_url"])
     return slim.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
+
+
+def redirect_chain_interleaved(interleaved_ds, batch_size: int = 64):
+    """Zero-shuffle per-doc chain hops (doc_id, hop, url) straight off the
+    doc-grouped interleaved rows — no doc-keyed groupby at any scale."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        spans_col = batch["spans"].to_pylist()
+        out_doc, out_hop, out_url = [], [], []
+        for did, spans in zip(ids, spans_col):
+            _, chain = _row_chain(spans)
+            out_doc.extend([did] * len(chain))
+            out_hop.extend(range(len(chain)))
+            out_url.extend(chain)
+        return pa.table({
+            "doc_id": pa.array(out_doc, pa.string()),
+            "hop": pa.array(out_hop, pa.int64()),
+            "url": pa.array(out_url, pa.string()),
+        })
+
+    return interleaved_ds.map_batches(per_batch, batch_format="pyarrow",
+                                      batch_size=batch_size)
+
+
+def landing_interleaved(interleaved_ds, batch_size: int = 64):
+    """Zero-shuffle per-doc final redirect
+    (doc_id, root_url, landing_url, n_hops)."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        spans_col = batch["spans"].to_pylist()
+        out = {"doc_id": [], "root_url": [], "landing_url": [], "n_hops": []}
+        for did, spans in zip(ids, spans_col):
+            _, chain = _row_chain(spans)
+            out["doc_id"].append(did)
+            out["root_url"].append(chain[0])
+            out["landing_url"].append(chain[-1])
+            out["n_hops"].append(len(chain) - 1)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.string()),
+            "root_url": pa.array(out["root_url"], pa.string()),
+            "landing_url": pa.array(out["landing_url"], pa.string()),
+            "n_hops": pa.array(out["n_hops"], pa.int64()),
+        })
+
+    return interleaved_ds.map_batches(per_batch, batch_format="pyarrow",
+                                      batch_size=batch_size)
 
 
 def add_capture_id(ds):
@@ -122,25 +184,7 @@ def doc_summaries_interleaved(interleaved_ds, batch_size: int = 64):
         spans_col = batch["spans"].to_pylist()
         out = {"doc_id": [], "root_url": [], "landing_url": [], "root_referer": []}
         for did, spans in zip(ids, spans_col):
-            spans = sorted(spans, key=lambda s: s["offset"])
-            urls = [s["media_ref"] for s in spans]
-            redirects = [
-                parse.first(parse.RE_REDIRECT, s["text"])
-                if "@redirect=" in s["text"] else "" for s in spans]
-            by_url_first: dict[str, int] = {}
-            for i, u in enumerate(urls):
-                by_url_first.setdefault(u, i)
-            chain = [urls[0]]
-            cur = 0
-            for _ in range(MAX_HOPS):
-                target = redirects[cur]
-                if not target or target not in by_url_first:
-                    break
-                nxt = by_url_first[target]
-                if nxt <= cur:
-                    break
-                chain.append(urls[nxt])
-                cur = nxt
+            spans, chain = _row_chain(spans)
             t0 = spans[0]["text"]
             out["doc_id"].append(did)
             out["root_url"].append(chain[0])
@@ -172,27 +216,54 @@ def graft_edges_interleaved(interleaved_ds):
     return _graft_from_summaries(doc_summaries_interleaved(interleaved_ds))
 
 
-def _graft_from_summaries(summaries):
-    def per_capture(df: pd.DataFrame) -> pd.DataFrame:
-        cap = df["capture_id"].iloc[0]
-        df = df.sort_values("doc_id", kind="mergesort")
-        landings = {r.doc_id: (r.root_url, r.landing_url)
-                    for r in df.itertuples(index=False)}
-        rows = []
-        for r in df.itertuples(index=False):
-            ref = r.root_referer
-            parent, attach_url = "", ""
-            if ref:
-                for cand in sorted(landings):
-                    if cand == r.doc_id:
-                        continue
-                    root_url, land = landings[cand]
-                    if ref in (land, root_url):
-                        parent, attach_url = cand, ref
-                        break
-            rows.append({"capture_id": cap, "child_doc": r.doc_id,
-                         "parent_doc": parent, "attach_url": attach_url})
-        return pd.DataFrame(rows)
+def _graft_from_summaries(summaries, n_parts: int | None = None):
+    """Per-capture forest join without per-capture dispatch: captures are
+    co-located by a COARSE hash-range of capture_id (``n_parts`` groups, not
+    one Ray group per capture — ~8k tiny pandas dispatches at sf0.1 cost
+    more than the join itself), and the join inside each group is one
+    vectorized pandas merge.  ``n_parts`` defaults to cluster width ×8 so a
+    group's summary rows (one per doc) stay far below a worker's heap.
 
-    return summaries.groupby("capture_id").map_groups(
-        per_capture, batch_format="pandas")
+    Parent semantics preserved exactly: the parent is the MIN doc_id in the
+    capture (≠ child) whose landing OR root URL equals the child's root
+    referer (the reference scans candidates in sorted order and takes the
+    first match — parser.py:43-72)."""
+    import zlib
+
+    import numpy as np
+
+    if n_parts is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        n_parts = max(64, cpus * 8)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = [zlib.crc32(c.encode()) % n_parts
+                for c in t["capture_id"].to_pylist()]
+        return t.append_column("cap_part", pa.array(part, pa.int32()))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        cands = pd.concat([
+            df[["capture_id", "doc_id", "landing_url"]]
+            .rename(columns={"landing_url": "url"}),
+            df[["capture_id", "doc_id", "root_url"]]
+            .rename(columns={"root_url": "url"}),
+        ])
+        ch = df[df["root_referer"] != ""]
+        m = ch[["capture_id", "doc_id", "root_referer"]].merge(
+            cands, left_on=["capture_id", "root_referer"],
+            right_on=["capture_id", "url"], suffixes=("", "_p"))
+        m = m[m["doc_id_p"] != m["doc_id"]]
+        best = m.groupby("doc_id")["doc_id_p"].min()
+        out = df[["capture_id", "doc_id"]].copy()
+        out["parent_doc"] = out["doc_id"].map(best).fillna("")
+        out["attach_url"] = np.where(
+            out["parent_doc"] != "",
+            out["doc_id"].map(df.set_index("doc_id")["root_referer"]), "")
+        out = out.rename(columns={"doc_id": "child_doc"})
+        return out.sort_values(["capture_id", "child_doc"],
+                               kind="mergesort").reset_index(drop=True)
+
+    parts = summaries.map_batches(add_part, batch_format="pyarrow")
+    return parts.groupby("cap_part").map_groups(per_part, batch_format="pandas")

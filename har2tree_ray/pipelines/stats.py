@@ -19,23 +19,36 @@ import pyarrow.compute as pc
 
 from ray.data.aggregate import Sum
 
-from ..stages.normalize import flatten_normalize
+from ..stages.normalize import _HOST_RE, _flat_base, flatten_normalize
 
 
 def _doc_stats_batch(batch: pa.Table) -> pa.Table:
-    flat = flatten_normalize(batch)
-    df = flat.select(
-        ["doc_id", "media_ref", "hostname", "status", "text_len", "offset", "text"]
-    ).to_pandas()
-    df["is_redirect"] = df["text"].str.contains("@redirect=", regex=False)
+    """Pruned + vectorized: Arrow kernels derive only the five fields the
+    rollup needs (no sha256/IDNA/unquote of the full ``flatten_normalize``),
+    then one pandas groupby with native reductions — no per-group Python."""
+    base = _flat_base(batch)
+    host_m = pc.extract_regex(base["media_ref"], _HOST_RE)
+    status_m = pc.extract_regex(base["text"], r"@status=(?P<st>-?\d+)")
+    t = pa.table({
+        "doc_id": base["doc_id"],
+        "media_ref": base["media_ref"],
+        # '' → NaN so nunique(dropna) counts only real hostnames
+        "hostname": pc.struct_field(host_m, "host"),
+        "is_status0": pc.less_equal(pc.fill_null(
+            pc.cast(pc.struct_field(status_m, "st"), pa.int32()), 200), 0),
+        "is_redirect": pc.match_substring(base["text"], "@redirect="),
+        "text_len": pc.cast(pc.utf8_length(base["text"]), pa.int64()),
+        "offset": base["offset"],
+    })
+    df = t.to_pandas()
     g = df.groupby("doc_id", sort=False)
     out = pd.DataFrame(
         {
             "n_spans": g.size(),
             "n_unique_urls": g["media_ref"].nunique(),
-            "n_unique_hostnames": g["hostname"].apply(lambda s: s[s != ""].nunique()),
+            "n_unique_hostnames": g["hostname"].nunique(),
             "n_redirects": g["is_redirect"].sum().astype(np.int64),
-            "n_status0": g["status"].apply(lambda s: int((s <= 0).sum())),
+            "n_status0": g["is_status0"].sum().astype(np.int64),
             "total_text_chars": g["text_len"].sum(),
             "max_offset": g["offset"].max().astype(np.int64),
         }

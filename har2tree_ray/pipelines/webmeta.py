@@ -226,6 +226,56 @@ def cookies_never_sent(flat_ds):
     return ev.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
 
 
+def cookies_never_sent_interleaved(interleaved_ds, batch_size: int = 64):
+    """Zero-shuffle D4 recast: interleaved rows hold whole documents, so the
+    per-doc anti-join is batch-local — directive extraction loops only over
+    the <1% of spans with cookie markers, then ONE vectorized pandas merge
+    (max sent offset per (doc, name)) replaces any per-doc dispatch."""
+    from ..functions import parse
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        spans_col = batch["spans"].to_pylist()
+        s_doc, s_off, s_name, s_dom = [], [], [], []
+        d_doc, d_off, d_name = [], [], []
+        for did, spans in zip(ids, spans_col):
+            for s in spans:
+                t = s["text"]
+                if "@setcookie=" in t:
+                    for name, _v, dom in parse.RE_SETCOOKIE.findall(t):
+                        s_doc.append(did)
+                        s_off.append(s["offset"])
+                        s_name.append(name)
+                        s_dom.append(dom)
+                if "@cookie=" in t:
+                    for name, _v in parse.RE_COOKIE.findall(t):
+                        d_doc.append(did)
+                        d_off.append(s["offset"])
+                        d_name.append(name)
+        setters = pd.DataFrame({"doc_id": s_doc, "offset": s_off,
+                                "name": s_name, "domain": s_dom})
+        sent = pd.DataFrame({"doc_id": d_doc, "offset": d_off, "name": d_name})
+        if setters.empty:
+            return pa.table({"doc_id": pa.array([], pa.string()),
+                             "offset": pa.array([], pa.int64()),
+                             "name": pa.array([], pa.string()),
+                             "domain": pa.array([], pa.string())})
+        max_sent = (sent.groupby(["doc_id", "name"])["offset"].max()
+                    .rename("max_sent"))
+        m = setters.merge(max_sent, left_on=["doc_id", "name"],
+                          right_index=True, how="left")
+        keep = m[m["max_sent"].isna() | (m["max_sent"] <= m["offset"])]
+        return pa.table({
+            "doc_id": pa.array(keep["doc_id"].tolist(), pa.string()),
+            "offset": pa.array(keep["offset"].astype("int64").tolist(), pa.int64()),
+            "name": pa.array(keep["name"].tolist(), pa.string()),
+            "domain": pa.array(keep["domain"].tolist(), pa.string()),
+        })
+
+    return interleaved_ds.map_batches(per_batch, batch_format="pyarrow",
+                                      batch_size=batch_size)
+
+
 def cookies_never_sent_sql(flat_path: str) -> str:
     return f"""
 WITH ex AS (

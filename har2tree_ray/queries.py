@@ -117,11 +117,13 @@ def _parsed_light(sf_dir: str):
 
 
 def q_redirect_chain(sf_dir: str):
-    return graft.redirect_chain(_parsed_light(sf_dir))
+    # zero-shuffle interleaved walk (the flat groupby path survives in
+    # graft.redirect_chain for flat inputs; parity-tested in test_tree.py)
+    return graft.redirect_chain_interleaved(read_interleaved(sf_dir))
 
 
 def q_landing(sf_dir: str):
-    return graft.landing(_parsed_light(sf_dir))
+    return graft.landing_interleaved(read_interleaved(sf_dir))
 
 
 def q_host_rollup(sf_dir: str):
@@ -231,8 +233,7 @@ def q_span_identifiers(sf_dir: str):
 
 
 def q_cookies_never_sent(sf_dir: str):
-    return webmeta.cookies_never_sent(explode_spans(
-        read_interleaved(sf_dir), ["doc_id", "offset", "text", "hostname"]))
+    return webmeta.cookies_never_sent_interleaved(read_interleaved(sf_dir))
 
 
 def q_embedded_blobs(sf_dir: str):

@@ -119,7 +119,7 @@ def explode_spans(interleaved_ds, columns: list[str]):
     ``lat``/``lng``/``body_hash`` run their scalar UDF only when requested.
 
     Supported columns: doc_id, offset, kind, media_ref, text, hostname,
-    lat, lng, body_hash.
+    status, lat, lng, body_hash.
     """
     want = set(columns)
 
@@ -129,6 +129,11 @@ def explode_spans(interleaved_ds, columns: list[str]):
         for c in ("doc_id", "offset", "kind", "media_ref", "text"):
             if c in want:
                 out[c] = base[c]
+        if "status" in want:
+            # same semantics as parse.parse_status: missing/unparsable → 200
+            m = pc.extract_regex(base["text"], r"@status=(?P<st>-?\d+)")
+            out["status"] = pc.fill_null(
+                pc.cast(pc.struct_field(m, "st"), pa.int32()), 200)
         if "hostname" in want:
             # same definition the oracle uses (and urlparse agrees with on
             # http(s) URLs): netloc of an http(s) ref, else ''
