@@ -96,7 +96,7 @@ def landing(parsed_ds):
     return slim.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
 
 
-def redirect_chain_interleaved(interleaved_ds, batch_size: int = 64):
+def redirect_chain_interleaved(interleaved_ds, batch_size: int = 256):
     """Zero-shuffle per-doc chain hops (doc_id, hop, url) straight off the
     doc-grouped interleaved rows — no doc-keyed groupby at any scale."""
 
@@ -119,7 +119,7 @@ def redirect_chain_interleaved(interleaved_ds, batch_size: int = 64):
                                       batch_size=batch_size)
 
 
-def landing_interleaved(interleaved_ds, batch_size: int = 64):
+def landing_interleaved(interleaved_ds, batch_size: int = 256):
     """Zero-shuffle per-doc final redirect
     (doc_id, root_url, landing_url, n_hops)."""
 
@@ -174,7 +174,7 @@ def doc_summaries(parsed_ds):
         per_doc, batch_format="pandas"))
 
 
-def doc_summaries_interleaved(interleaved_ds, batch_size: int = 64):
+def doc_summaries_interleaved(interleaved_ds, batch_size: int = 256):
     """Zero-shuffle doc summaries straight off the doc-grouped interleaved
     rows (chain walk + root referer per row)."""
     from ..functions import parse
@@ -265,5 +265,11 @@ def _graft_from_summaries(summaries, n_parts: int | None = None):
         return out.sort_values(["capture_id", "child_doc"],
                                kind="mergesort").reset_index(drop=True)
 
-    parts = summaries.map_batches(add_part, batch_format="pyarrow")
+    from ..util import pre_shuffle_coalesce
+
+    # summaries arrive as hundreds of tiny per-task blocks; coalesce to
+    # cluster width before the sort-based shuffle (tiny-block bookkeeping
+    # dominated the round-1 9 s graft_edges measurement)
+    parts = pre_shuffle_coalesce(
+        summaries.map_batches(add_part, batch_format="pyarrow"))
     return parts.groupby("cap_part").map_groups(per_part, batch_format="pandas")
