@@ -82,7 +82,8 @@ def idna_decode(hostname: str) -> str:
     return decoded if decoded != hostname else ""
 
 
-def rebuild_url(base_url: str, partial: str, known_urls: "set[str] | frozenset[str]") -> str:
+def rebuild_url(base_url: str, partial: str, known_urls: "set[str] | frozenset[str]",
+                strict: bool = False) -> str:
     """Repair a partial/relative redirect target against a base URL, validated
     against the document's known-URL set.
 
@@ -95,6 +96,12 @@ def rebuild_url(base_url: str, partial: str, known_urls: "set[str] | frozenset[s
       5. known-URL suffix match (same path under another known origin);
     each candidate is accepted only if present in ``known_urls``; when none
     matches, the best-effort candidate (urljoin) is returned.
+
+    ``strict=True`` (the tree cascade's mode) runs strategies 1-4 only and
+    returns '' when no candidate is known: the reference's suffix scan
+    (helper.py:196-199) picks an arbitrary member when several known URLs
+    share a path suffix, and a distributed engine needs the attach decision
+    to be set-order independent.
     """
     if not partial:
         return ""
@@ -121,6 +128,8 @@ def rebuild_url(base_url: str, partial: str, known_urls: "set[str] | frozenset[s
         norm = p._replace(path=os.path.normpath(p.path)).geturl() if p.path else cand
         if norm in known_urls:
             return norm
+    if strict:
+        return ""
     # suffix match against known URLs (strategy 5)
     for k in known_urls:
         if partial and k.endswith(partial):

@@ -24,9 +24,16 @@ import pyarrow.compute as pc
 MAX_HOPS = 16
 
 
+import re as _re
+
+_ORIGIN_RE = _re.compile(r"^(https?://[^/?#]+)")
+
+
 def _walk_chain(urls: list[str], redirects: list[str]) -> list[str]:
     """Offset-ordered redirect-chain walk over parallel (url, target) lists;
-    forward-only scan (har2tree.py:268-302), no cycles, ≤ MAX_HOPS."""
+    forward-only scan (har2tree.py:268-302), no cycles, ≤ MAX_HOPS.
+    Path-absolute targets (``/p/q.html`` — M21) resolve against the current
+    hop's origin, mirroring the SQL oracle's CASE rewrite."""
     by_url_first: dict[str, int] = {}
     for i, u in enumerate(urls):
         by_url_first.setdefault(u, i)
@@ -34,6 +41,11 @@ def _walk_chain(urls: list[str], redirects: list[str]) -> list[str]:
     cur = 0
     for _ in range(MAX_HOPS):
         target = redirects[cur]
+        if (target and target not in by_url_first
+                and target.startswith("/") and not target.startswith("//")):
+            m = _ORIGIN_RE.match(urls[cur])
+            if m:
+                target = m.group(1) + target
         if not target or target not in by_url_first:
             break
         nxt = by_url_first[target]

@@ -42,21 +42,36 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.urls import split_url, strip_fragment
+from ..functions.urls import rebuild_url, split_url, strip_fragment
 
 ORPHAN_CAP = 1000
 _CONTAINER_KINDS = ("document", "script", "iframe")
 
 
 def _effective_redirect(node: dict, url_index: dict) -> str:
+    """Effective redirect target with M21 partial-URL repair: every channel's
+    target is rebuilt against the node's own URL + the doc's known-URL set
+    (strict strategies 1-4 of ``rebuild_url`` — the reference rebuilds every
+    redirectURL the same way, nodes.py:626-641 / helper.py:130-201)."""
+    base = node["media_ref"]
     if node["redirect_url"]:
-        return node["redirect_url"]
+        t = node["redirect_url"]
+        if t in url_index:
+            return t
+        # unknown raw target: a repaired match attaches; otherwise keep the
+        # raw target (no candidates — same no-attach outcome as before)
+        return rebuild_url(base, t, url_index, strict=True) or t
     mr = node["meta_refresh"]
-    if mr and mr in url_index:
-        return mr
+    if mr:
+        t = mr if mr in url_index else rebuild_url(base, mr, url_index, strict=True)
+        if t:
+            return t
     for t in node["jsloc_urls"]:
         if t in url_index:
             return t
+        rb = rebuild_url(base, t, url_index, strict=True)
+        if rb:
+            return rb
     return ""
 
 
@@ -232,6 +247,12 @@ def build_edges(parsed_ds):
 def doc_edge_rows(spans: list[dict]) -> list[dict]:
     """One document's span structs → edge dicts (normalize + parse + cascade
     inline).  Shared by the shuffle-free edge builder and the JSON render."""
+    return doc_edges_and_drops(spans)[0]
+
+
+def doc_edges_and_drops(spans: list[dict]) -> tuple[list[dict], int]:
+    """Like ``doc_edge_rows`` but also returns the A5 orphan-cap drop count
+    (SURVEY §2.5: the cap must never be silent)."""
     from ..functions import parse
 
     nodes = []
@@ -243,8 +264,7 @@ def doc_edge_rows(spans: list[dict]) -> list[dict]:
                  media_ref=s["media_ref"], hostname=host,
                  status=parse.parse_status(t))
         nodes.append(f)
-    edges, _dropped = build_doc_tree(nodes)
-    return edges
+    return build_doc_tree(nodes)
 
 
 def _interleaved_batch_edges(batch: pa.Table) -> pa.Table:
@@ -284,6 +304,52 @@ def build_edges_interleaved(interleaved_ds, batch_size: int = 64):
     """Interleaved docs → EDGE_SCHEMA Dataset, shuffle-free fast path."""
     return interleaved_ds.map_batches(
         _interleaved_batch_edges, batch_format="pyarrow", batch_size=batch_size)
+
+
+def tree_stats_interleaved(interleaved_ds, batch_size: int = 64):
+    """Per-doc tree stats straight off the interleaved rows — zero shuffle —
+    including ``n_dropped_orphans``, the A5 orphan-cap drop count the edge
+    table cannot carry (SURVEY §2.5 'no silent caps'; reference cap at
+    har2tree.py:722-732).  Docs that hit the cap are also logged."""
+    import logging
+
+    log = logging.getLogger("har2tree_ray.tree")
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        spans_col = batch["spans"].to_pylist()
+        out = {"doc_id": [], "n_nodes": [], "tree_depth": [],
+               "n_redirect_edges": [], "n_external_edges": [],
+               "n_fallback_edges": [], "n_dropped_orphans": []}
+        for did, spans in zip(ids, spans_col):
+            edges, dropped = doc_edges_and_drops(spans)
+            if not edges:
+                continue
+            if dropped:
+                log.warning("doc %s: %d orphans dropped beyond the %d cap",
+                            did, dropped, ORPHAN_CAP)
+            out["doc_id"].append(did)
+            out["n_nodes"].append(len(edges))
+            out["tree_depth"].append(max(e["depth"] for e in edges))
+            out["n_redirect_edges"].append(
+                sum(e["attach_rule"] == "redirect" for e in edges))
+            out["n_external_edges"].append(
+                sum(e["attach_rule"].startswith("external_") for e in edges))
+            out["n_fallback_edges"].append(
+                sum(e["attach_rule"].startswith("fallback_") for e in edges))
+            out["n_dropped_orphans"].append(dropped)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.string()),
+            "n_nodes": pa.array(out["n_nodes"], pa.int64()),
+            "tree_depth": pa.array(out["tree_depth"], pa.int64()),
+            "n_redirect_edges": pa.array(out["n_redirect_edges"], pa.int64()),
+            "n_external_edges": pa.array(out["n_external_edges"], pa.int64()),
+            "n_fallback_edges": pa.array(out["n_fallback_edges"], pa.int64()),
+            "n_dropped_orphans": pa.array(out["n_dropped_orphans"], pa.int64()),
+        })
+
+    return interleaved_ds.map_batches(per_batch, batch_format="pyarrow",
+                                      batch_size=batch_size)
 
 
 def tree_stats(edges_ds):

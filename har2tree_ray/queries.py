@@ -159,7 +159,9 @@ def q_edges(sf_dir: str):
 
 
 def q_tree_stats(sf_dir: str):
-    return tree.tree_stats(_edges(sf_dir))
+    # zero-shuffle interleaved stats, incl. the A5 n_dropped_orphans column
+    # (the edges→groupby path survives as tree.tree_stats for flat inputs)
+    return tree.tree_stats_interleaved(read_interleaved(sf_dir))
 
 
 def q_host_edges(sf_dir: str):
@@ -406,10 +408,18 @@ GROUP BY cell_x, cell_y
 
 
 _CHAIN_CTE = """
-, redir AS (
+, redir0 AS (
     SELECT doc_id, "offset", media_ref,
-           regexp_extract(text, '@redirect=(\\S+)', 1) AS target
+           regexp_extract(text, '@redirect=(\\S+)', 1) AS rt
     FROM flat
+),
+redir AS (
+    -- path-absolute targets (M21) resolve against the current hop's origin
+    SELECT doc_id, "offset", media_ref,
+           CASE WHEN rt LIKE '/%' AND rt NOT LIKE '//%'
+                THEN regexp_extract(media_ref, '^(https?://[^/?#]+)', 1) || rt
+                ELSE rt END AS target
+    FROM redir0
 ),
 firsts AS (
     SELECT doc_id, media_ref, MIN("offset") AS first_off

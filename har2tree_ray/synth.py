@@ -48,7 +48,7 @@ import pyarrow.parquet as pq
 
 from .schema import INTERLEAVED_SCHEMA
 
-SYNTH_VERSION = 5  # bump to invalidate /tmp caches when generation changes
+SYNTH_VERSION = 6  # bump to invalidate /tmp caches when generation changes
 
 _GTAG_ALPHABET = np.array(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"))
 
@@ -143,9 +143,20 @@ def _generate_doc(rs: np.random.RandomState, doc_id: str, root_referer: str | No
     if root_referer:
         spans[prev]["directives"].append(f"@referer={root_referer}")
     for _ in range(n_redir):
-        h = int(rs.choice(_N_HOSTS, p=HOST_P))
+        # same-host hop 30% of the time so path-absolute targets (below)
+        # actually resolve against the current origin
+        if rs.random_sample() < 0.3:
+            h = spans[prev]["host_idx"]
+        else:
+            h = int(rs.choice(_N_HOSTS, p=HOST_P))
         u = next_url("document", h)
-        spans[prev]["directives"].append(f"@redirect={u}")
+        target = u
+        # M21: ~35% of same-host redirect targets are emitted path-absolute
+        # ('/p1/p2/r.html'); every consumer (cascade, chain walk, SQL
+        # oracle) must rebuild them against the redirecting span's origin
+        if h == spans[prev]["host_idx"] and rs.random_sample() < 0.35:
+            target = "/" + u.split("://", 1)[1].split("/", 1)[1]
+        spans[prev]["directives"].append(f"@redirect={target}")
         spans[prev]["status"] = 301 if rs.random_sample() < 0.8 else 302
         prev = add("document", u, h)
     landing = spans[prev]["url"]
@@ -172,8 +183,18 @@ def _generate_doc(rs: np.random.RandomState, doc_id: str, root_referer: str | No
             spans[parent]["directives"].append(f"@frame={u}")  # frame join (J4)
         elif channel < 0.80:  # JS location redirect evidence (M22)
             spans[parent]["refs"].append(("jsloc", u))
-        elif channel < 0.84:  # meta refresh (M23)
-            spans[parent]["directives"].append(f"@meta_refresh={u}")
+        elif channel < 0.84:  # meta refresh (M23) — absolute, scheme-relative
+            # or path-absolute target; the relative forms only attach when the
+            # rebuilt URL (parent's scheme/origin) matches, else the span
+            # becomes a fallback orphan (realistic cross-origin miss)
+            r2 = rs.random_sample()
+            if r2 < 0.5:
+                tgt = u
+            elif r2 < 0.8:
+                tgt = "//" + u.split("://", 1)[1]
+            else:
+                tgt = "/" + u.split("://", 1)[1].split("/", 1)[1]
+            spans[parent]["directives"].append(f"@meta_refresh={tgt}")
         elif channel < 0.92:  # orphan with partial referer → hostname fallback (J6)
             spans[idx]["directives"].append(
                 f"@referer=https://{HOSTS[spans[parent]['host_idx']]}/unknown{rs.randint(0, 999)}.html")

@@ -119,6 +119,65 @@ def test_frame_and_meta_refresh():
     assert (1, 0, "frame", 1) in edges
 
 
+def test_relative_redirect_rebuild():
+    """M21: path-absolute / scheme-relative targets rebuild against the
+    redirecting span's origin before matching (rebuild_url strict mode)."""
+    spans = [
+        _mk("document", "https://a.com/p/1.html", 0, "@redirect=/p/2.html @status=301"),
+        _mk("document", "https://a.com/p/2.html", 1, "@meta_refresh=//a.com/p/3.html"),
+        _mk("document", "https://a.com/p/3.html", 2, "@meta_refresh=/other/4.html"),
+        # /other/4.html resolves to https://a.com/other/4.html — unknown → orphan
+        _mk("document", "https://b.com/other/4.html", 3),
+    ]
+    edges, dropped = _edges(spans)
+    assert (1, 0, "redirect", 1) in edges
+    assert (2, 1, "redirect", 2) in edges
+    assert (3, 0, "fallback_root", 1) in edges
+    assert dropped == 0
+    assert edges == build_tree_oracle(spans)
+
+
+def test_relative_jsloc_rebuild():
+    spans = [
+        _mk("document", "https://a.com/p/1.html", 0, "location.href='/p/next.html'"),
+        _mk("document", "https://a.com/p/next.html", 1),
+    ]
+    edges, _ = _edges(spans)
+    assert (1, 0, "redirect", 1) in edges
+    assert edges == build_tree_oracle(spans)
+
+
+def test_tree_stats_surfaces_dropped_orphans():
+    """A5: the orphan-cap drop count must reach the stats output."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from har2tree_ray.pipelines.tree import tree_stats_interleaved
+    from har2tree_ray.schema import INTERLEAVED_SCHEMA
+
+    spans = [_mk("document", "https://a.com/1", 0)]
+    spans += [_mk("img", f"https://z{i}.com/i.png", i + 1) for i in range(1100)]
+    t = pa.Table.from_pylist([{"doc_id": "d0", "spans": spans}],
+                             schema=INTERLEAVED_SCHEMA)
+    out = tree_stats_interleaved(rd.from_arrow(t)).to_pandas()
+    assert out["n_dropped_orphans"].tolist() == [100]
+    assert out["n_nodes"].tolist() == [1001]
+
+
+def test_tree_stats_interleaved_matches_edge_rollup():
+    """Shared columns of the zero-shuffle stats equal the edge-table rollup."""
+    from har2tree_ray.pipelines import tree
+    from har2tree_ray.sources.interleaved import read_interleaved
+    from tests.oracle_utils import canon, to_pandas
+
+    sf = "/root/testdata/sf0.001"
+    fast = to_pandas(tree.tree_stats_interleaved(read_interleaved(sf)))
+    slow = to_pandas(tree.tree_stats(
+        tree.build_edges_interleaved(read_interleaved(sf))))
+    fast = canon(fast.drop(columns=["n_dropped_orphans"]))
+    pd.testing.assert_frame_equal(fast, canon(slow), check_dtype=False)
+
+
 def test_orphan_cap():
     spans = [_mk("document", "https://a.com/1", 0)]
     spans += [_mk("img", f"https://z{i}.com/i.png", i + 1) for i in range(1100)]

@@ -71,14 +71,46 @@ def build_tree_oracle(spans: list[dict]) -> list[tuple]:
     def nofrag(u: str) -> str:
         return u.split("#", 1)[0]
 
+    def repair(base: str, t: str) -> str:
+        """M21 partial-target repair, written independently: strategies
+        exact → scheme-relative → path-absolute → urljoin, each accepted only
+        if the candidate (or its normpath form) is a known URL, else ''."""
+        import posixpath
+        from urllib.parse import urljoin as _uj
+
+        t = t.strip().strip("'\"")
+        if t in allurls:
+            return t
+        b = urlparse(base)
+        if t.startswith("//"):
+            cands = [f"{b.scheme}:{t}"]
+        elif t.startswith("/"):
+            cands = [f"{b.scheme}://{b.netloc}{t}"]
+        elif t.startswith(("http://", "https://")):
+            cands = [t]
+        else:
+            cands = [_uj(base, t), f"{b.scheme}://{t}"]
+        for c in cands:
+            if c in allurls:
+                return c
+            pc_ = urlparse(c)
+            if pc_.path:
+                n2 = pc_._replace(path=posixpath.normpath(pc_.path)).geturl()
+                if n2 in allurls:
+                    return n2
+        return ""
+
     def eff_redirect(n: dict) -> str:
         if n["redirect"]:
-            return n["redirect"]
-        if n["meta_refresh"] and n["meta_refresh"] in allurls:
-            return n["meta_refresh"]
+            return repair(n["url"], n["redirect"]) or n["redirect"]
+        if n["meta_refresh"]:
+            m = repair(n["url"], n["meta_refresh"])
+            if m:
+                return m
         for j in n["jsloc"]:
-            if j in allurls:
-                return j
+            jj = repair(n["url"], j)
+            if jj:
+                return jj
         return ""
 
     def resolvable_ref(n: dict) -> bool:
