@@ -33,6 +33,10 @@ RE_HREF = re.compile(r'href="([^"]+)"')
 RE_CSSURL = re.compile(r"url\(([^)]+)\)")
 RE_JSLOC = re.compile(r"location\.href='([^']+)'")
 RE_DATAURI = re.compile(r"data:([\w/+.-]+);base64,([A-Za-z0-9+/=]+)")
+RE_POST = re.compile(r"@post=([^:\s]+):(\S+)")       # M12 mime:b64 POST body
+RE_TLS = re.compile(r"@tls=([^@\s]+)@(\S+)")         # M26 proto@issuer
+RE_UA = re.compile(r"@ua=(\S+)")                     # M11 user agent
+RE_DUR = re.compile(r"@dur=(\d+)")                   # M8 entry duration (ms)
 
 
 def first(rx: re.Pattern, text: str) -> str:

@@ -299,6 +299,228 @@ WHERE NOT EXISTS (
 """
 
 
+# ------------------------------------------------------------- posted data
+
+
+def posted_data(flat_ds):
+    """M12 POST-body decode over the span table — the recast of the
+    reference's biggest per-record parser (nodes.py:260-498): mime-routed
+    dispatch (form-urlencoded → dict, JSON family → object, text → string,
+    undecodable bytes → ``{"_raw_b64": ...}``), emitted as one canonical JSON
+    string per POST (``sort_keys`` + compact separators) so the SQL oracle
+    can reproduce it byte-for-byte."""
+    import json
+
+    from ..functions import parse
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.match_substring(batch["text"], "@post="))
+        o = {"doc_id": [], "offset": [], "mime": [], "decoded": []}
+        for d, off, t in zip(batch["doc_id"].to_pylist(),
+                             batch["offset"].to_pylist(),
+                             batch["text"].to_pylist()):
+            for mime, b64 in parse.RE_POST.findall(t):
+                raw = parse.repair_b64(b64)
+                val = parse.decode_posted_data(mime, raw)
+                o["doc_id"].append(d)
+                o["offset"].append(off)
+                o["mime"].append(mime)
+                o["decoded"].append(
+                    json.dumps(val, sort_keys=True, separators=(",", ":")))
+        return pa.table({
+            "doc_id": pa.array(o["doc_id"], pa.string()),
+            "offset": pa.array(o["offset"], pa.int32()),
+            "mime": pa.array(o["mime"], pa.string()),
+            "decoded": pa.array(o["decoded"], pa.string()),
+        })
+
+    return flat_ds.select_columns(["doc_id", "offset", "text"]).map_batches(
+        per_batch, batch_format="pyarrow")
+
+
+def posted_data_sql(flat_path: str) -> str:
+    rx = "@post=([^:\\s]+):(\\S+)"
+    # decode() is blob→utf8 text; CAST(blob AS VARCHAR) would escape bytes
+    body = "decode(from_base64(b64))"
+    return f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+), p AS (
+    SELECT doc_id, CAST(s."offset" AS INTEGER) AS "offset",
+           regexp_extract(s.text, '{rx}', 1) AS mime,
+           regexp_extract(s.text, '{rx}', 2) AS b64
+    FROM ex WHERE regexp_matches(s.text, '@post=')
+)
+SELECT doc_id, "offset", mime,
+       CASE
+         WHEN mime LIKE '%form-urlencoded%' THEN
+           '{{' || array_to_string(list_sort(list_transform(
+               string_split({body}, '&'),
+               x -> '"' || split_part(x, '=', 1) || '":"' || split_part(x, '=', 2) || '"')), ',') || '}}'
+         WHEN mime LIKE '%json%' THEN {body}
+         WHEN mime LIKE 'text/%' THEN '"' || {body} || '"'
+         ELSE '{{"_raw_b64":"' || b64 || '"}}'
+       END AS decoded
+FROM p
+"""
+
+
+# --------------------------------------------------------- security details
+
+
+def span_security(flat_ds):
+    """M26 security-details normalize (nodes.py securityDetails analog):
+    (doc_id, offset, tls_proto, tls_issuer) for spans carrying @tls."""
+    from ..functions import parse
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.match_substring(batch["text"], "@tls="))
+        o = {"doc_id": [], "offset": [], "tls_proto": [], "tls_issuer": []}
+        for d, off, t in zip(batch["doc_id"].to_pylist(),
+                             batch["offset"].to_pylist(),
+                             batch["text"].to_pylist()):
+            for proto, issuer in parse.RE_TLS.findall(t):
+                o["doc_id"].append(d)
+                o["offset"].append(off)
+                o["tls_proto"].append(proto)
+                o["tls_issuer"].append(issuer)
+        return pa.table({
+            "doc_id": pa.array(o["doc_id"], pa.string()),
+            "offset": pa.array(o["offset"], pa.int32()),
+            "tls_proto": pa.array(o["tls_proto"], pa.string()),
+            "tls_issuer": pa.array(o["tls_issuer"], pa.string()),
+        })
+
+    return flat_ds.select_columns(["doc_id", "offset", "text"]).map_batches(
+        per_batch, batch_format="pyarrow")
+
+
+def span_security_sql(flat_path: str) -> str:
+    rx = "@tls=([^@\\s]+)@(\\S+)"
+    return f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+)
+SELECT doc_id, CAST(s."offset" AS INTEGER) AS "offset",
+       regexp_extract(s.text, '{rx}', 1) AS tls_proto,
+       regexp_extract(s.text, '{rx}', 2) AS tls_issuer
+FROM ex WHERE regexp_matches(s.text, '@tls=')
+"""
+
+
+# -------------------------------------------------------------- user agent
+
+
+def doc_user_agent(interleaved_ds, batch_size: int = 256):
+    """M11: the capture user agent — extracted from the min-offset (root)
+    span, like the reference reads the first entry's request headers
+    (har2tree.py:255-260).  Zero-shuffle per-doc on interleaved rows."""
+    from ..functions import parse
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        spans_col = batch["spans"].to_pylist()
+        out_ua = []
+        for spans in spans_col:
+            root = min(spans, key=lambda s: s["offset"])
+            out_ua.append(parse.first(parse.RE_UA, root["text"]))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.string()),
+            "user_agent": pa.array(out_ua, pa.string()),
+        })
+
+    return interleaved_ds.map_batches(per_batch, batch_format="pyarrow",
+                                      batch_size=batch_size)
+
+
+def doc_user_agent_sql(flat_path: str) -> str:
+    return f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+)
+SELECT doc_id,
+       ARG_MIN(regexp_extract(s.text, '@ua=(\\S+)', 1), s."offset") AS user_agent
+FROM ex GROUP BY doc_id
+"""
+
+
+# ----------------------------------------------------------- sidecar columns
+
+
+# public file signatures for the M18 mimetype sniff (MagicDb recast —
+# /root/reference/har2tree/helper.py:477-485; no libmagic in this container,
+# so the signature table is a built-in constant shared with the SQL oracle)
+MAGIC_SIGNATURES = [
+    (b"%PDF-", "application/pdf"),
+    (b"PK\x03\x04", "application/zip"),
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"GIF89a", "image/gif"),
+    (b"GIF87a", "image/gif"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"\x1f\x8b", "application/gzip"),
+]
+
+
+def sniff_mime(raw: bytes) -> str:
+    for sig, mime in MAGIC_SIGNATURES:
+        if raw.startswith(sig):
+            return mime
+    return ""
+
+
+def doc_sidecars(sidecar_ds):
+    """S2 sidecar table: downloaded filename/size + M18 magic-sniffed mime +
+    rendered-HTML length, per document.  Input must be the interleaved table
+    pruned to the sidecar columns (``spans`` never leaves storage)."""
+    import base64
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        fns = batch["downloaded_filename"].to_pylist()
+        b64s = batch["downloaded_b64"].to_pylist()
+        htmls = batch["rendered_html"].to_pylist()
+        n_bytes, mimes, rlens = [], [], []
+        for b, h in zip(b64s, htmls):
+            raw = base64.b64decode(b) if b else b""
+            n_bytes.append(len(raw))
+            mimes.append(sniff_mime(raw) if raw else "")
+            rlens.append(len(h) if h else 0)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.string()),
+            "downloaded_filename": pa.array(
+                [f or "" for f in fns], pa.string()),
+            "n_download_bytes": pa.array(n_bytes, pa.int64()),
+            "sniffed_mime": pa.array(mimes, pa.string()),
+            "rendered_len": pa.array(rlens, pa.int64()),
+        })
+
+    return sidecar_ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def doc_sidecars_sql(flat_path: str) -> str:
+    hx = "hex(from_base64(downloaded_b64))"
+    return f"""
+SELECT doc_id,
+       COALESCE(downloaded_filename, '') AS downloaded_filename,
+       CAST(COALESCE(octet_length(from_base64(downloaded_b64)), 0) AS BIGINT)
+           AS n_download_bytes,
+       CASE WHEN downloaded_b64 IS NULL THEN ''
+            WHEN substr({hx}, 1, 10) = '255044462D' THEN 'application/pdf'
+            WHEN substr({hx}, 1, 8) = '504B0304' THEN 'application/zip'
+            WHEN substr({hx}, 1, 16) = '89504E470D0A1A0A' THEN 'image/png'
+            WHEN substr({hx}, 1, 12) IN ('474946383961', '474946383761') THEN 'image/gif'
+            WHEN substr({hx}, 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+            WHEN substr({hx}, 1, 4) = '1F8B' THEN 'application/gzip'
+            ELSE '' END AS sniffed_mime,
+       CAST(COALESCE(length(rendered_html), 0) AS BIGINT) AS rendered_len
+FROM read_parquet('{flat_path}/*.parquet')
+"""
+
+
 # ------------------------------------------------------ embedded data-URIs
 
 

@@ -74,7 +74,8 @@ def q_flatten_spans(sf_dir: str):
     ds = flat_spans(read_interleaved(sf_dir))
     return ds.select_columns(
         ["doc_id", "offset", "kind", "media_ref", "scheme", "hostname",
-         "status", "lat", "lng", "text_len", "body_hash"]
+         "status", "lat", "lng", "text_len", "body_hash", "duration_ms",
+         "empty_response"]
     )
 
 
@@ -238,6 +239,26 @@ def q_cookies_never_sent(sf_dir: str):
     return webmeta.cookies_never_sent_interleaved(read_interleaved(sf_dir))
 
 
+def q_posted_data(sf_dir: str):
+    return webmeta.posted_data(explode_spans(
+        read_interleaved(sf_dir), ["doc_id", "offset", "text"]))
+
+
+def q_span_security(sf_dir: str):
+    return webmeta.span_security(explode_spans(
+        read_interleaved(sf_dir), ["doc_id", "offset", "text"]))
+
+
+def q_doc_user_agent(sf_dir: str):
+    return webmeta.doc_user_agent(read_interleaved(sf_dir))
+
+
+def q_doc_sidecars(sf_dir: str):
+    return webmeta.doc_sidecars(read_interleaved(
+        sf_dir, columns=["doc_id", "downloaded_filename", "downloaded_b64",
+                         "rendered_html"]))
+
+
 def q_embedded_blobs(sf_dir: str):
     return webmeta.embedded_blobs(explode_spans(
         read_interleaved(sf_dir), ["doc_id", "offset", "text"]))
@@ -327,7 +348,9 @@ def _oracle_flatten(path: str) -> str:
     return _FLAT_CTE.format(path=path) + """
 SELECT doc_id, "offset", kind, media_ref, scheme, hostname, status, lat, lng,
        CAST(length(text) AS BIGINT) AS text_len,
-       sha256(text) AS body_hash
+       sha256(text) AS body_hash,
+       COALESCE(TRY_CAST(regexp_extract(text, '@dur=(\\d+)', 1) AS BIGINT), 0) AS duration_ms,
+       regexp_matches(text, '^@geo=\\S+$') AS empty_response
 FROM flat
 """
 
@@ -611,6 +634,10 @@ _INTERLEAVED_ORACLES = {
     "host_tld": webmeta.host_tld_sql,
     "span_identifiers": webmeta.span_identifiers_sql,
     "cookies_never_sent": webmeta.cookies_never_sent_sql,
+    "posted_data": webmeta.posted_data_sql,
+    "span_security": webmeta.span_security_sql,
+    "doc_user_agent": webmeta.doc_user_agent_sql,
+    "doc_sidecars": webmeta.doc_sidecars_sql,
     "embedded_blobs": webmeta.embedded_blobs_sql,
     "urls_in_doc": webmeta.urls_in_doc_sql,
     "capture_stats": stats.capture_stats_sql,
@@ -661,6 +688,11 @@ def queries() -> dict[str, Callable]:
         "host_tld": q_host_tld,
         "span_identifiers": q_span_identifiers,
         "cookies_never_sent": q_cookies_never_sent,
+        # M12 POST decode, M26 security details, M11 user agent, S2/M18 sidecars
+        "posted_data": q_posted_data,
+        "span_security": q_span_security,
+        "doc_user_agent": q_doc_user_agent,
+        "doc_sidecars": q_doc_sidecars,
         "embedded_blobs": q_embedded_blobs,
         "urls_in_doc": q_urls_in_doc,
         "capture_stats": q_capture_stats,

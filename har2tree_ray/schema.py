@@ -33,6 +33,13 @@ INTERLEAVED_SCHEMA = pa.schema(
     [
         pa.field("doc_id", pa.string()),
         pa.field("spans", pa.list_(SPAN_STRUCT)),
+        # S2 sidecar columns — the recast of the reference's per-capture
+        # sidecar files (<stem>.data downloaded blob, .data.filename,
+        # rendered .html — /root/reference/har2tree/har2tree.py:158-179):
+        # nullable document-level columns instead of extra files.
+        pa.field("downloaded_filename", pa.string()),
+        pa.field("downloaded_b64", pa.string()),
+        pa.field("rendered_html", pa.string()),
     ]
 )
 
@@ -58,6 +65,8 @@ FLAT_SPAN_SCHEMA = pa.schema(
         pa.field("lng", pa.float64()),
         pa.field("text_len", pa.int64()),
         pa.field("body_hash", pa.string()),     # sha256 hex of text — nodes.py:555 analog
+        pa.field("duration_ms", pa.int64()),    # M8 entry duration (@dur=, 0 if absent)
+        pa.field("empty_response", pa.bool_()),  # M16 empty-body flag (nodes.py:545-553)
     ]
 )
 

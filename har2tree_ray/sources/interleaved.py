@@ -21,12 +21,13 @@ from ..synth import ensure_interleaved
 def read_interleaved(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
     """Read (synthesizing on first use) the interleaved table for a tier.
 
-    ``columns`` prunes at the read (parquet column projection) — e.g. a
-    pipeline that only needs span structure should not lift ``text`` payloads
-    off storage.
+    ``columns`` prunes at the read (parquet column projection).  The default
+    is ``(doc_id, spans)`` — NOT the full schema — so the sidecar payload
+    columns (downloaded blob, rendered html) never leave storage unless a
+    pipeline asks for them explicitly (doc_sidecars passes its own list).
     """
     path = ensure_interleaved(sf_dir)
-    return rd.read_parquet(path, columns=columns)
+    return rd.read_parquet(path, columns=columns or ["doc_id", "spans"])
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:

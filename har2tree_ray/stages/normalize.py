@@ -80,6 +80,10 @@ def flatten_normalize(batch: pa.Table) -> pa.Table:
             "lng": pa.array(lng, pa.float64()),
             "text_len": pc.cast(pc.utf8_length(text), pa.int64()),
             "body_hash": pa.array(bhash, pa.string()),
+            # M8 duration + M16 empty-body flag — pure Arrow kernels
+            "duration_ms": pc.fill_null(pc.cast(pc.struct_field(
+                pc.extract_regex(text, r"@dur=(?P<d>\d+)"), "d"), pa.int64()), 0),
+            "empty_response": pc.match_substring_regex(text, r"^@geo=\S+$"),
         },
         schema=FLAT_SPAN_SCHEMA,
     )

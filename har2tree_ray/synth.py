@@ -48,7 +48,7 @@ import pyarrow.parquet as pq
 
 from .schema import INTERLEAVED_SCHEMA
 
-SYNTH_VERSION = 6  # bump to invalidate /tmp caches when generation changes
+SYNTH_VERSION = 7  # bump to invalidate /tmp caches when generation changes
 
 _GTAG_ALPHABET = np.array(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"))
 
@@ -102,18 +102,59 @@ def _url(rs: np.random.RandomState, kind: str, host_idx: int, n: int) -> str:
 
 
 def generate_capture(cap_idx: int, seed: int = 42) -> list[dict]:
-    """Generate one capture (1-4 docs) → list of {doc_id, spans} rows."""
+    """Generate one capture (1-4 docs) → list of
+    {doc_id, spans, downloaded_filename, downloaded_b64, rendered_html} rows."""
     rs = np.random.RandomState((seed * 1_000_003 + cap_idx) % (2**31 - 1))
     n_docs = 1 + rs.randint(0, 4)
     rows = []
     landing_url = None
     for j in range(n_docs):
         doc_id = f"cap{cap_idx:07d}.{j}"
-        spans, landing = _generate_doc(rs, doc_id, root_referer=landing_url if j else None)
+        spans, landing, extra = _generate_doc(rs, doc_id, root_referer=landing_url if j else None)
         if j == 0:
             landing_url = landing
-        rows.append({"doc_id": doc_id, "spans": spans})
+        rows.append({"doc_id": doc_id, "spans": spans, **extra})
     return rows
+
+
+# downloaded-blob magic prefixes (public file signatures) — drives the M18
+# mimetype sniff; the last entry is a random unknown payload
+_MAGIC_PREFIXES = [
+    (b"%PDF-", "pdf"),
+    (b"PK\x03\x04", "zip"),
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"GIF89a", "gif"),
+    (b"\xff\xd8\xff", "jpg"),
+    (b"\x1f\x8b", "gz"),
+    (b"", "bin"),
+]
+
+
+def _gen_post(rs: np.random.RandomState) -> str:
+    """One ``mime:b64`` POST payload (M12 decode fixture).  JSON bodies are
+    written in the canonical form ``json.dumps(sort_keys, separators)`` the
+    decoder re-emits, so decode→re-encode round-trips byte-identical."""
+    r = rs.random_sample()
+    if r < 0.3:
+        n = int(rs.randint(1, 4))
+        raw = "&".join(f"k{i}=v{int(rs.randint(0, 99))}" for i in range(n)).encode()
+        mime = "application/x-www-form-urlencoded"
+    elif r < 0.6:
+        n = int(rs.randint(1, 4))
+        obj = {f"k{i}": (int(rs.randint(0, 999)) if rs.random_sample() < 0.5
+                         else f"s{int(rs.randint(0, 99))}") for i in range(n)}
+        raw = json.dumps(obj, sort_keys=True, separators=(",", ":")).encode()
+        mime = "application/json"
+    elif r < 0.8:
+        raw = " ".join(_VOCAB[int(k)]
+                       for k in rs.randint(0, len(_VOCAB), size=4)).encode()
+        mime = "text/plain"
+    else:
+        # \xff\xfe prefix guarantees invalid UTF-8 → the raw-bytes branch
+        raw = b"\xff\xfe" + bytes(
+            rs.randint(0, 256, size=10, dtype=np.int32).astype(np.uint8))
+        mime = "application/octet-stream"
+    return f"{mime}:{base64.b64encode(raw).decode()}"
 
 
 def _generate_doc(rs: np.random.RandomState, doc_id: str, root_referer: str | None):
@@ -240,6 +281,7 @@ def _generate_doc(rs: np.random.RandomState, doc_id: str, root_referer: str | No
                    and rs.random_sample() < 0.25}
 
     # -------- pass 2: render text, assign offsets, shuffle physical order
+    ua = f"UA/{int(rs.randint(0, 6))}.0-gecko"  # M11 capture user agent
     out = []
     for off, s in enumerate(spans):
         if off in boilerplate:
@@ -251,6 +293,15 @@ def _generate_doc(rs: np.random.RandomState, doc_id: str, root_referer: str | No
             continue
         lat, lng = _geo(s["host_idx"], off)
         parts = [f"@geo={lat:.6f},{lng:.6f}"]
+        # M16: ~3% of directive-free non-root spans render an empty body
+        # (text is the bare geo token — the empty_response flag's fixture)
+        if (off != 0 and not s["directives"] and not s["refs"]
+                and s["status"] == 200 and rs.random_sample() < 0.03):
+            out.append({"kind": s["kind"], "text": parts[0],
+                        "media_ref": s["url"], "offset": off})
+            continue
+        if off == 0:
+            parts.append(f"@ua={ua}")
         if s["status"] != 200:
             parts.append(f"@status={s['status']}")
         parts.extend(s["directives"])
@@ -279,12 +330,39 @@ def _generate_doc(rs: np.random.RandomState, doc_id: str, root_referer: str | No
                 parts.append(f"gtag {prefix}{tag}")
             elif r_id < 0.15:
                 parts.append("gtag G-12345678")  # blocklisted placeholder
+        # M8 entry duration
+        if rs.random_sample() < 0.9:
+            parts.append(f"@dur={int(rs.randint(1, 2000))}")
+        # M26 security details on https document spans
+        if (s["kind"] == "document" and s["url"].startswith("https://")
+                and rs.random_sample() < 0.3):
+            proto = "TLSv1.3" if rs.random_sample() < 0.7 else "TLSv1.2"
+            issuer = ["LetsEncrypt", "DigiCert", "GTS", "SelfSigned"][int(rs.randint(0, 4))]
+            parts.append(f"@tls={proto}@{issuer}")
+        # M12 posted data (one POST body per span at most)
+        if rs.random_sample() < 0.06:
+            parts.append("@post=" + _gen_post(rs))
         n_filler = int(rs.randint(3, 40))
         parts.extend(_VOCAB[int(k)] for k in rs.randint(0, len(_VOCAB), size=n_filler))
         out.append({"kind": s["kind"], "text": " ".join(parts),
                     "media_ref": s["url"], "offset": off})
+    # S2 sidecars: downloaded blob (magic-prefixed — M18 sniff fixture) and
+    # rendered HTML, as nullable doc columns
+    extra = {"downloaded_filename": None, "downloaded_b64": None,
+             "rendered_html": None}
+    if rs.random_sample() < 0.12:
+        magic, ext = _MAGIC_PREFIXES[int(rs.randint(0, len(_MAGIC_PREFIXES)))]
+        payload = magic + bytes(
+            rs.randint(0, 256, size=int(rs.randint(8, 64)),
+                       dtype=np.int32).astype(np.uint8))
+        extra["downloaded_filename"] = f"dl{int(rs.randint(0, 1000))}.{ext}"
+        extra["downloaded_b64"] = base64.b64encode(payload).decode()
+    if rs.random_sample() < 0.5:
+        extra["rendered_html"] = (
+            f'<html><body><a href="{landing}">home</a> '
+            f"{len(out)} spans</body></html>")
     perm = rs.permutation(len(out))
-    return [out[int(i)] for i in perm], landing
+    return [out[int(i)] for i in perm], landing, extra
 
 
 # ------------------------------------------------------------- batch + write

@@ -15,10 +15,41 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.mark.parametrize("name", [
     "span_hhhash", "doc_domhash", "host_tld", "span_identifiers",
-    "cookies_never_sent",
+    "cookies_never_sent", "posted_data", "span_security", "doc_user_agent",
+    "doc_sidecars",
 ])
 def test_oracle_parity(name):
     assert_matches_oracle(name, SF)
+
+
+def test_posted_data_decode_branches():
+    """Every M12 decode branch round-trips: form→dict, json→object,
+    text→string, binary→_raw_b64 (reference nodes.py:260-498)."""
+    import base64
+
+    from har2tree_ray.functions.parse import decode_posted_data
+
+    assert decode_posted_data(
+        "application/x-www-form-urlencoded", b"a=1&b=x") == {"a": "1", "b": "x"}
+    assert decode_posted_data("application/json", b'{"k":1}') == {"k": 1}
+    assert decode_posted_data("text/plain", b"alpha bravo") == "alpha bravo"
+    raw = b"\xff\xfebinary"
+    out = decode_posted_data("application/octet-stream", raw)
+    assert out == {"_raw_b64": base64.b64encode(raw).decode()}
+    # base64-flagged mimetype repairs transport encoding first
+    assert decode_posted_data(
+        "application/json;base64",
+        base64.b64encode(b'{"z":2}').decode()) == {"z": 2}
+
+
+def test_magic_sniff_signatures():
+    from har2tree_ray.pipelines.webmeta import sniff_mime
+
+    assert sniff_mime(b"%PDF-1.7 rest") == "application/pdf"
+    assert sniff_mime(b"\x89PNG\r\n\x1a\nxx") == "image/png"
+    assert sniff_mime(b"GIF87a..") == "image/gif"
+    assert sniff_mime(b"\x1f\x8bzz") == "application/gzip"
+    assert sniff_mime(b"plain bytes") == ""
 
 
 def test_hhhash_consecutive_dedup():
