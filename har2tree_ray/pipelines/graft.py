@@ -117,6 +117,8 @@ def redirect_chain_interleaved(interleaved_ds, batch_size: int = 256):
         spans_col = batch["spans"].to_pylist()
         out_doc, out_hop, out_url = [], [], []
         for did, spans in zip(ids, spans_col):
+            if not spans:  # empty capture (e.g. a HAR with no entries)
+                continue
             _, chain = _row_chain(spans)
             out_doc.extend([did] * len(chain))
             out_hop.extend(range(len(chain)))
@@ -140,6 +142,8 @@ def landing_interleaved(interleaved_ds, batch_size: int = 256):
         spans_col = batch["spans"].to_pylist()
         out = {"doc_id": [], "root_url": [], "landing_url": [], "n_hops": []}
         for did, spans in zip(ids, spans_col):
+            if not spans:
+                continue
             _, chain = _row_chain(spans)
             out["doc_id"].append(did)
             out["root_url"].append(chain[0])
@@ -196,6 +200,8 @@ def doc_summaries_interleaved(interleaved_ds, batch_size: int = 256):
         spans_col = batch["spans"].to_pylist()
         out = {"doc_id": [], "root_url": [], "landing_url": [], "root_referer": []}
         for did, spans in zip(ids, spans_col):
+            if not spans:
+                continue
             spans, chain = _row_chain(spans)
             t0 = spans[0]["text"]
             out["doc_id"].append(did)

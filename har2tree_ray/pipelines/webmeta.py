@@ -424,12 +424,15 @@ def doc_user_agent(interleaved_ds, batch_size: int = 256):
     def per_batch(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
         spans_col = batch["spans"].to_pylist()
-        out_ua = []
-        for spans in spans_col:
+        out_ids, out_ua = [], []
+        for did, spans in zip(ids, spans_col):
+            if not spans:
+                continue
             root = min(spans, key=lambda s: s["offset"])
+            out_ids.append(did)
             out_ua.append(parse.first(parse.RE_UA, root["text"]))
         return pa.table({
-            "doc_id": pa.array(ids, pa.string()),
+            "doc_id": pa.array(out_ids, pa.string()),
             "user_agent": pa.array(out_ua, pa.string()),
         })
 

@@ -173,6 +173,20 @@ def q_graft_edges(sf_dir: str):
     return graft.graft_edges_interleaved(read_interleaved(sf_dir))
 
 
+def q_har_edges(_sf_dir: str):
+    """Tree cascade over REAL ingested HAR captures (S1 source path) —
+    the reference's own test corpus when present (tests/test.py:15-26),
+    else any directory of .har files via $GRAFT_HAR_DIR.  Rows-only: no SQL
+    oracle can parse HAR, but the cascade itself is parity-tested against
+    tree_oracle on these same files (tests/test_har.py)."""
+    import os
+
+    from .sources.har import read_har_dir
+
+    d = os.environ.get("GRAFT_HAR_DIR", "/root/reference/tests/data/lalibre")
+    return tree.build_edges_interleaved(read_har_dir(d))
+
+
 # ------------------------------------------- documents / embeddings tables
 # (training-data pipeline operators — text analysis, dedup family, ANN)
 
@@ -669,6 +683,7 @@ def queries() -> dict[str, Callable]:
         "host_edges": q_host_edges,
         "graft_edges": q_graft_edges,
         "host_tree_json": q_host_tree_json,  # S3 render sink — rows-only
+        "har_edges": q_har_edges,            # S1 real-HAR source — rows-only
         # training-data pipeline operators (documents / embeddings tables)
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,

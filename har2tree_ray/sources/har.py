@@ -1,0 +1,192 @@
+"""Real-HAR ingestion (S1/S4): HAR JSON capture files (``.har`` /
+``.har.gz``) → the engine's interleaved document schema.
+
+The reference consumes one HAR dict per document and sorts its entries by
+``startedDateTime`` (/root/reference/har2tree/har2tree.py:108-183); here each
+HAR file becomes ONE interleaved row whose spans carry the same evidence the
+reference extracts per entry, re-encoded as the engine's directive
+vocabulary:
+
+* ``@status``     — response.status
+* ``@redirect``   — response.redirectURL (M24)
+* ``@referer``    — request Referer header (J3; har2tree.py:249-253)
+* ``@ua``         — first entry's User-Agent header (M11; har2tree.py:255-260)
+* ``@initiator``  — Chrome ``_initiator`` url / top stack frame (M25)
+* ``@dur``        — entry.time ms (M8)
+* ``@cookie`` / ``@setcookie`` — request/response cookie headers (M14/M15)
+* ``@post``       — request.postData as ``mime:b64`` (M12)
+* response body text is appended verbatim so markup evidence
+  (``src=``/``href=``/``url()``/``location.href``) feeds the external-
+  resource joins exactly like the reference's soup pass (M19/M31).
+
+Directive values are single tokens (spaces → ``%20``) because the directive
+grammar is whitespace-delimited; ``media_ref`` keeps the raw URL.
+
+Scale shape: file paths fan out through ``from_items → map_batches`` so
+parsing is distributed (one task per few files), and the output is a normal
+interleaved Dataset — every downstream pipeline (cascade, chains, rollups)
+runs on it unchanged.
+"""
+
+from __future__ import annotations
+
+import base64
+import glob
+import gzip
+import json
+import os
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..schema import INTERLEAVED_SCHEMA
+
+_BODY_CAP = 200_000  # chars of response body kept per span
+
+
+def _tok(v: str) -> str:
+    """Directive values must be single whitespace-free tokens."""
+    return v.replace(" ", "%20").replace("\t", "%09").replace("\n", "%0A")
+
+
+def _header(headers: list[dict], name: str) -> str:
+    for h in headers or []:
+        if h.get("name", "").lower() == name:
+            return h.get("value", "") or ""
+    return ""
+
+
+def _kind(mime: str, url: str) -> str:
+    m = (mime or "").lower()
+    if "html" in m:
+        return "document"
+    if "javascript" in m or "ecmascript" in m:
+        return "script"
+    if "css" in m:
+        return "css"
+    if m.startswith("image/"):
+        return "img"
+    if m.startswith(("audio/", "video/")) or "shockwave" in m:
+        return "media"
+    if "font" in m or url.split("?")[0].endswith((".woff", ".woff2", ".ttf")):
+        return "font"
+    return "other"
+
+
+def _initiator_url(entry: dict) -> str:
+    ini = entry.get("_initiator")
+    if not isinstance(ini, dict):
+        return ""
+    if ini.get("url"):
+        return ini["url"]
+    stack = ini.get("stack") or {}
+    frames = stack.get("callFrames") or []
+    if frames and frames[0].get("url"):
+        return frames[0]["url"]
+    return ""
+
+
+def har_entries_to_spans(entries: list[dict]) -> list[dict]:
+    """HAR entries → span structs (offset = startedDateTime sort rank)."""
+    entries = sorted(entries, key=lambda e: e.get("startedDateTime", ""))
+    spans = []
+    for off, e in enumerate(entries):
+        req = e.get("request", {}) or {}
+        resp = e.get("response", {}) or {}
+        url = req.get("url", "") or ""
+        parts = []
+        status = resp.get("status", 0)
+        if status != 200:
+            parts.append(f"@status={status}")
+        rurl = resp.get("redirectURL") or ""
+        if rurl:
+            parts.append(f"@redirect={_tok(rurl)}")
+        ref = _header(req.get("headers"), "referer")
+        if ref:
+            parts.append(f"@referer={_tok(ref)}")
+        if off == 0:
+            ua = _header(req.get("headers"), "user-agent")
+            if ua:
+                parts.append(f"@ua={_tok(ua)}")
+        ini = _initiator_url(e)
+        if ini:
+            parts.append(f"@initiator={_tok(ini)}")
+        if e.get("time") is not None:
+            parts.append(f"@dur={max(0, int(e['time']))}")
+        sent = _header(req.get("headers"), "cookie")
+        if sent:
+            for kv in sent.split(";"):
+                kv = kv.strip()
+                if "=" in kv:
+                    n, v = kv.split("=", 1)
+                    if n:
+                        parts.append(f"@cookie={_tok(n)}={_tok(v) or '-'}")
+        for h in resp.get("headers") or []:
+            if h.get("name", "").lower() != "set-cookie":
+                continue
+            for line in (h.get("value") or "").split("\n"):
+                seg = line.split(";")
+                if "=" not in seg[0]:
+                    continue
+                n, v = seg[0].strip().split("=", 1)
+                dom = ""
+                for attr in seg[1:]:
+                    a = attr.strip()
+                    if a.lower().startswith("domain="):
+                        dom = a.split("=", 1)[1].lstrip(".")
+                host = url.split("://", 1)[-1].split("/", 1)[0].split(":")[0]
+                if n:
+                    parts.append(
+                        f"@setcookie={_tok(n)}={_tok(v) or '-'}@{_tok(dom or host)}")
+        post = req.get("postData") or {}
+        if post.get("text") is not None:
+            mime = _tok(post.get("mimeType") or "")
+            b64 = base64.b64encode(post["text"].encode("utf-8", "replace")).decode()
+            parts.append(f"@post={mime or 'text/plain'}:{b64}")
+        mime = (resp.get("content") or {}).get("mimeType", "")
+        body = (resp.get("content") or {}).get("text") or ""
+        if (resp.get("content") or {}).get("encoding") == "base64":
+            try:
+                body = base64.b64decode(body).decode("utf-8", "replace")
+            except Exception:
+                body = ""
+        text = " ".join(parts)
+        if body and _kind(mime, url) in ("document", "script", "css"):
+            text = (text + " " + body[:_BODY_CAP]) if text else body[:_BODY_CAP]
+        spans.append({"kind": _kind(mime, url), "text": text,
+                      "media_ref": url, "offset": off})
+    return spans
+
+
+def har_file_to_row(path: str, doc_id: str) -> dict:
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt", encoding="utf-8", errors="replace") as f:
+        h = json.load(f)
+    entries = (h.get("log") or {}).get("entries") or []
+    return {"doc_id": doc_id, "spans": har_entries_to_spans(entries),
+            "downloaded_filename": None, "downloaded_b64": None,
+            "rendered_html": None}
+
+
+def read_har_dir(dir_path: str, capture_id: str | None = None,
+                 batch_size: int = 4) -> rd.Dataset:
+    """All ``*.har`` / ``*.har.gz`` under a directory → interleaved Dataset.
+
+    One document per file, ``doc_id = <capture>.<file index>`` (sorted file
+    order — the CrawledTree multi-HAR convention, parser.py:30-41).  Paths
+    fan out as items so the JSON parse runs distributed."""
+    cap = capture_id or os.path.basename(os.path.normpath(dir_path))
+    paths = sorted(glob.glob(os.path.join(dir_path, "*.har"))
+                   + glob.glob(os.path.join(dir_path, "*.har.gz")))
+    items = [{"path": p, "doc_id": f"{cap}.{i}"} for i, p in enumerate(paths)]
+    if not items:
+        return rd.from_arrow(pa.Table.from_pylist([], schema=INTERLEAVED_SCHEMA))
+
+    def load(batch: dict) -> pa.Table:
+        rows = [har_file_to_row(p, d)
+                for p, d in zip(batch["path"], batch["doc_id"])]
+        return pa.Table.from_pylist(rows, schema=INTERLEAVED_SCHEMA)
+
+    return rd.from_items(items).map_batches(
+        load, batch_format="numpy", batch_size=batch_size)

@@ -1,0 +1,132 @@
+"""Real-HAR ingestion parity: the S1 source path over the reference's own
+test corpus (/root/reference/tests/data — PUBLIC captures the reference's
+tests build CrawledTrees from, tests/test.py:15-26, simple_test.py:29-50).
+
+Invariants mirrored from the reference test strategy:
+* span count per document == HAR entry count (entry sort, har2tree.py:181-183);
+* the initial redirect chain follows response.redirectURL hop by hop
+  (simple_test redirects assertions);
+* the user agent is the first entry's request header (simple_test.py:49-50);
+* the cascade on HAR-derived spans equals the independent tree oracle.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+LALIBRE = "/root/reference/tests/data/lalibre"
+SINGLES = "/root/reference/tests/data"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(LALIBRE), reason="reference HAR corpus not present")
+
+
+def _paths():
+    return sorted(glob.glob(os.path.join(LALIBRE, "*.har")))
+
+
+def _entries(path):
+    with open(path) as f:
+        h = json.load(f)
+    return sorted(h["log"]["entries"], key=lambda e: e.get("startedDateTime", ""))
+
+
+def test_span_counts_match_entry_counts():
+    from har2tree_ray.sources.har import read_har_dir
+
+    df = read_har_dir(LALIBRE).to_pandas()
+    paths = _paths()
+    assert len(df) == len(paths) > 200
+    by_id = df.set_index("doc_id")
+    for i in (0, 7, len(paths) - 1):
+        assert len(by_id.loc[f"lalibre.{i}", "spans"]) == len(_entries(paths[i]))
+
+
+def test_span_sequence_preserved():
+    """Per-row invariant: (kind inference aside) media_ref and offset follow
+    the startedDateTime order of the raw entries."""
+    from har2tree_ray.sources.har import har_entries_to_spans
+
+    entries = _entries(_paths()[0])
+    spans = har_entries_to_spans(entries)
+    assert [s["offset"] for s in spans] == list(range(len(entries)))
+    assert [s["media_ref"] for s in spans] == [e["request"]["url"] for e in entries]
+
+
+def test_redirect_chain_follows_har_redirects():
+    """Independently walk response.redirectURL from the first entry and
+    compare with the engine's landing resolution."""
+    import ray
+
+    from har2tree_ray.pipelines.graft import landing_interleaved
+    from har2tree_ray.sources.har import read_har_dir
+
+    assert ray.is_initialized()
+    out = landing_interleaved(read_har_dir(LALIBRE)).to_pandas().set_index("doc_id")
+    checked = 0
+    for i, p in enumerate(_paths()[:25]):
+        entries = _entries(p)
+        urls = [e["request"]["url"] for e in entries]
+        reds = [e["response"].get("redirectURL") or "" for e in entries]
+        first = {}
+        for j, u in enumerate(urls):
+            first.setdefault(u, j)
+        chain, cur = [urls[0]], 0
+        while True:
+            t = reds[cur]
+            if not t or t not in first or first[t] <= cur or len(chain) > 16:
+                break
+            cur = first[t]
+            chain.append(urls[cur])
+        row = out.loc[f"lalibre.{i}"]
+        assert row["root_url"] == chain[0]
+        assert row["landing_url"] == chain[-1]
+        assert row["n_hops"] == len(chain) - 1
+        checked += len(chain) > 1
+    assert checked > 0, "corpus should contain at least one real redirect"
+
+
+def test_user_agent_from_first_entry():
+    from har2tree_ray.sources.har import read_har_dir
+    from har2tree_ray.pipelines.webmeta import doc_user_agent
+
+    entries = _entries(_paths()[0])
+    ua = next(h["value"] for h in entries[0]["request"]["headers"]
+              if h["name"].lower() == "user-agent")
+    out = doc_user_agent(read_har_dir(LALIBRE)).to_pandas().set_index("doc_id")
+    assert out.loc["lalibre.0", "user_agent"] == ua.replace(" ", "%20")
+
+
+def test_cascade_parity_on_real_hars():
+    """Engine cascade == independent recursive oracle on real captures."""
+    from har2tree_ray.sources.har import har_entries_to_spans
+    from tests.test_tree import _edges
+    from tests.tree_oracle import build_tree_oracle
+
+    for p in _paths()[:20] + [os.path.join(SINGLES, "circl.har"),
+                              os.path.join(SINGLES, "nyt.har")]:
+        spans = har_entries_to_spans(_entries(p))
+        got, _dropped = _edges(spans)
+        want = build_tree_oracle(spans)
+        assert got == want, p
+
+
+def test_har_edges_tree_shape():
+    """Every doc has exactly one root and depths are parent+1 consistent."""
+    from har2tree_ray import queries as q
+
+    edges = q.queries()["har_edges"]("/root/testdata/sf0.001").to_pandas()
+    # lalibre: 216 captures, most hold 1-3 entries, 001.har holds 615
+    assert len(edges) > 2_000
+    roots = edges[edges["parent_offset"] == -1]
+    assert roots.groupby("doc_id").size().eq(1).all()
+    assert set(roots["attach_rule"]) == {"root"}
+    d = edges.set_index(["doc_id", "child_offset"])["depth"]
+    kids = edges[edges["parent_offset"] >= 0]
+    parent_depth = d.reindex(
+        list(zip(kids["doc_id"], kids["parent_offset"]))).to_numpy()
+    assert (kids["depth"].to_numpy() == parent_depth + 1).all()
