@@ -141,8 +141,8 @@ def run_bench(sf_dir: str, num_cpus: int, names: list[str],
 
 # Scaling is measured over the flagship pipeline STAGES (tiling, parse +
 # cascade, host rollup, spatial join, render) rather than the single headline
-# query, and on the bigger synthetic-only sf0.3 tier: each stage is
-# compute-dominated and the 3x input amortizes Ray's ~1 s per-pipeline fixed
+# query, and on the bigger synthetic-only sf0.5 tier: each stage is
+# compute-dominated and the 5x input amortizes Ray's ~1 s per-pipeline fixed
 # cost, so the measurement reflects how the engine's WORK scales with cores.
 # (sf0.5: ~100k docs / ~3.9M spans, synthetic-only, cached under /tmp.)
 SCALING_QUERIES = ["tile_rollup", "edges", "host_rollup", "knn_referrer",
@@ -163,21 +163,27 @@ def _spawn_suite(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
 
 
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32, reps: int = 2) -> dict:
-    """Paired best-of-N: this shared-host VM's deliverable CPU drifts by
-    ±20% over minutes (see --cpu-baseline), so each rep runs BOTH levels
-    back-to-back (lo then hi) and the efficiency is taken from the best
-    pair — adjacent-in-time runs see the same host conditions, which an
-    unpaired min-per-level estimate does not."""
+    """Paired reps: this shared-host VM's deliverable CPU drifts by ±20%
+    over minutes (see --cpu-baseline), so each rep runs BOTH levels
+    back-to-back (lo then hi) — adjacent-in-time runs see the same host
+    conditions, which an unpaired min-per-level estimate does not.
+
+    Reports the BEST pair as the headline (labelled best-of-N) **and** the
+    median pair plus every per-pair efficiency, so the recorded number can
+    be judged against the spread rather than standing alone."""
+    import statistics
+
     pairs = []
     for _ in range(reps):
         r_lo = _spawn_suite(sf_dir, lo, SCALING_QUERIES)
         r_hi = _spawn_suite(sf_dir, hi, SCALING_QUERIES)
         pairs.append((sum(r_lo["queries"].values()),
                       sum(r_hi["queries"].values()), r_hi["n_docs"]))
+    factor = hi / lo
+    effs = [round((p[0] / p[1]) / factor, 3) for p in pairs]
     t_lo, t_hi, n_docs = max(pairs, key=lambda p: (p[0] / p[1]))
     thr_lo = round(n_docs / t_lo, 1)
     thr_hi = round(n_docs / t_hi, 1)
-    factor = hi / lo
     eff = round((thr_hi / thr_lo) / factor, 3) if thr_lo else None
     return {
         "metric": "pipeline throughput scaling efficiency (N -> 4N CPUs, fresh ray.init each)",
@@ -191,6 +197,9 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32, reps: int = 2) -> dict:
         },
         "scaling_factor": factor,
         "efficiency": eff,
+        "efficiency_selection": f"best-of-{reps} paired reps",
+        "efficiency_per_pair": effs,
+        "efficiency_median": round(statistics.median(effs), 3),
     }
 
 

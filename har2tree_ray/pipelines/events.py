@@ -176,21 +176,33 @@ def props_rollup(events_ds):
 
     def partial(batch: pa.Table) -> pa.Table:
         types = batch["event_type"].to_pylist()
-        ks = [json.loads(p).get("k", 0) for p in batch["props"].to_pylist()]
-        df = pd.DataFrame({"event_type": types, "k": ks})
-        g = df.groupby("event_type", sort=False)["k"].agg(["sum", "count", "max"])
-        g.columns = ["part_sum", "part_n", "part_max"]
+        ks = []
+        for p in batch["props"].to_pylist():
+            # rows whose props are null/malformed or lack 'k' are SKIPPED by
+            # sum/max (SQL NULL semantics — the oracle's SUM/MAX do the same)
+            # but still counted in n (COUNT(*))
+            try:
+                v = json.loads(p) if p else None
+            except (ValueError, TypeError):
+                v = None
+            ks.append(v.get("k") if isinstance(v, dict) else None)
+        df = pd.DataFrame({"event_type": types,
+                           "k": pd.array(ks, dtype="Int64")})
+        g = df.groupby("event_type", sort=False).agg(
+            part_sum=("k", "sum"), part_n=("k", "size"),
+            part_max=("k", "max"), part_cnt=("k", "count"))
         return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
 
     partials = events_ds.map_batches(partial, batch_format="pyarrow")
 
     def merge(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
+        has_k = int(df["part_cnt"].sum()) > 0
         return pa.Table.from_pandas(pd.DataFrame({
             "event_type": [df["event_type"].iloc[0]],
-            "sum_k": [int(df["part_sum"].sum())],
+            "sum_k": [int(df["part_sum"].sum()) if has_k else None],
             "n": [int(df["part_n"].sum())],
-            "max_k": [int(df["part_max"].max())],
+            "max_k": [int(df["part_max"].max()) if has_k else None],
         }), preserve_index=False)
 
     return partials.groupby("event_type").map_groups(merge, batch_format="pyarrow")

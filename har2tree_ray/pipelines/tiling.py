@@ -24,28 +24,32 @@ from ..util import pre_shuffle_coalesce
 DEFAULT_RES = 8
 
 
-def _encode_batch(batch: pa.Table, res: int) -> pa.Table:
+def _encode_batch(batch: pa.Table, res: int, keep: tuple[str, ...] = ()) -> pa.Table:
     lat = batch["lat"].to_numpy(zero_copy_only=False)
     lng = batch["lng"].to_numpy(zero_copy_only=False)
     ix, iy = geo.cell_xy(lat, lng, res)
     cid = geo.cell_id(ix, iy, res)
     pid = geo.parent_cell_id(ix, iy, res)
-    return pa.table(
-        {
-            "doc_id": batch["doc_id"],
-            "offset": batch["offset"],
-            "res": pa.array(np.full(len(cid), res, dtype=np.int32)),
-            "cell_x": pa.array(ix),
-            "cell_y": pa.array(iy),
-            "cell_id": pa.array(cid),
-            "parent_cell_id": pa.array(pid),
-        }
-    )
+    cols = {
+        "doc_id": batch["doc_id"],
+        "offset": batch["offset"],
+        "res": pa.array(np.full(len(cid), res, dtype=np.int32)),
+        "cell_x": pa.array(ix),
+        "cell_y": pa.array(iy),
+        "cell_id": pa.array(cid),
+        "parent_cell_id": pa.array(pid),
+    }
+    for c in keep:
+        cols[c] = batch[c]
+    return pa.table(cols)
 
 
-def tile_assign(flat_ds, res: int = DEFAULT_RES):
-    """Flat span Dataset → TILE_SCHEMA Dataset (map-only)."""
-    return flat_ds.map_batches(lambda b: _encode_batch(b, res), batch_format="pyarrow")
+def tile_assign(flat_ds, res: int = DEFAULT_RES, keep: tuple[str, ...] = ()):
+    """Flat span Dataset → TILE_SCHEMA Dataset (map-only).  ``keep`` passes
+    extra input columns through (e.g. ``hostname`` so a checkpointed assign
+    output can feed the full rollup without re-flattening the source)."""
+    return flat_ds.map_batches(lambda b: _encode_batch(b, res, keep),
+                               batch_format="pyarrow")
 
 
 def _rollup_partial(batch: pa.Table, res: int) -> pa.Table:
@@ -68,6 +72,22 @@ def _rollup_partial(batch: pa.Table, res: int) -> pa.Table:
     return g.rename_columns(["cell_id", "doc_id", "hostname", "partial_n"])
 
 
+def _finalize_cells(t: pa.Table) -> pa.Table:
+    # one whole cell_id group per call: exact distincts over the partials
+    g = t.group_by("cell_id").aggregate(
+        [("partial_n", "sum"), ("doc_id", "count_distinct"), ("hostname", "count_distinct")]
+    )
+    g = g.rename_columns(["cell_id", "n_spans", "n_docs", "n_hosts"])
+    return pa.table(
+        {
+            "cell_id": g["cell_id"],
+            "n_spans": pc.cast(g["n_spans"], pa.int64()),
+            "n_docs": pc.cast(g["n_docs"], pa.int64()),
+            "n_hosts": pc.cast(g["n_hosts"], pa.int64()),
+        }
+    )
+
+
 def tile_rollup(flat_ds, res: int = DEFAULT_RES):
     """Per-cell rollup: n_spans, n_docs, n_hosts.
 
@@ -78,25 +98,25 @@ def tile_rollup(flat_ds, res: int = DEFAULT_RES):
         lambda b: _rollup_partial(b, res), batch_format="pyarrow"
     )
 
-    def finalize(t: pa.Table) -> pa.Table:
-        # one whole cell_id group per call: exact distincts over the partials
-        g = t.group_by("cell_id").aggregate(
-            [("partial_n", "sum"), ("doc_id", "count_distinct"), ("hostname", "count_distinct")]
-        )
-        g = g.rename_columns(["cell_id", "n_spans", "n_docs", "n_hosts"])
-        return pa.table(
-            {
-                "cell_id": g["cell_id"],
-                "n_spans": pc.cast(g["n_spans"], pa.int64()),
-                "n_docs": pc.cast(g["n_docs"], pa.int64()),
-                "n_hosts": pc.cast(g["n_hosts"], pa.int64()),
-            }
-        )
-
     # single shuffle over pre-combined partials (coalesced to cluster-width
     # blocks first); groups are whole cells so the count_distincts are exact.
     return pre_shuffle_coalesce(partials).groupby("cell_id").map_groups(
-        finalize, batch_format="pyarrow")
+        _finalize_cells, batch_format="pyarrow")
+
+
+def tile_rollup_from_assign(assign_ds):
+    """Per-cell rollup from already-encoded assign rows — the RESUME path:
+    reads the checkpointed ``tile_assign(keep=("hostname",))`` output, so
+    none of the flatten/normalize/encode work is redone after a restart."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["cell_id", "doc_id", "hostname"]).group_by(
+            ["cell_id", "doc_id", "hostname"]).aggregate([("cell_id", "count")])
+        return g.rename_columns(["cell_id", "doc_id", "hostname", "partial_n"])
+
+    partials = assign_ds.map_batches(partial, batch_format="pyarrow")
+    return pre_shuffle_coalesce(partials).groupby("cell_id").map_groups(
+        _finalize_cells, batch_format="pyarrow")
 
 
 def tile_vectorize(flat_ds, res: int = DEFAULT_RES):

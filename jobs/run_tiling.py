@@ -29,7 +29,7 @@ def main() -> None:
     ap.add_argument("--input", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default="/tmp/graft_tiling_out")
     ap.add_argument("--files-per-part", type=int, default=2)
-    ap.add_argument("--code-version", default="tiling-v1")
+    ap.add_argument("--code-version", default="tiling-v2")
     args = ap.parse_args()
 
     import ray
@@ -39,7 +39,8 @@ def main() -> None:
     try:
         import ray.data as rd
 
-        from har2tree_ray.pipelines.tiling import DEFAULT_RES, tile_assign, tile_rollup
+        from har2tree_ray.pipelines.tiling import (DEFAULT_RES, tile_assign,
+                                                   tile_rollup_from_assign)
         from har2tree_ray.stages.normalize import flat_spans
         from har2tree_ray.state import checkpoint as ck
         from har2tree_ray.synth import ensure_interleaved
@@ -50,15 +51,19 @@ def main() -> None:
         parts = ck.plan_partitions(files, files_per_part=args.files_per_part)
 
         def make(inputs: list[str]):
+            # hostname rides along so the rollup can run off this output
             return tile_assign(
-                flat_spans(rd.read_parquet(inputs), drop_text=True), DEFAULT_RES)
+                flat_spans(rd.read_parquet(inputs), drop_text=True),
+                DEFAULT_RES, keep=("hostname",))
 
         t0 = time.perf_counter()
         result = ck.run_checkpointed(args.out, parts, make,
                                      code_version=args.code_version)
-        # global rollup over the checkpointed per-partition output
-        tiles = tile_rollup(
-            flat_spans(rd.read_parquet(in_dir), drop_text=True), DEFAULT_RES)
+        # global rollup over the CHECKPOINTED per-partition output — on a
+        # resumed run the expensive flatten/encode work is never redone
+        part_dirs = [os.path.join(args.out, d) for d in sorted(os.listdir(args.out))
+                     if d.startswith("partition=")]
+        tiles = tile_rollup_from_assign(rd.read_parquet(part_dirs))
         n_tiles = tiles.count()
         wall = time.perf_counter() - t0
         print(json.dumps({

@@ -87,3 +87,27 @@ def test_manifest_commit_is_atomic(tmp_path):
     r = ck.run_checkpointed(out, parts, _make, code_version="v1")
     assert r["done"] == [parts[0].part_id]
     assert json.load(open(path))["n_rows"] > 0
+
+
+def test_rollup_from_assign_matches_source_rollup():
+    """The resume-path rollup (over checkpointed assign output with hostname
+    riding along) equals the from-source rollup."""
+    import pandas as pd
+
+    from har2tree_ray.pipelines.tiling import (tile_assign, tile_rollup,
+                                               tile_rollup_from_assign)
+    from har2tree_ray.sources.interleaved import read_interleaved
+    from har2tree_ray.stages.normalize import explode_spans
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["doc_id", "offset", "lat", "lng", "hostname"]
+    assign = tile_assign(explode_spans(read_interleaved(sf), cols),
+                         keep=("hostname",))
+    got = tile_rollup_from_assign(assign).to_pandas()
+    want = tile_rollup(
+        explode_spans(read_interleaved(sf), ["doc_id", "hostname", "lat", "lng"])
+    ).to_pandas()
+    key = "cell_id"
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[want.columns],
+        want.sort_values(key).reset_index(drop=True))

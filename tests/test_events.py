@@ -56,3 +56,27 @@ def test_asof_matches_latest_prior_click():
     assert len(out) == 1
     assert out.iloc[0]["click_id"] == 2
     assert out.iloc[0]["lag_us"] == 60_000_000
+
+
+def test_props_rollup_null_semantics():
+    """Rows with missing/malformed props are skipped by sum/max but counted
+    in n — SQL NULL semantics (the oracle's SUM/MAX skip NULLs)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from har2tree_ray.pipelines.events import props_rollup
+
+    ds = rd.from_items([
+        {"event_type": "a", "props": '{"k": 5}'},
+        {"event_type": "a", "props": '{"other": 1}'},   # no 'k' → skipped
+        {"event_type": "a", "props": "not json"},        # malformed → skipped
+        {"event_type": "a", "props": None},              # null → skipped
+        {"event_type": "a", "props": '{"k": -7}'},
+        {"event_type": "b", "props": '{"x": 1}'},        # type with no k at all
+    ])
+    out = props_rollup(ds).to_pandas().set_index("event_type")
+    assert out.loc["a", "sum_k"] == -2
+    assert out.loc["a", "max_k"] == 5
+    assert out.loc["a", "n"] == 5
+    assert out.loc["b", "n"] == 1
+    assert pd.isna(out.loc["b", "sum_k"]) and pd.isna(out.loc["b", "max_k"])
