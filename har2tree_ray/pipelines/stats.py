@@ -88,88 +88,78 @@ def kind_rollup(interleaved_ds):
     )
 
 
-def capture_stats(interleaved_ds):
+def capture_stats(interleaved_ds, n_parts: int | None = None):
     """Per-capture rollup (the CrawledTree analog of A1): docs, spans,
-    distinct hostnames.  Zero-shuffle per-doc partials (one row per doc,
-    hostnames as a deduped list) → tiny groupby(capture_id) merge —
-    captures hold ≤ a few docs, so group state is bounded."""
+    distinct hostnames.
+
+    Plan: per-doc marker rows (one stats row per doc + one deduped row per
+    (doc, host)) → ONE shuffle keyed on a coarse crc32 range of capture_id
+    → vectorized pandas rollup per range.  The previous two-stage
+    groupby((capture,host)) → groupby(capture) plan sorted ~one marker row
+    per span-host through TWO exchanges; (capture, host) pairs are mostly
+    unique, so the native-aggregate pre-combine never shrank them
+    (same lesson as span_hash_groups)."""
+    import zlib
+
     import pandas as pd
     import pyarrow.compute as pc2
 
     from ..stages.normalize import _flat_base, _HOST_RE
 
+    if n_parts is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        n_parts = max(64, cpus * 8)
+
     def per_doc_partial(batch: pa.Table) -> pa.Table:
         base = _flat_base(batch)
         m = pc2.extract_regex(base["media_ref"], _HOST_RE)
         host = pc2.fill_null(pc2.struct_field(m, "host"), "")
-        ids = base["doc_id"].to_pylist()
-        hosts = host.to_pylist()
-        per_doc: dict[str, tuple[int, set]] = {}
-        for d, h in zip(ids, hosts):
-            e = per_doc.get(d)
-            if e is None:
-                e = per_doc[d] = [0, set()]
-            e[0] += 1
-            if h:
-                e[1].add(h)
         # marker-row layout so the whole rollup stays in NATIVE aggregates
         # (a map_groups over every capture pays per-group dispatch):
-        # one stats row per doc (hostname='') + one row per (doc, host)
-        caps, hosts_c, spans_c, docs_c = [], [], [], []
-        for d in sorted(per_doc):
-            cap = d.rsplit(".", 1)[0]
-            caps.append(cap)
-            hosts_c.append("")
-            spans_c.append(per_doc[d][0])
-            docs_c.append(1)
-            for h in sorted(per_doc[d][1]):
-                caps.append(cap)
-                hosts_c.append(h)
-                spans_c.append(0)
-                docs_c.append(0)
+        # one stats row per doc (hostname='') + one row per (doc, host) —
+        # built with vectorized pandas ops, no per-span Python loop
+        df = pa.table({"doc_id": base["doc_id"], "hostname": host}).to_pandas()
+        spans_per_doc = df.groupby("doc_id", sort=False).size()
+        stats = pd.DataFrame({
+            "doc_id": spans_per_doc.index,
+            "hostname": "",
+            "n_spans": spans_per_doc.to_numpy(),
+            "n_docs": 1,
+        })
+        hosts = (df[df["hostname"] != ""].drop_duplicates()
+                 .assign(n_spans=0, n_docs=0))
+        allr = pd.concat([stats, hosts], ignore_index=True)
+        allr["capture_id"] = allr["doc_id"].str.replace(
+            r"\.\d+$", "", regex=True)
+        allr["cap_part"] = [zlib.crc32(c.encode()) % n_parts
+                            for c in allr["capture_id"]]
         return pa.table({
-            "capture_id": pa.array(caps, pa.string()),
-            "hostname": pa.array(hosts_c, pa.string()),
-            "n_spans": pa.array(spans_c, pa.int64()),
-            "n_docs": pa.array(docs_c, pa.int64()),
+            "capture_id": pa.array(allr["capture_id"].tolist(), pa.string()),
+            "hostname": pa.array(allr["hostname"].tolist(), pa.string()),
+            "n_spans": pa.array(allr["n_spans"].astype(np.int64), pa.int64()),
+            "n_docs": pa.array(allr["n_docs"].astype(np.int64), pa.int64()),
+            "cap_part": pa.array(allr["cap_part"], pa.int32()),
         })
 
-    from ray.data.aggregate import Sum
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        caps = df.groupby("capture_id", sort=False)
+        out = pd.DataFrame({
+            "n_docs": caps["n_docs"].sum().astype(np.int64),
+            "n_spans": caps["n_spans"].sum().astype(np.int64),
+        })
+        h = df[df["hostname"] != ""].drop_duplicates(["capture_id", "hostname"])
+        out["n_hosts"] = (h.groupby("capture_id").size()
+                          .reindex(out.index).fillna(0).astype(np.int64))
+        return out.reset_index()[["capture_id", "n_docs", "n_spans", "n_hosts"]]
 
     from ..util import pre_shuffle_coalesce
 
     partials = pre_shuffle_coalesce(
         interleaved_ds.map_batches(per_doc_partial, batch_format="pyarrow"))
-    # shuffle 1: dedup (capture, host) across docs; stats rows (hostname='')
-    # sum up per capture
-    per_host = partials.groupby(["capture_id", "hostname"]).aggregate(
-        Sum("n_spans", alias_name="n_spans"), Sum("n_docs", alias_name="n_docs"))
-
-    def mark(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc3
-
-        return t.append_column(
-            "is_host", pc3.cast(pc3.not_equal(t["hostname"], ""), pa.int64()))
-
-    # shuffle 2: per-capture sums — each (capture, host) row is unique, so
-    # Sum(is_host) is the exact distinct-host count
-    agg = per_host.map_batches(mark, batch_format="pyarrow").groupby(
-        "capture_id").aggregate(
-        Sum("n_spans", alias_name="n_spans"),
-        Sum("n_docs", alias_name="n_docs"),
-        Sum("is_host", alias_name="n_hosts"))
-
-    def finish(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc3
-
-        return pa.table({
-            "capture_id": t["capture_id"],
-            "n_docs": pc3.cast(t["n_docs"], pa.int64()),
-            "n_spans": pc3.cast(t["n_spans"], pa.int64()),
-            "n_hosts": pc3.cast(t["n_hosts"], pa.int64()),
-        })
-
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return partials.groupby("cap_part").map_groups(
+        per_part, batch_format="pandas")
 
 
 def capture_stats_sql(flat_path: str) -> str:

@@ -29,63 +29,51 @@ def add_text_hash(batch: pa.Table, text_col: str = "text", out_col: str = "conte
     return batch.append_column(out_col, pa.array(h, pa.string()))
 
 
-def span_hash_groups(flat_ds, min_count: int = 2):
+_HEX_PAIRS = pa.array([f"{i:02x}" for i in range(256)], pa.string())
+
+
+def span_hash_groups(flat_ds, min_count: int = 2, hex_chars: int = 2):
     """body_hash → (n_spans, n_docs, n_urls) for hashes seen ≥ min_count.
 
-    groupby(body_hash) is the engine's exact-dedup shuffle (SURVEY A2).
+    Plan: ONE shuffle keyed on a coarse hash-range of body_hash (first
+    ``hex_chars`` hex chars → 256^(hex_chars/2)... 16^hex_chars ranges),
+    then an exact batch-local ``group_by(body_hash)`` + distinct counts
+    inside each range group.  Content hashes are uniform by construction,
+    so ranges are perfectly balanced and every hash's rows land in exactly
+    one group.
 
-    Two-phase plan: (1) a native vectorized count per hash (batch pre-agg →
-    ``Sum``) finds the duplicated hashes — the overwhelming majority of
-    content is unique, so the survivor set is small by construction; (2) the
-    expensive distinct-doc/url grouping runs ONLY over rows of surviving
-    hashes (broadcast membership filter → map_groups over few groups).
-    A map_groups over *all* hashes would pay per-group Python dispatch for
-    millions of singleton groups."""
-    import ray
-    from ray.data.aggregate import Sum
-
-    # two passes over the slim projection (hash finding, then dup collect) —
-    # materialize it once so the upstream flatten doesn't re-execute; three
-    # narrow columns, a small fraction of the input bytes
-    slim = flat_ds.select_columns(["body_hash", "doc_id", "media_ref"]).materialize()
-
-    def _prefix64(t: pa.Table) -> pa.Array:
-        # int64 key for the COUNT shuffle: sorting 8-byte ints is far
-        # cheaper than 64-char hex strings; a prefix collision can only ADD
-        # a false dup candidate (filtered exactly in phase 2), never lose one
-        return pa.array(
-            [int(h[:15], 16) for h in t["body_hash"].to_pylist()], pa.int64())
-
-    def pre_count(t: pa.Table) -> pa.Table:
-        k = pa.table({"hkey": _prefix64(t)})
-        g = k.group_by("hkey").aggregate([("hkey", "count")])
-        return g.rename_columns(["hkey", "part_n"])
-
+    Why not count-first-then-collect (the previous plan): with mostly-unique
+    content a per-batch count pre-aggregate does NOT shrink — it emits one
+    partial row per span — so the count phase moves the same row count
+    through its own shuffle and doubles the fixed overhead (measured 3-4x
+    slower at sf0.1).  Group size here is O(corpus / 16^hex_chars); raise
+    ``hex_chars`` with corpus size (3 → 4096 ranges, 4 → 65536) to keep a
+    range's rows inside one worker's heap."""
     from ..util import pre_shuffle_coalesce
 
-    counts = pre_shuffle_coalesce(
-        slim.map_batches(pre_count, batch_format="pyarrow")
-    ).groupby("hkey").aggregate(Sum("part_n", alias_name="n_spans"))
-    dup = counts.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["n_spans"], min_count)),
-        batch_format="pyarrow").to_pandas()
-    dup_set = set(dup["hkey"])
-    ref = ray.put(dup_set)
+    slim = flat_ds.select_columns(["body_hash", "doc_id", "media_ref"])
 
-    def only_dups(t: pa.Table) -> pa.Table:
-        keep = ray.get(ref)
-        mask = pa.array([int(h[:15], 16) in keep
-                         for h in t["body_hash"].to_pylist()])
-        return t.filter(mask)
+    def add_part(t: pa.Table) -> pa.Table:
+        # vectorized range key: index of the leading hex pair (0..255),
+        # extended by extra nibbles via a second slice when hex_chars > 2
+        part = pc.cast(pc.index_in(
+            pc.utf8_slice_codeunits(t["body_hash"], 0, 2),
+            value_set=_HEX_PAIRS), pa.int32())
+        if hex_chars > 2:
+            hi = pc.cast(pc.index_in(
+                pc.utf8_slice_codeunits(t["body_hash"], 2, 2 + (hex_chars - 2)),
+                value_set=pa.array(
+                    [f"{i:0{hex_chars - 2}x}" for i in range(16 ** (hex_chars - 2))],
+                    pa.string())), pa.int32())
+            part = pc.add(pc.multiply(part, 16 ** (hex_chars - 2)), hi)
+        return t.append_column("hpart", part)
 
-    dup_rows = slim.map_batches(only_dups, batch_format="pyarrow")
-
-    def per_hash(t: pa.Table) -> pa.Table:
+    def per_range(t: pa.Table) -> pa.Table:
         g = t.group_by("body_hash").aggregate(
-            [("doc_id", "count"), ("doc_id", "count_distinct"), ("media_ref", "count_distinct")]
+            [("doc_id", "count"), ("doc_id", "count_distinct"),
+             ("media_ref", "count_distinct")]
         )
         g = g.rename_columns(["body_hash", "n_spans", "n_docs", "n_urls"])
-        # exact re-filter: prefix collisions may have admitted singletons
         g = g.filter(pc.greater_equal(g["n_spans"], min_count))
         return pa.table(
             {
@@ -96,7 +84,9 @@ def span_hash_groups(flat_ds, min_count: int = 2):
             }
         )
 
-    return dup_rows.groupby("body_hash").map_groups(per_hash, batch_format="pyarrow")
+    parts = pre_shuffle_coalesce(
+        slim.map_batches(add_part, batch_format="pyarrow"))
+    return parts.groupby("hpart").map_groups(per_range, batch_format="pyarrow")
 
 
 def exact_dedup(ds, id_col: str, text_col: str):
