@@ -60,6 +60,11 @@ BENCH_QUERIES = [
     "event_asof",
     "media_features",
     "span_hhhash",
+    "posted_data",
+    "span_security",
+    "doc_user_agent",
+    "doc_sidecars",
+    "redirect_chain",
     "host_tld",
     "host_tree_json",
     "orders_by_nation",

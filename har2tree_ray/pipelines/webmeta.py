@@ -579,6 +579,110 @@ FROM m
 """
 
 
+# --------------------------------------------------- per-node resource hashes
+
+
+def span_resource_hashes(flat_ds):
+    """A4 ``resources_hashes`` recast: one row per (span, embedded blob) —
+    the per-node resource-hash sets of build_all_hashes
+    (har2tree.py:550-569, helper.py:236-250).  ``res_hash`` is sha256 of the
+    blob's base64 TEXT: DuckDB's sha256 is VARCHAR-only, so the engine
+    hashes the same representation the oracle can (the reference hashes
+    decoded bytes with sha512 — same identity, different digest domain)."""
+    import hashlib
+
+    from ..functions import parse
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.match_substring(batch["text"], ";base64,"))
+        o = {"doc_id": [], "offset": [], "res_hash": []}
+        for d, off, t in zip(batch["doc_id"].to_pylist(),
+                             batch["offset"].to_pylist(),
+                             batch["text"].to_pylist()):
+            for _mime, b64 in parse.RE_DATAURI.findall(t):
+                if not parse.repair_b64(b64):
+                    continue
+                o["doc_id"].append(d)
+                o["offset"].append(off)
+                o["res_hash"].append(hashlib.sha256(b64.encode()).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(o["doc_id"], pa.string()),
+            "offset": pa.array(o["offset"], pa.int32()),
+            "res_hash": pa.array(o["res_hash"], pa.string()),
+        })
+
+    return flat_ds.select_columns(["doc_id", "offset", "text"]).map_batches(
+        per_batch, batch_format="pyarrow")
+
+
+def span_resource_hashes_sql(flat_path: str) -> str:
+    rx = "data:([\\w/+.-]+);base64,([A-Za-z0-9+/=]+)"
+    return f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+), m AS (
+    SELECT doc_id, CAST(s."offset" AS INTEGER) AS "offset",
+           UNNEST(regexp_extract_all(s.text, '{rx}', 2)) AS payload_b64
+    FROM ex
+)
+SELECT doc_id, "offset", sha256(payload_b64) AS res_hash FROM m
+"""
+
+
+# ------------------------------------------------- rendered-features merge
+
+
+def rendered_urls(sidecar_spans_ds, batch_size: int = 128):
+    """M33 rendered-features merge: distinct hrefs in the rendered-HTML
+    sidecar, flagged by whether each URL also exists as a span media_ref —
+    the recast of merging rendered-page URLs back into the capture tree
+    (nodes.py rendered-node handling / har2tree.py:158-179 sidecars).
+    Zero-shuffle: sidecar and spans live on the same interleaved row."""
+    from ..functions import parse
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        htmls = batch["rendered_html"].to_pylist()
+        spans_col = batch["spans"].to_pylist()
+        o = {"doc_id": [], "url": [], "in_tree": []}
+        for did, html, spans in zip(ids, htmls, spans_col):
+            if not html:
+                continue
+            span_urls = {s["media_ref"] for s in spans}
+            for u in sorted(set(parse.RE_HREF.findall(html))):
+                o["doc_id"].append(did)
+                o["url"].append(u)
+                o["in_tree"].append(u in span_urls)
+        return pa.table({
+            "doc_id": pa.array(o["doc_id"], pa.string()),
+            "url": pa.array(o["url"], pa.string()),
+            "in_tree": pa.array(o["in_tree"], pa.bool_()),
+        })
+
+    return sidecar_spans_ds.map_batches(per_batch, batch_format="pyarrow",
+                                        batch_size=batch_size)
+
+
+def rendered_urls_sql(flat_path: str) -> str:
+    return f"""
+WITH d AS (
+    SELECT doc_id, spans, rendered_html
+    FROM read_parquet('{flat_path}/*.parquet')
+), h AS (
+    SELECT DISTINCT doc_id,
+           UNNEST(regexp_extract_all(rendered_html, 'href="([^"]+)"', 1)) AS url
+    FROM d WHERE rendered_html IS NOT NULL
+), su AS (
+    SELECT DISTINCT doc_id, s.media_ref AS url
+    FROM (SELECT doc_id, UNNEST(spans) AS s FROM d)
+)
+SELECT h.doc_id, h.url, (su.url IS NOT NULL) AS in_tree
+FROM h LEFT JOIN su ON su.doc_id = h.doc_id AND su.url = h.url
+"""
+
+
 # --------------------------------------------------- rendered-page URL list
 
 

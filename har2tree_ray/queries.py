@@ -273,6 +273,16 @@ def q_doc_sidecars(sf_dir: str):
                          "rendered_html"]))
 
 
+def q_span_resource_hashes(sf_dir: str):
+    return webmeta.span_resource_hashes(explode_spans(
+        read_interleaved(sf_dir), ["doc_id", "offset", "text"]))
+
+
+def q_rendered_urls(sf_dir: str):
+    return webmeta.rendered_urls(read_interleaved(
+        sf_dir, columns=["doc_id", "spans", "rendered_html"]))
+
+
 def q_embedded_blobs(sf_dir: str):
     return webmeta.embedded_blobs(explode_spans(
         read_interleaved(sf_dir), ["doc_id", "offset", "text"]))
@@ -652,6 +662,8 @@ _INTERLEAVED_ORACLES = {
     "span_security": webmeta.span_security_sql,
     "doc_user_agent": webmeta.doc_user_agent_sql,
     "doc_sidecars": webmeta.doc_sidecars_sql,
+    "span_resource_hashes": webmeta.span_resource_hashes_sql,
+    "rendered_urls": webmeta.rendered_urls_sql,
     "embedded_blobs": webmeta.embedded_blobs_sql,
     "urls_in_doc": webmeta.urls_in_doc_sql,
     "capture_stats": stats.capture_stats_sql,
@@ -708,6 +720,8 @@ def queries() -> dict[str, Callable]:
         "span_security": q_span_security,
         "doc_user_agent": q_doc_user_agent,
         "doc_sidecars": q_doc_sidecars,
+        "span_resource_hashes": q_span_resource_hashes,  # A4 per-node hashes
+        "rendered_urls": q_rendered_urls,                # M33 rendered merge
         "embedded_blobs": q_embedded_blobs,
         "urls_in_doc": q_urls_in_doc,
         "capture_stats": q_capture_stats,

@@ -226,8 +226,12 @@ def embed_neardup_lsh(ds, tau: float = NEARDUP_TAU, bits: int = LSH_BITS,
     verified with exact cosine in-bucket, deduped across tables.  Shuffles
     are keyed on (table_id, bucket) then (pair); groups stay bounded — this
     is the 100 TB path, recall-benchmarked against the exact baseline."""
+    from .parser import default_pool_size
+
+    # capped at half the CPUs: a fixed pool that reserves EVERY core
+    # deadlocks the streaming executor (observed with 4 actors on 4 CPUs)
     hashed = ds.map_batches(HyperplaneHasher, batch_format="pyarrow",
-                            concurrency=(1, 4),
+                            concurrency=min(4, default_pool_size()),
                             fn_constructor_kwargs={"bits": bits, "tables": tables})
 
     def verify(t: pa.Table) -> pa.Table:

@@ -61,15 +61,16 @@ class SpanParser:
         return out
 
 
-def default_pool_size() -> tuple[int, int]:
-    """Autoscaling actor-pool bounds that never reserve every CPU: min 1 so
-    the pool cannot deadlock a small cluster, max ~half the CPUs so the
-    read/shuffle stages keep running alongside (ray_guide: a pool that
-    reserves every CPU serializes the pipeline)."""
+def default_pool_size() -> int:
+    """FIXED actor-pool size of ~half the CPUs: the pool never reserves
+    every CPU (read/shuffle stages keep running alongside — ray_guide: a
+    pool that reserves every CPU serializes the pipeline), and a fixed size
+    avoids the autoscaling ramp from 1 actor, which serialized the first
+    seconds of every actor stage (measured 2x on media_features at sf0.1)."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    return (1, max(2, cpus // 2))
+    return max(2, cpus // 2)
 
 
 def parse_spans(flat_ds, concurrency: int | tuple[int, int] | None = None,

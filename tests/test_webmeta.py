@@ -16,7 +16,7 @@ SF = "/root/testdata/sf0.001"
 @pytest.mark.parametrize("name", [
     "span_hhhash", "doc_domhash", "host_tld", "span_identifiers",
     "cookies_never_sent", "posted_data", "span_security", "doc_user_agent",
-    "doc_sidecars",
+    "doc_sidecars", "span_resource_hashes", "rendered_urls",
 ])
 def test_oracle_parity(name):
     assert_matches_oracle(name, SF)
