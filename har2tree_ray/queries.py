@@ -227,6 +227,15 @@ def q_doc_simhash(sf_dir: str):
     return dedup.simhash_table(_docs(sf_dir))
 
 
+def q_doc_filter(sf_dir: str):
+    return text.doc_filter(_docs(sf_dir))
+
+
+def q_dedup_clusters(sf_dir: str):
+    return dedup.dedup_clusters(_docs(sf_dir),
+                                text.ngram_jaccard_pairs(_docs(sf_dir)))
+
+
 def q_host_tree_json(sf_dir: str):
     return render.host_tree_json(read_interleaved(sf_dir))
 
@@ -626,6 +635,8 @@ _TABLE_ORACLES = {
     "doc_fingerprint": lambda _p: text.fingerprints_sql(),
     "doc_jaccard_pairs": lambda _p: text.ngram_jaccard_sql(),
     "doc_exact_dedup": _oracle_doc_exact_dedup,
+    "doc_filter": lambda _p: text.doc_filter_sql(),
+    "dedup_clusters": lambda _p: text.dedup_clusters_sql(),
     "embed_neardup": lambda _p: embed.embed_neardup_sql(),
     "ann_topk": lambda _p: embed.ann_topk_sql(),
     "event_sessions": lambda _p: events.sessionize_sql(),
@@ -705,6 +716,8 @@ def queries() -> dict[str, Callable]:
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash_pairs": q_doc_minhash_pairs,  # approximate — rows-only
         "doc_simhash": q_doc_simhash,              # blake2-based — rows-only
+        "doc_filter": q_doc_filter,
+        "dedup_clusters": q_dedup_clusters,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,  # approximate — rows-only
         "ann_topk": q_ann_topk,

@@ -286,6 +286,63 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                            batch_format="pyarrow")
 
 
+# ------------------------------------------------- duplicate-cluster resolve
+
+
+def dedup_clusters(docs_ds, pairs_ds, id_col: str = "doc_id",
+                   pair_cols: tuple[str, str] = ("doc_a", "doc_b")):
+    """Connected components over a near-dup pair graph →
+    (doc_id, cluster_id) for EVERY document; cluster_id = min doc in the
+    component (docs in no pair are their own cluster).
+
+    Scale shape: the pair graph is the OUTPUT of candidate filtering
+    (Jaccard/MinHash/embedding), orders of magnitude smaller than the corpus
+    by construction — so it is the broadcast small side: union-find runs
+    once on the driver, the root map is ``ray.put`` once, and the
+    full-corpus labeling stays a distributed ``map_batches``.  (For a pair
+    graph too big for one node, the same labeling becomes iterative
+    min-label propagation — broadcast labels per round — with this function
+    as its base case.)"""
+    import ray
+
+    pairs = pairs_ds.select_columns(list(pair_cols)).to_pandas()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs[pair_cols[0]], pairs[pair_cols[1]]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    members: dict = {}
+    for n in set(pairs[pair_cols[0]]) | set(pairs[pair_cols[1]]):
+        members.setdefault(find(n), []).append(n)
+    root_min = {}
+    for ms in members.values():
+        m = min(ms)
+        for n in ms:
+            root_min[n] = m
+    ref = ray.put(root_min)
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        ids = t[id_col].to_pylist()
+        return pa.table({
+            "doc_id": t[id_col],
+            "cluster_id": pa.array([m.get(d, d) for d in ids]),
+        })
+
+    return docs_ds.select_columns([id_col]).map_batches(
+        per_batch, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------ SimHash
 
 

@@ -318,11 +318,11 @@ def ngram_jaccard_pairs(ds, tau: float = JACCARD_TAU, df_cap: int = JACCARD_DF_C
     return pair_rows.groupby(["doc_a", "doc_b"]).map_groups(jaccard, batch_format="pyarrow")
 
 
-def ngram_jaccard_sql(rel: str = "documents", tau: float = JACCARD_TAU,
-                      df_cap: int = JACCARD_DF_CAP) -> str:
+def _jaccard_ctes(rel: str, tau: float, df_cap: int) -> str:
+    """Shared CTE chain ending in ``jpairs(doc_a, doc_b, jaccard)`` — used by
+    the pair query and (with RECURSIVE extensions) the cluster oracle."""
     k = JACCARD_GRAM
-    return f"""
-WITH w AS (
+    return f"""w AS (
     SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM {rel}
 ), g AS (
     SELECT DISTINCT doc_id, array_to_string(ws[i:i + {k - 1}], ' ') AS gram
@@ -336,8 +336,104 @@ WITH w AS (
     FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
     JOIN keep k ON k.gram = a.gram
     GROUP BY 1, 2
+), jpairs AS (
+    SELECT doc_a, doc_b, i * 1.0 / (ca.n + cb.n - i) AS jaccard
+    FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE i * 1.0 / (ca.n + cb.n - i) >= {tau}
+)"""
+
+
+def ngram_jaccard_sql(rel: str = "documents", tau: float = JACCARD_TAU,
+                      df_cap: int = JACCARD_DF_CAP) -> str:
+    return ("WITH " + _jaccard_ctes(rel, tau, df_cap)
+            + "\nSELECT doc_a, doc_b, jaccard FROM jpairs\n")
+
+
+def dedup_clusters_sql(rel: str = "documents", tau: float = JACCARD_TAU,
+                       df_cap: int = JACCARD_DF_CAP) -> str:
+    """Oracle for connected components over the Jaccard pair graph:
+    transitive closure via a recursive CTE, cluster id = min reachable doc
+    (including self)."""
+    return ("WITH RECURSIVE " + _jaccard_ctes(rel, tau, df_cap) + f""",
+e AS (
+    SELECT doc_a AS u, doc_b AS v FROM jpairs
+    UNION ALL SELECT doc_b, doc_a FROM jpairs
+), reach(a, b) AS (
+    SELECT u, v FROM e
+    UNION
+    SELECT r.a, e.v FROM reach r JOIN e ON r.b = e.u
 )
-SELECT doc_a, doc_b, i * 1.0 / (ca.n + cb.n - i) AS jaccard
-FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
-WHERE i * 1.0 / (ca.n + cb.n - i) >= {tau}
+SELECT d.doc_id, LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_id
+FROM {rel} d LEFT JOIN reach r ON r.a = d.doc_id
+GROUP BY d.doc_id
+""")
+
+
+# ------------------------------------------------------- composite filter
+
+# doc_filter thresholds — all comparisons are INTEGER arithmetic so the
+# engine and SQL agree exactly (no float-ratio boundary ambiguity)
+FILTER_MIN_WORDS = 5
+FILTER_MAX_WORDS = 2000
+FILTER_STOP_PCT = 2      # reject when n_stopwords * 100 < n_words * 2
+FILTER_PUNCT_PCT = 20    # reject when n_punct * 100 > n_chars * 20
+
+
+def doc_filter(ds):
+    """Composite quality filter — the keep/drop verdict stage of a training
+    corpus pipeline: every document gets a boolean ``keep`` and a
+    deterministic comma-joined ``reasons`` string (sorted; '' when kept).
+    Single-pass map, no shuffle at any scale."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        stop = set(STOPWORDS)
+        keeps, reasons = [], []
+        for t in texts:
+            words = _WS_TOKEN.findall(t)
+            nw = len(words)
+            ns = sum(1 for w in words if w in stop)
+            npunct = len(_PUNCT.findall(t))
+            rs = []
+            if nw < FILTER_MIN_WORDS:
+                rs.append("too_short")
+            if nw > FILTER_MAX_WORDS:
+                rs.append("too_long")
+            if ns * 100 < nw * FILTER_STOP_PCT:
+                rs.append("low_stopword")
+            if npunct * 100 > len(t) * FILTER_PUNCT_PCT:
+                rs.append("high_punct")
+            rs.sort()
+            keeps.append(not rs)
+            reasons.append(",".join(rs))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "keep": pa.array(keeps, pa.bool_()),
+            "reasons": pa.array(reasons, pa.string()),
+        })
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def doc_filter_sql(rel: str = "documents") -> str:
+    return f"""
+WITH w AS (
+    SELECT doc_id, text, len(regexp_extract_all(text, '\\S+')) AS nw,
+           len(list_filter(regexp_extract_all(text, '\\S+'),
+                           x -> x IN ({_sql_list(STOPWORDS)}))) AS ns,
+           len(regexp_extract_all(text, '[^\\w\\s]')) AS np
+    FROM {rel}
+), r AS (
+    SELECT doc_id,
+           list_sort(list_filter([
+               CASE WHEN nw < {FILTER_MIN_WORDS} THEN 'too_short' ELSE '' END,
+               CASE WHEN nw > {FILTER_MAX_WORDS} THEN 'too_long' ELSE '' END,
+               CASE WHEN ns * 100 < nw * {FILTER_STOP_PCT} THEN 'low_stopword' ELSE '' END,
+               CASE WHEN np * 100 > length(text) * {FILTER_PUNCT_PCT} THEN 'high_punct' ELSE '' END
+           ], x -> x <> '')) AS rs
+    FROM w
+)
+SELECT doc_id, len(rs) = 0 AS keep,
+       COALESCE(array_to_string(rs, ','), '') AS reasons
+FROM r
 """

@@ -16,6 +16,7 @@ SF = "/root/testdata/sf0.001"
 @pytest.mark.parametrize("name", [
     "doc_tokens", "doc_quality", "doc_langid", "doc_fingerprint",
     "doc_jaccard_pairs", "doc_exact_dedup", "embed_neardup", "ann_topk",
+    "doc_filter", "dedup_clusters",
 ])
 def test_oracle_parity(name):
     assert_matches_oracle(name, SF)
@@ -124,3 +125,17 @@ def test_ann_ivf_recall():
         have = set(approx[approx["query_id"] == qid]["vec_id"])
         recalls.append(len(want & have) / len(want))
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_dedup_clusters_transitivity():
+    """a~b and b~c must land a, b, c in one cluster labeled min(a,b,c)."""
+    import ray.data as rd
+
+    from har2tree_ray.stages.dedup import dedup_clusters
+
+    docs = rd.from_items([{"doc_id": d} for d in ["a", "b", "c", "d", "e"]])
+    pairs = rd.from_items([{"doc_a": "b", "doc_b": "c"},
+                           {"doc_a": "a", "doc_b": "b"},
+                           {"doc_a": "d", "doc_b": "e"}])
+    out = to_pandas(dedup_clusters(docs, pairs)).set_index("doc_id")["cluster_id"]
+    assert out.to_dict() == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
