@@ -227,6 +227,10 @@ def q_doc_simhash(sf_dir: str):
     return dedup.simhash_table(_docs(sf_dir))
 
 
+def q_doc_len_histogram(sf_dir: str):
+    return text.doc_len_histogram(_docs(sf_dir))
+
+
 def q_doc_filter(sf_dir: str):
     return text.doc_filter(_docs(sf_dir))
 
@@ -636,6 +640,7 @@ _TABLE_ORACLES = {
     "doc_jaccard_pairs": lambda _p: text.ngram_jaccard_sql(),
     "doc_exact_dedup": _oracle_doc_exact_dedup,
     "doc_filter": lambda _p: text.doc_filter_sql(),
+    "doc_len_histogram": lambda _p: text.doc_len_histogram_sql(),
     "dedup_clusters": lambda _p: text.dedup_clusters_sql(),
     "embed_neardup": lambda _p: embed.embed_neardup_sql(),
     "ann_topk": lambda _p: embed.ann_topk_sql(),
@@ -717,6 +722,7 @@ def queries() -> dict[str, Callable]:
         "doc_minhash_pairs": q_doc_minhash_pairs,  # approximate — rows-only
         "doc_simhash": q_doc_simhash,              # blake2-based — rows-only
         "doc_filter": q_doc_filter,
+        "doc_len_histogram": q_doc_len_histogram,
         "dedup_clusters": q_dedup_clusters,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,  # approximate — rows-only

@@ -369,6 +369,54 @@ GROUP BY d.doc_id
 """)
 
 
+# --------------------------------------------------- length histogram sketch
+
+HIST_BUCKET_WIDTH = 16  # whitespace tokens per bucket
+
+
+def doc_len_histogram(ds, width: int = HIST_BUCKET_WIDTH):
+    """Mergeable document-length histogram — the sketch pattern for corpus
+    statistics at scale: per-batch bucket counts (partial combine) → native
+    Sum over a BOUNDED key domain (bucket index), then a driver-side cumsum
+    over the tiny bucket table.  Output: (bucket, lo_tokens, n_docs,
+    cum_docs) — exact, so the SQL oracle reproduces it bit-for-bit."""
+    from ray.data.aggregate import Sum
+
+    from ..util import pre_shuffle_coalesce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        buckets = [len(_WS_TOKEN.findall(t)) // width for t in texts]
+        t = pa.table({"bucket": pa.array(buckets, pa.int64())})
+        g = t.group_by("bucket").aggregate([("bucket", "count")])
+        return g.rename_columns(["bucket", "part_n"])
+
+    agg = pre_shuffle_coalesce(
+        ds.map_batches(partial, batch_format="pyarrow")
+    ).groupby("bucket").aggregate(Sum("part_n", alias_name="n_docs"))
+    df = agg.to_pandas().sort_values("bucket").reset_index(drop=True)
+    df["n_docs"] = df["n_docs"].astype("int64")
+    df["lo_tokens"] = df["bucket"] * width
+    df["cum_docs"] = df["n_docs"].cumsum()
+    return pa.Table.from_pandas(
+        df[["bucket", "lo_tokens", "n_docs", "cum_docs"]], preserve_index=False)
+
+
+def doc_len_histogram_sql(rel: str = "documents",
+                          width: int = HIST_BUCKET_WIDTH) -> str:
+    return f"""
+WITH b AS (
+    SELECT len(regexp_extract_all(text, '\\S+')) // {width} AS bucket
+    FROM {rel}
+), h AS (
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs FROM b GROUP BY bucket
+)
+SELECT bucket, bucket * {width} AS lo_tokens, n_docs,
+       CAST(SUM(n_docs) OVER (ORDER BY bucket) AS BIGINT) AS cum_docs
+FROM h
+"""
+
+
 # ------------------------------------------------------- composite filter
 
 # doc_filter thresholds — all comparisons are INTEGER arithmetic so the
