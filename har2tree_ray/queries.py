@@ -17,8 +17,8 @@ from .sources.interleaved import read_interleaved, read_table
 from .stages import dedup, embed, media, text
 from .stages.normalize import explode_spans, flat_spans
 from .stages.parser import parse_spans
-from .pipelines import (cookies, events, graft, hosttree, relational, render,
-                        spatial, stats, tiling, tree, webmeta)
+from .pipelines import (cookies, corpus, events, graft, hosttree, relational,
+                        render, spatial, stats, tiling, tree, webmeta)
 from .synth import ensure_interleaved, interleaved_path
 
 RES = tiling.DEFAULT_RES
@@ -233,6 +233,10 @@ def q_doc_len_histogram(sf_dir: str):
 
 def q_doc_filter(sf_dir: str):
     return text.doc_filter(_docs(sf_dir))
+
+
+def q_corpus_keep(sf_dir: str):
+    return corpus.corpus_keep(_docs(sf_dir))
 
 
 def q_dedup_clusters(sf_dir: str):
@@ -642,6 +646,7 @@ _TABLE_ORACLES = {
     "doc_filter": lambda _p: text.doc_filter_sql(),
     "doc_len_histogram": lambda _p: text.doc_len_histogram_sql(),
     "dedup_clusters": lambda _p: text.dedup_clusters_sql(),
+    "corpus_keep": lambda _p: corpus.corpus_keep_sql(),
     "embed_neardup": lambda _p: embed.embed_neardup_sql(),
     "ann_topk": lambda _p: embed.ann_topk_sql(),
     "event_sessions": lambda _p: events.sessionize_sql(),
@@ -724,6 +729,7 @@ def queries() -> dict[str, Callable]:
         "doc_filter": q_doc_filter,
         "doc_len_histogram": q_doc_len_histogram,
         "dedup_clusters": q_dedup_clusters,
+        "corpus_keep": q_corpus_keep,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,  # approximate — rows-only
         "ann_topk": q_ann_topk,

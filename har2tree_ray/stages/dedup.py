@@ -289,6 +289,34 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 # ------------------------------------------------- duplicate-cluster resolve
 
 
+def union_roots(pairs, col_a: str, col_b: str) -> dict:
+    """Union-find over a pandas pair frame → {node: min doc in component}
+    for every node that appears in a pair."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs[col_a], pairs[col_b]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members: dict = {}
+    for n in set(pairs[col_a]) | set(pairs[col_b]):
+        members.setdefault(find(n), []).append(n)
+    root_min = {}
+    for ms in members.values():
+        m = min(ms)
+        for n in ms:
+            root_min[n] = m
+    return root_min
+
+
 def dedup_clusters(docs_ds, pairs_ds, id_col: str = "doc_id",
                    pair_cols: tuple[str, str] = ("doc_a", "doc_b")):
     """Connected components over a near-dup pair graph →
@@ -306,29 +334,7 @@ def dedup_clusters(docs_ds, pairs_ds, id_col: str = "doc_id",
     import ray
 
     pairs = pairs_ds.select_columns(list(pair_cols)).to_pandas()
-    parent: dict = {}
-
-    def find(x):
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    for a, b in zip(pairs[pair_cols[0]], pairs[pair_cols[1]]):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    members: dict = {}
-    for n in set(pairs[pair_cols[0]]) | set(pairs[pair_cols[1]]):
-        members.setdefault(find(n), []).append(n)
-    root_min = {}
-    for ms in members.values():
-        m = min(ms)
-        for n in ms:
-            root_min[n] = m
+    root_min = union_roots(pairs, *pair_cols)
     ref = ray.put(root_min)
 
     def per_batch(t: pa.Table) -> pa.Table:

@@ -427,6 +427,28 @@ FILTER_STOP_PCT = 2      # reject when n_stopwords * 100 < n_words * 2
 FILTER_PUNCT_PCT = 20    # reject when n_punct * 100 > n_chars * 20
 
 
+_STOP_SET = frozenset(STOPWORDS)
+
+
+def filter_reasons(text: str) -> list[str]:
+    """Sorted failure reasons for one document ('' state = empty list)."""
+    words = _WS_TOKEN.findall(text)
+    nw = len(words)
+    ns = sum(1 for w in words if w in _STOP_SET)
+    npunct = len(_PUNCT.findall(text))
+    rs = []
+    if nw < FILTER_MIN_WORDS:
+        rs.append("too_short")
+    if nw > FILTER_MAX_WORDS:
+        rs.append("too_long")
+    if ns * 100 < nw * FILTER_STOP_PCT:
+        rs.append("low_stopword")
+    if npunct * 100 > len(text) * FILTER_PUNCT_PCT:
+        rs.append("high_punct")
+    rs.sort()
+    return rs
+
+
 def doc_filter(ds):
     """Composite quality filter — the keep/drop verdict stage of a training
     corpus pipeline: every document gets a boolean ``keep`` and a
@@ -435,29 +457,11 @@ def doc_filter(ds):
 
     def per_batch(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        stop = set(STOPWORDS)
-        keeps, reasons = [], []
-        for t in texts:
-            words = _WS_TOKEN.findall(t)
-            nw = len(words)
-            ns = sum(1 for w in words if w in stop)
-            npunct = len(_PUNCT.findall(t))
-            rs = []
-            if nw < FILTER_MIN_WORDS:
-                rs.append("too_short")
-            if nw > FILTER_MAX_WORDS:
-                rs.append("too_long")
-            if ns * 100 < nw * FILTER_STOP_PCT:
-                rs.append("low_stopword")
-            if npunct * 100 > len(t) * FILTER_PUNCT_PCT:
-                rs.append("high_punct")
-            rs.sort()
-            keeps.append(not rs)
-            reasons.append(",".join(rs))
+        rss = [filter_reasons(t) for t in texts]
         return pa.table({
             "doc_id": batch["doc_id"],
-            "keep": pa.array(keeps, pa.bool_()),
-            "reasons": pa.array(reasons, pa.string()),
+            "keep": pa.array([not rs for rs in rss], pa.bool_()),
+            "reasons": pa.array([",".join(rs) for rs in rss], pa.string()),
         })
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
