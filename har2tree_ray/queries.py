@@ -522,6 +522,37 @@ FROM chain GROUP BY doc_id
 """)
 
 
+def _oracle_graft_edges(path: str) -> str:
+    """J9 forest graft: per capture, a child attaches to the MIN doc whose
+    landing or root URL equals the child's root referer."""
+    return ("WITH RECURSIVE " + _FLAT_CTE.format(path=path).split("WITH", 1)[1]
+            + _CHAIN_CTE + """
+, summ AS (
+    SELECT doc_id,
+           MAX(CASE WHEN hop = 0 THEN url END) AS root_url,
+           ARG_MAX(url, hop) AS landing_url
+    FROM chain GROUP BY doc_id
+), rt AS (
+    SELECT doc_id,
+           ARG_MIN(regexp_extract(text, '@referer=(\\S+)', 1), "offset") AS root_referer
+    FROM flat GROUP BY doc_id
+), d AS (
+    SELECT s.doc_id, regexp_replace(s.doc_id, '\\.\\d+$', '') AS capture_id,
+           s.root_url, s.landing_url, rt.root_referer
+    FROM summ s JOIN rt USING (doc_id)
+), matched AS (
+    SELECT c.doc_id AS child_doc, MIN(p.doc_id) AS parent_doc
+    FROM d c JOIN d p ON p.capture_id = c.capture_id AND p.doc_id <> c.doc_id
+    WHERE c.root_referer <> '' AND c.root_referer IN (p.landing_url, p.root_url)
+    GROUP BY c.doc_id
+)
+SELECT d.capture_id, d.doc_id AS child_doc,
+       COALESCE(m.parent_doc, '') AS parent_doc,
+       CASE WHEN m.parent_doc IS NOT NULL THEN d.root_referer ELSE '' END AS attach_url
+FROM d LEFT JOIN matched m ON m.child_doc = d.doc_id
+""")
+
+
 def _oracle_host_rollup(path: str) -> str:
     return _FLAT_CTE.format(path=path) + """
 SELECT doc_id, hostname,
@@ -671,6 +702,7 @@ _INTERLEAVED_ORACLES = {
     "cookie_events": _oracle_cookie_events,
     "cookie_asof": _oracle_cookie_asof,
     "knn_referrer": _oracle_knn_referrer,
+    "graft_edges": _oracle_graft_edges,
     "pip_media_in_host": _oracle_pip,
     "media_features": media.media_features_sql,
     "media_frames": media.media_frames_sql,
@@ -714,7 +746,7 @@ def queries() -> dict[str, Callable]:
         "edges": q_edges,
         "tree_stats": q_tree_stats,
         "host_edges": q_host_edges,
-        "graft_edges": q_graft_edges,
+        "graft_edges": q_graft_edges,  # full SQL oracle (recursive chain CTE)
         "host_tree_json": q_host_tree_json,  # S3 render sink — rows-only
         "har_edges": q_har_edges,            # S1 real-HAR source — rows-only
         # training-data pipeline operators (documents / embeddings tables)
