@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "doc_quality",
     "doc_langid",
     "doc_exact_dedup",
+    "doc_filter",
+    "doc_len_histogram",
+    "corpus_keep",
     "doc_minhash_pairs",
     "doc_simhash",
     "embed_neardup",
