@@ -21,27 +21,42 @@ import pyarrow as pa
 import ray
 
 
-def corpus_keep(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
-    """(doc_id, keep, reason) for every document.
-
-    reason: '' when kept; 'filtered:<r1,r2>' | 'exact_dup_of:<id>' |
-    'near_dup_of:<id>' otherwise.  A doc survives iff it passes the quality
-    filter AND is its content's first doc AND is its near-dup cluster's
-    representative (min doc id)."""
-    from ..stages import dedup, text
-
-    # small side 1: duplicated contents only (hash → keeper)
+def corpus_small_sides(docs_ds, id_col: str = "doc_id",
+                       text_col: str = "text") -> tuple[dict, dict]:
+    """The two broadcast maps of the curation verdict: duplicated contents
+    (hash → keeper) and near-dup components (doc → min doc in component).
+    Both small by construction — duplicates and candidate-pair members are
+    rare fractions of the corpus."""
     import pyarrow.compute as pc
+
+    from ..stages import dedup, text
 
     dups = dedup.exact_dedup(docs_ds, id_col, text_col).map_batches(
         lambda t: t.filter(pc.greater(t["n_dups"], 1)),
         batch_format="pyarrow").to_pandas()
     dup_map = (dict(zip(dups["content_hash"], dups["keep_id"]))
                if len(dups) else {})
-    # small side 2: near-dup components (docs-in-pairs only)
     pairs = text.ngram_jaccard_pairs(docs_ds).select_columns(
         ["doc_a", "doc_b"]).to_pandas()
     root_min = dedup.union_roots(pairs, "doc_a", "doc_b")
+    return dup_map, root_min
+
+
+def corpus_keep(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+                small_sides: tuple[dict, dict] | None = None):
+    """(doc_id, keep, reason) for every document.
+
+    reason: '' when kept; 'filtered:<r1,r2>' | 'exact_dup_of:<id>' |
+    'near_dup_of:<id>' otherwise.  A doc survives iff it passes the quality
+    filter AND is its content's first doc AND is its near-dup cluster's
+    representative (min doc id).
+
+    ``small_sides`` lets a checkpointed job compute the GLOBAL maps once
+    and label any partition of the corpus independently (jobs/run_corpus)."""
+    from ..stages import text
+
+    dup_map, root_min = (small_sides if small_sides is not None
+                         else corpus_small_sides(docs_ds, id_col, text_col))
     ref = ray.put((dup_map, root_min))
 
     def per_batch(batch: pa.Table) -> pa.Table:

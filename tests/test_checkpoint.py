@@ -111,3 +111,34 @@ def test_rollup_from_assign_matches_source_rollup():
     pd.testing.assert_frame_equal(
         got.sort_values(key).reset_index(drop=True)[want.columns],
         want.sort_values(key).reset_index(drop=True))
+
+
+def test_corpus_job_resumes_and_matches_query(tmp_path):
+    """run_corpus twice: fresh run writes all partitions, rerun skips them
+    and reuses the global maps; the partitioned output equals corpus_keep."""
+    import json
+    import subprocess
+    import sys
+
+    import duckdb
+    import pandas as pd
+
+    from har2tree_ray import queries as q
+    from tests.oracle_utils import to_pandas
+
+    out = str(tmp_path / "corpus_out")
+    cmd = [sys.executable, "jobs/run_corpus.py", "--input",
+           "/root/testdata/sf0.001", "--out", out, "--parts", "4"]
+    r1 = json.loads(subprocess.run(cmd, capture_output=True, text=True,
+                                   check=True).stdout.strip().splitlines()[-1])
+    assert r1["partitions_run"] == 4 and not r1["maps_reused"]
+    r2 = json.loads(subprocess.run(cmd, capture_output=True, text=True,
+                                   check=True).stdout.strip().splitlines()[-1])
+    assert r2["partitions_skipped"] == 4 and r2["maps_reused"]
+
+    got = duckdb.connect().execute(
+        f"SELECT doc_id, keep, reason FROM read_parquet('{out}/partition=*/*.parquet')"
+    ).df().sort_values("doc_id").reset_index(drop=True)
+    want = to_pandas(q.queries()["corpus_keep"]("/root/testdata/sf0.001"))
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
