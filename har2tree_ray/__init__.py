@@ -12,7 +12,9 @@ Public surface (the recast of har2tree/__init__.py:9-17):
   - stages.parser.parse_spans            — the span parser actor pool
   - pipelines.tree.build_edges           — URL-tree construction (CrawledTree)
   - pipelines.hosttree.host_edges        — hostname tree (HostNode)
-  - pipelines.stats.doc_stats            — per-capture stats
+  - pipelines.stats.doc_stats            — per-document stats
+  - sources.har.read_har_dir             — real HAR ingestion
+  - pipelines.corpus.corpus_keep         — training-corpus curation verdict
   - pipelines.tiling                     — tile encode / rollup / vectorize
 """
 
