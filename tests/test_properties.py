@@ -104,3 +104,39 @@ def test_capture_generation_deterministic(cap_idx):
     a = generate_capture(cap_idx % 1000)
     b = generate_capture(cap_idx % 1000)
     assert a == b
+
+
+def test_split_url_fast_path_matches_urlparse():
+    """The hand-rolled http(s) parse must equal the urlparse-based reference
+    implementation on synth URLs and edge cases."""
+    import os
+    from urllib.parse import urlparse
+
+    from har2tree_ray import synth
+    from har2tree_ray.functions.urls import split_url
+
+    def ref_split(url):
+        if not url:
+            return "", "", ""
+        p = urlparse(url)
+        s = p.scheme
+        if s == "file":
+            return s, "", os.path.basename(p.path) or "file.bin"
+        if s in ("blob", "data"):
+            return s, "", ""
+        if not s and "://" not in url:
+            return "", "", os.path.basename(p.path) or ""
+        return s, p.netloc, os.path.basename(p.path) or "file.bin"
+
+    cases = [
+        "https://x.com", "https://x.com/", "https://x.com/a/b/",
+        "https://x.com/p?q=1", "https://x.com/p#f", "https://x.com?q=1",
+        "https://x.com#f", "http://[::1]:8080/v6.html", "rel/p.js", "",
+        "https://h:8080/a%20b/c+d/e.html%3Fx", "blob:https://h/1",
+        "file:///tmp/f.bin",
+    ]
+    for cap in range(8):
+        for row in synth.generate_capture(cap):
+            cases.extend(s["media_ref"] for s in row["spans"])
+    for u in cases:
+        assert split_url(u) == ref_split(u), u
