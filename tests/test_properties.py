@@ -140,3 +140,24 @@ def test_split_url_fast_path_matches_urlparse():
             cases.extend(s["media_ref"] for s in row["spans"])
     for u in cases:
         assert split_url(u) == ref_split(u), u
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    scheme=st.sampled_from(["http", "https"]),
+    host=st.from_regex(r"[a-z0-9.\-]{1,20}(:[0-9]{1,5})?", fullmatch=True),
+    path=st.from_regex(r"(/[A-Za-z0-9._%+\-]{0,12}){0,4}", fullmatch=True),
+    query=st.sampled_from(["", "?a=1", "?a=1&b=2"]),
+    frag=st.sampled_from(["", "#f", "#a/b"]),
+)
+def test_split_url_fast_path_property(scheme, host, path, query, frag):
+    """Hypothesis sweep: the hand-rolled http(s) parse equals urlparse."""
+    import os
+    from urllib.parse import urlparse
+
+    from har2tree_ray.functions.urls import split_url
+
+    url = f"{scheme}://{host}{path}{query}{frag}"
+    p = urlparse(url)
+    want = (p.scheme, p.netloc, os.path.basename(p.path) or "file.bin")
+    assert split_url(url) == want
