@@ -159,12 +159,23 @@ def har_entries_to_spans(entries: list[dict]) -> list[dict]:
     return spans
 
 
-def har_file_to_row(path: str, doc_id: str) -> dict:
+def har_file_to_row(path: str, doc_id: str) -> dict | None:
+    """One HAR file → one interleaved row; ``None`` for unreadable files
+    (the reference's capture loader logs and skips broken members rather
+    than failing the whole capture — parser.py:30-41)."""
+    import logging
+
     opener = gzip.open if path.endswith(".gz") else open
-    with opener(path, "rt", encoding="utf-8", errors="replace") as f:
-        h = json.load(f)
-    entries = (h.get("log") or {}).get("entries") or []
-    return {"doc_id": doc_id, "spans": har_entries_to_spans(entries),
+    try:
+        with opener(path, "rt", encoding="utf-8", errors="replace") as f:
+            h = json.load(f)
+        entries = (h.get("log") or {}).get("entries") or []
+        spans = har_entries_to_spans(entries)
+    except (OSError, json.JSONDecodeError, AttributeError, TypeError) as e:
+        logging.getLogger("har2tree_ray.har").warning(
+            "skipping unreadable HAR %s: %s", path, e)
+        return None
+    return {"doc_id": doc_id, "spans": spans,
             "downloaded_filename": None, "downloaded_b64": None,
             "rendered_html": None}
 
@@ -186,7 +197,8 @@ def read_har_dir(dir_path: str, capture_id: str | None = None,
     def load(batch: dict) -> pa.Table:
         rows = [har_file_to_row(p, d)
                 for p, d in zip(batch["path"], batch["doc_id"])]
-        return pa.Table.from_pylist(rows, schema=INTERLEAVED_SCHEMA)
+        return pa.Table.from_pylist([r for r in rows if r is not None],
+                                    schema=INTERLEAVED_SCHEMA)
 
     return rd.from_items(items).map_batches(
         load, batch_format="numpy", batch_size=batch_size)

@@ -130,3 +130,21 @@ def test_har_edges_tree_shape():
     parent_depth = d.reindex(
         list(zip(kids["doc_id"], kids["parent_offset"]))).to_numpy()
     assert (kids["depth"].to_numpy() == parent_depth + 1).all()
+
+
+def test_broken_har_logged_and_skipped(tmp_path):
+    """S1 semantics: unreadable capture members are skipped, the rest load
+    (reference parser.py:30-41 logs-and-skips broken files)."""
+    import shutil
+
+    from har2tree_ray.sources.har import read_har_dir
+
+    d = tmp_path / "caps"
+    d.mkdir()
+    shutil.copy(os.path.join(SINGLES, "circl.har"), d / "001.har")
+    (d / "002.har").write_text("{not json")
+    (d / "003.har").write_text('{"log": "not-a-dict"}')
+    df = read_har_dir(str(d)).to_pandas()
+    assert len(df) == 1
+    assert df["doc_id"].tolist() == ["caps.0"]
+    assert len(df["spans"].iloc[0]) > 5
