@@ -9,6 +9,14 @@ holds only docs that appear in a candidate pair.  Both broadcast once via
 ``map_batches`` pass that computes the filter verdict and both lookups
 inline.  Nothing corpus-sized ever gathers on the driver.
 
+Documented limit: on a corpus whose duplicate FRACTION is itself huge (say
+30% of 10^12 docs duplicated), the dup map stops being broadcast-small; the
+verdict then becomes a hash-partitioned join instead — shuffle (content_hash
+→ keeper) and the docs on content_hash with the same coarse-range pattern as
+``dedup.span_hash_groups`` — at the price of moving the corpus once.  The
+broadcast plan is correct for the common regime and the join plan is a
+mechanical swap, not a redesign.
+
 Verdict precedence (deterministic): filtered > exact_dup_of > near_dup_of.
 """
 

@@ -139,3 +139,18 @@ def test_dedup_clusters_transitivity():
                            {"doc_a": "d", "doc_b": "e"}])
     out = to_pandas(dedup_clusters(docs, pairs)).set_index("doc_id")["cluster_id"]
     assert out.to_dict() == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+
+
+def test_minhash_bucket_cap_drops_oversized_buckets():
+    """Degenerate boilerplate buckets beyond max_bucket are dropped (with a
+    logged count), not fanned out into O(B^2) pairs."""
+    import ray.data as rd
+
+    from har2tree_ray.stages.dedup import minhash_candidate_pairs
+
+    docs = rd.from_items([{"doc_id": f"d{i}", "text": "same text " * 20}
+                          for i in range(6)])
+    full = to_pandas(minhash_candidate_pairs(docs))
+    assert len(full) == 15  # C(6,2) identical docs
+    capped = to_pandas(minhash_candidate_pairs(docs, max_bucket=3))
+    assert len(capped) == 0
