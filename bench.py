@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "span_dedup",
     "tile_rollup",
     "tile_vectorize",
+    "tile_pyramid",
     "host_rollup",
     "cookie_asof",
     "knn_referrer",

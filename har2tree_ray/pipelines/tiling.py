@@ -119,6 +119,49 @@ def tile_rollup_from_assign(assign_ds):
         _finalize_cells, batch_format="pyarrow")
 
 
+def tile_pyramid(flat_ds, res: int = DEFAULT_RES, levels: int = 3):
+    """Multi-resolution raster pyramid: span counts per cell at ``res`` and
+    every coarser level down to ``res - levels`` (parent cells are integer
+    halvings of the grid coordinates — the H3/S2 parent chain analog).
+
+    One batch pass emits partial counts for ALL levels (each span folds into
+    levels+1 cells), then a single native Sum over the bounded
+    (res, cell_id) domain — the pyramid costs one shuffle, not one per
+    level.  Output: (res, cell_id, n_spans)."""
+    import numpy as np
+
+    lo = max(0, res - levels)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        ix, iy = geo.cell_xy(lat, lng, res)
+        out_r, out_c, out_n = [], [], []
+        for r in range(res, lo - 1, -1):
+            s = res - r
+            cid = geo.cell_id(ix >> s, iy >> s, r)
+            uniq, counts = np.unique(cid, return_counts=True)
+            out_r.append(np.full(len(uniq), r, dtype=np.int32))
+            out_c.append(uniq)
+            out_n.append(counts.astype(np.int64))
+        return pa.table({
+            "res": pa.array(np.concatenate(out_r)),
+            "cell_id": pa.array(np.concatenate(out_c)),
+            "partial_n": pa.array(np.concatenate(out_n)),
+        })
+
+    agg = pre_shuffle_coalesce(
+        flat_ds.map_batches(partial, batch_format="pyarrow")
+    ).groupby(["res", "cell_id"]).aggregate(Sum("partial_n", alias_name="n_spans"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "res": pc.cast(t["res"], pa.int32()),
+            "cell_id": t["cell_id"],
+            "n_spans": pc.cast(t["n_spans"], pa.int64()),
+        }),
+        batch_format="pyarrow")
+
+
 def tile_vectorize(flat_ds, res: int = DEFAULT_RES):
     """Raster→vector: every occupied cell → its polygon corners + density.
 

@@ -107,6 +107,11 @@ def q_tile_vectorize(sf_dir: str):
         read_interleaved(sf_dir), ["lat", "lng"]), RES)
 
 
+def q_tile_pyramid(sf_dir: str):
+    return tiling.tile_pyramid(explode_spans(
+        read_interleaved(sf_dir), ["lat", "lng"]), RES)
+
+
 def _parsed(sf_dir: str):
     return parse_spans(flat_spans(read_interleaved(sf_dir)))
 
@@ -471,6 +476,22 @@ GROUP BY cell_x, cell_y
 """)
 
 
+def _oracle_tile_pyramid(path: str, res: int = RES, levels: int = 3) -> str:
+    n = 1 << res
+    lo = max(0, res - levels)
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INTEGER) AS res, "
+        f"(cell_y // {1 << (res - r)}) * {1 << r} + (cell_x // {1 << (res - r)}) AS cell_id "
+        f"FROM cells" for r in range(res, lo - 1, -1))
+    return (_FLAT_CTE.format(path=path) + "," + _CELL_CTE.format(n=n) + f"""
+, lv AS (
+{unions}
+)
+SELECT res, cell_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+FROM lv GROUP BY res, cell_id
+""")
+
+
 _CHAIN_CTE = """
 , redir0 AS (
     SELECT doc_id, "offset", media_ref,
@@ -696,6 +717,7 @@ _INTERLEAVED_ORACLES = {
     "tile_assign": _oracle_tile_assign,
     "tile_rollup": _oracle_tile_rollup,
     "tile_vectorize": _oracle_tile_vectorize,
+    "tile_pyramid": _oracle_tile_pyramid,
     "redirect_chain": _oracle_redirect_chain,
     "landing": _oracle_landing,
     "host_rollup": _oracle_host_rollup,
@@ -734,6 +756,7 @@ def queries() -> dict[str, Callable]:
         "tile_assign": q_tile_assign,
         "tile_rollup": q_tile_rollup,
         "tile_vectorize": q_tile_vectorize,
+        "tile_pyramid": q_tile_pyramid,
         "redirect_chain": q_redirect_chain,
         "landing": q_landing,
         "host_rollup": q_host_rollup,
