@@ -12,6 +12,7 @@ SQL_CHECKED = [
     "tile_assign",
     "tile_rollup",
     "tile_vectorize",
+    "tile_pyramid",
     "redirect_chain",
     "landing",
     "host_rollup",
