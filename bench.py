@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "tile_rollup",
     "tile_vectorize",
     "tile_pyramid",
+    "tile_neighbor_density",
     "host_rollup",
     "cookie_asof",
     "knn_referrer",

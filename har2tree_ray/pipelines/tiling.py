@@ -162,6 +162,54 @@ def tile_pyramid(flat_ds, res: int = DEFAULT_RES, levels: int = 3):
         batch_format="pyarrow")
 
 
+def tile_neighbor_density(flat_ds, res: int = DEFAULT_RES):
+    """3×3 neighborhood density per cell — raster convolution expressed as
+    scatter + native Sum: every occupied cell SCATTERS its count to its nine
+    (x-wrapped, y-clamped) neighbors, then one bounded groupby(cell) sums
+    the contributions.  Output: (cell_id, n_spans, neighbor_spans) for every
+    cell receiving any contribution (n_spans = 0 for unoccupied cells inside
+    an occupied neighborhood).  Both shuffles run over the bounded cell
+    domain, never over spans."""
+    import numpy as np
+
+    n = np.int64(1) << res
+    counts = pre_shuffle_coalesce(
+        flat_ds.map_batches(lambda b: _cell_count_partial(b, res),
+                            batch_format="pyarrow")
+    ).groupby("cell_id").aggregate(Sum("partial_n", alias_name="n_spans"))
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cid = t["cell_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t["n_spans"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy, ix = cid // n, cid % n
+        out_c, out_self, out_nb = [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                x2 = (ix + dx) % n          # x wraps (longitude)
+                y2 = iy + dy                # y clamps (poles)
+                ok = (y2 >= 0) & (y2 < n)
+                out_c.append(y2[ok] * n + x2[ok])
+                out_self.append(cnt[ok] if dx == 0 and dy == 0
+                                else np.zeros(ok.sum(), dtype=np.int64))
+                out_nb.append(cnt[ok])
+        return pa.table({
+            "cell_id": pa.array(np.concatenate(out_c)),
+            "self_n": pa.array(np.concatenate(out_self)),
+            "nb_n": pa.array(np.concatenate(out_nb)),
+        })
+
+    agg = counts.map_batches(scatter, batch_format="pyarrow").groupby(
+        "cell_id").aggregate(Sum("self_n", alias_name="n_spans"),
+                             Sum("nb_n", alias_name="neighbor_spans"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "cell_id": t["cell_id"],
+            "n_spans": pc.cast(t["n_spans"], pa.int64()),
+            "neighbor_spans": pc.cast(t["neighbor_spans"], pa.int64()),
+        }),
+        batch_format="pyarrow")
+
+
 def tile_vectorize(flat_ds, res: int = DEFAULT_RES):
     """Raster→vector: every occupied cell → its polygon corners + density.
 

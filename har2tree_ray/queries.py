@@ -112,6 +112,11 @@ def q_tile_pyramid(sf_dir: str):
         read_interleaved(sf_dir), ["lat", "lng"]), RES)
 
 
+def q_tile_neighbor_density(sf_dir: str):
+    return tiling.tile_neighbor_density(explode_spans(
+        read_interleaved(sf_dir), ["lat", "lng"]), RES)
+
+
 def _parsed(sf_dir: str):
     return parse_spans(flat_spans(read_interleaved(sf_dir)))
 
@@ -492,6 +497,31 @@ FROM lv GROUP BY res, cell_id
 """)
 
 
+
+
+def _oracle_tile_neighbors(path: str, res: int = RES) -> str:
+    n = 1 << res
+    return (_FLAT_CTE.format(path=path) + "," + _CELL_CTE.format(n=n) + f"""
+, counts AS (
+    SELECT cell_x, cell_y, CAST(COUNT(*) AS BIGINT) AS n_spans
+    FROM cells GROUP BY cell_x, cell_y
+), off AS (
+    SELECT a.dx, b.dy FROM (VALUES (-1), (0), (1)) a(dx),
+                           (VALUES (-1), (0), (1)) b(dy)
+), scat AS (
+    SELECT ((cell_x + dx) % {n} + {n}) % {n} AS x2, cell_y + dy AS y2,
+           CASE WHEN dx = 0 AND dy = 0 THEN n_spans ELSE 0 END AS self_n,
+           n_spans AS nb_n
+    FROM counts, off
+    WHERE cell_y + dy BETWEEN 0 AND {n} - 1
+)
+SELECT y2 * {n} + x2 AS cell_id,
+       CAST(SUM(self_n) AS BIGINT) AS n_spans,
+       CAST(SUM(nb_n) AS BIGINT) AS neighbor_spans
+FROM scat GROUP BY y2, x2
+""")
+
+
 _CHAIN_CTE = """
 , redir0 AS (
     SELECT doc_id, "offset", media_ref,
@@ -718,6 +748,7 @@ _INTERLEAVED_ORACLES = {
     "tile_rollup": _oracle_tile_rollup,
     "tile_vectorize": _oracle_tile_vectorize,
     "tile_pyramid": _oracle_tile_pyramid,
+    "tile_neighbor_density": _oracle_tile_neighbors,
     "redirect_chain": _oracle_redirect_chain,
     "landing": _oracle_landing,
     "host_rollup": _oracle_host_rollup,
@@ -757,6 +788,7 @@ def queries() -> dict[str, Callable]:
         "tile_rollup": q_tile_rollup,
         "tile_vectorize": q_tile_vectorize,
         "tile_pyramid": q_tile_pyramid,
+        "tile_neighbor_density": q_tile_neighbor_density,
         "redirect_chain": q_redirect_chain,
         "landing": q_landing,
         "host_rollup": q_host_rollup,

@@ -13,6 +13,7 @@ SQL_CHECKED = [
     "tile_rollup",
     "tile_vectorize",
     "tile_pyramid",
+    "tile_neighbor_density",
     "redirect_chain",
     "landing",
     "host_rollup",
