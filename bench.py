@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "ann_topk",
     "event_sessions",
     "event_asof",
+    "event_funnel",
     "media_features",
     "span_hhhash",
     "posted_data",

@@ -166,6 +166,85 @@ SELECT user_id, error_id, click_id, lag_us FROM m WHERE rn = 1
 """
 
 
+# ------------------------------------------------------------------ funnel
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel(events_ds, steps: tuple[str, ...] = FUNNEL_STEPS):
+    """Ordered-sequence funnel: how many users reach each step, where step k
+    means the first step-k event STRICTLY after the time the user reached
+    step k-1 (first-occurrence semantics, ties on ts break nothing because
+    the comparison is on ts alone — mirrored exactly by the SQL oracle).
+
+    One user-keyed shuffle; per-user evaluation is vectorized pandas (min-ts
+    per step, no event walk), then batch-local partial counts → tiny Sum."""
+    from ray.data.aggregate import Sum
+
+    from ..util import pre_shuffle_coalesce
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        reached = 0
+        t_prev = None
+        for s in steps:
+            sel = df[df["event_type"] == s]
+            if t_prev is not None:
+                sel = sel[sel["ts"] > t_prev]
+            if sel.empty:
+                break
+            t_prev = sel["ts"].min()
+            reached += 1
+        return pd.DataFrame([{"user_id": df["user_id"].iloc[0],
+                              "reached": reached}])
+
+    per = events_ds.select_columns(["user_id", "ts", "event_type"]).groupby(
+        "user_id").map_groups(per_user, batch_format="pandas")
+
+    def partial(t: pa.Table) -> pa.Table:
+        r = t["reached"].to_numpy(zero_copy_only=False)
+        ks = np.arange(1, len(steps) + 1, dtype=np.int64)
+        return pa.table({
+            "step": pa.array(ks, pa.int64()),
+            "part_n": pa.array([(r >= k).sum() for k in ks], pa.int64()),
+        })
+
+    agg = pre_shuffle_coalesce(
+        per.map_batches(partial, batch_format="pyarrow")
+    ).groupby("step").aggregate(Sum("part_n", alias_name="n_users"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        names = pa.array([steps[int(s) - 1] for s in t["step"].to_pylist()],
+                         pa.string())
+        return pa.table({
+            "step": pc.cast(t["step"], pa.int64()),
+            "event_type": names,
+            "n_users": pc.cast(t["n_users"], pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def funnel_sql(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
+    ctes = [f"""u1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = '{steps[0]}' GROUP BY user_id
+)"""]
+    for k in range(2, len(steps) + 1):
+        ctes.append(f"""u{k} AS (
+    SELECT e.user_id, MIN(e.ts) AS t{k}
+    FROM events e JOIN u{k - 1} p ON e.user_id = p.user_id
+    WHERE e.event_type = '{steps[k - 1]}' AND e.ts > p.t{k - 1}
+    GROUP BY e.user_id
+)""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, '{steps[k - 1]}' AS event_type, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_users FROM u{k}"
+        for k in range(1, len(steps) + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
 # ------------------------------------------------------------- JSON decoding
 
 

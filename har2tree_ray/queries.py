@@ -355,6 +355,10 @@ def q_event_props_rollup(sf_dir: str):
     return events.props_rollup(_events(sf_dir))
 
 
+def q_event_funnel(sf_dir: str):
+    return events.funnel(_events(sf_dir))
+
+
 def _media_slim(sf_dir: str):
     return explode_spans(read_interleaved(sf_dir),
                          ["doc_id", "offset", "media_ref", "kind"])
@@ -735,6 +739,7 @@ _TABLE_ORACLES = {
     "event_window_agg": lambda _p: events.window_agg_sql(),
     "event_asof": lambda _p: events.asof_error_click_sql(),
     "event_props_rollup": lambda _p: events.props_rollup_sql(),
+    "event_funnel": lambda _p: events.funnel_sql(),
     "orders_by_nation": lambda _p: relational.orders_by_nation_sql(),
 }
 
@@ -846,6 +851,7 @@ def queries() -> dict[str, Callable]:
         "event_window_agg": q_event_window_agg,
         "event_asof": q_event_asof,
         "event_props_rollup": q_event_props_rollup,
+        "event_funnel": q_event_funnel,
         # multimodal plumbing (decode stage stubbed — see stages/media.py)
         "media_features": q_media_features,
         "media_frames": q_media_frames,

@@ -13,6 +13,7 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.mark.parametrize("name", [
     "event_sessions", "event_window_agg", "event_asof", "event_props_rollup",
+    "event_funnel",
 ])
 def test_oracle_parity(name):
     assert_matches_oracle(name, SF)
@@ -80,3 +81,29 @@ def test_props_rollup_null_semantics():
     assert out.loc["a", "n"] == 5
     assert out.loc["b", "n"] == 1
     assert pd.isna(out.loc["b", "sum_k"]) and pd.isna(out.loc["b", "max_k"])
+
+
+def test_funnel_strict_ordering():
+    """Step k must be strictly after step k-1; out-of-order events do not
+    count (view after click does not make the click a step 2)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from har2tree_ray.pipelines.events import funnel
+
+    t0 = pd.Timestamp("2026-01-01")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        # user 1: full funnel in order
+        dict(user_id=1, event_id=1, ts=t0, event_type="view"),
+        dict(user_id=1, event_id=2, ts=t0 + m, event_type="click"),
+        dict(user_id=1, event_id=3, ts=t0 + 2 * m, event_type="purchase"),
+        # user 2: click BEFORE view -> stops at step 1
+        dict(user_id=2, event_id=4, ts=t0, event_type="click"),
+        dict(user_id=2, event_id=5, ts=t0 + m, event_type="view"),
+        # user 3: never views -> reaches nothing
+        dict(user_id=3, event_id=6, ts=t0, event_type="purchase"),
+    ]
+    out = funnel(rd.from_pandas(pd.DataFrame(rows))).to_pandas()
+    got = out.set_index("step")["n_users"].to_dict()
+    assert got == {1: 2, 2: 1, 3: 1}
