@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "urls_in_doc",
     "embedded_blobs",
     "ann_topk_ivf",
+    "knn_graph",
 ]
 
 

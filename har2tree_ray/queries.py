@@ -396,6 +396,10 @@ def q_ann_topk_ivf(sf_dir: str):
     return embed.ann_topk_ivf(_embeds(sf_dir))
 
 
+def q_knn_graph(sf_dir: str):
+    return embed.knn_graph(_embeds(sf_dir))
+
+
 # -------------------------------------------------------------- oracle SQL
 
 
@@ -826,6 +830,7 @@ def queries() -> dict[str, Callable]:
         "embed_neardup_lsh": q_embed_neardup_lsh,  # approximate — rows-only
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,            # approximate — rows-only
+        "knn_graph": q_knn_graph,                  # float-rank ties — rows-only
         # web-artifact metadata (M13/M28/M29/M30/D4 parity ops)
         "span_hhhash": q_span_hhhash,
         "doc_domhash": q_doc_domhash,

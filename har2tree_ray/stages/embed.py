@@ -184,6 +184,52 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+# ------------------------------------------------------------- kNN graph
+
+
+KNN_GRAPH_K = 3
+
+
+def knn_graph(ds, k: int = KNN_GRAPH_K):
+    """Exact k-NN graph: the top-k cosine neighbors of EVERY vector — the
+    SemDeDup-style primitive (cluster the graph, keep one doc per clique).
+
+    Broadcast-corpus baseline: the normalized corpus matrix is ``ray.put``
+    once; each batch's rows are COMPLETE queries, so one matmul per batch
+    yields exact per-row top-k directly — no partials, no merge stage.  At
+    100 TB swap the broadcast corpus for the IVF-bucketed probe
+    (``ann_topk_ivf``) exactly as documented there.  Rows-only vs SQL: with
+    every vector as a query, near-tie ranks would hinge on float op order
+    between numpy and DuckDB; parity is a bit-exact numpy ground-truth
+    pytest instead."""
+    ids, mat = load_corpus(ds)
+    ref = ray.put((ids, mat))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(ref)
+        q_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        q = _normalize(_to_matrix(batch["embedding"]))
+        sims = q @ all_mat.T
+        sims[all_ids[None, :] == q_ids[:, None]] = -np.inf  # exclude self
+        top = min(k, sims.shape[1] - 1)
+        part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+        out_q, out_r, out_v = [], [], []
+        for row in range(len(q_ids)):
+            cand = part[row]
+            order = np.lexsort((all_ids[cand], -sims[row, cand]))
+            for r, j in enumerate(cand[order], start=1):
+                out_q.append(int(q_ids[row]))
+                out_r.append(r)
+                out_v.append(int(all_ids[j]))
+        return pa.table({
+            "vec_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "nbr_id": pa.array(out_v, pa.int64()),
+        })
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", batch_size=1024)
+
+
 # ------------------------------------------------- LSH near-dup (scale path)
 
 

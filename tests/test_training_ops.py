@@ -154,3 +154,28 @@ def test_minhash_bucket_cap_drops_oversized_buckets():
     assert len(full) == 15  # C(6,2) identical docs
     capped = to_pandas(minhash_candidate_pairs(docs, max_bucket=3))
     assert len(capped) == 0
+
+
+def test_knn_graph_exact():
+    """The distributed kNN graph equals a single-process numpy ground truth
+    (identical arithmetic, independent plumbing)."""
+    import duckdb
+
+    from har2tree_ray import queries as q
+    from har2tree_ray.stages.embed import KNN_GRAPH_K
+
+    got = to_pandas(q.q_knn_graph(SF))
+    df = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{SF}/embeddings.parquet') ORDER BY vec_id"
+    ).df()
+    ids = df["vec_id"].to_numpy()
+    m = np.array(df["embedding"].tolist(), dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    by_q = got.sort_values(["vec_id", "rank"]).groupby("vec_id")["nbr_id"].apply(list)
+    assert len(by_q) == len(ids)
+    rng = np.random.RandomState(3)
+    for i in rng.choice(len(ids), size=60, replace=False):
+        order = np.lexsort((ids, -sims[i]))[:KNN_GRAPH_K]
+        assert by_q[ids[i]] == ids[order].tolist(), ids[i]
