@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "doc_sidecars",
     "redirect_chain",
     "host_tld",
+    "host_link_graph",
     "host_tree_json",
     "orders_by_nation",
     "capture_stats",

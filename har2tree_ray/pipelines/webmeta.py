@@ -524,6 +524,72 @@ FROM read_parquet('{flat_path}/*.parquet')
 """
 
 
+# ----------------------------------------------------------- host link graph
+
+
+def host_link_graph(flat_ds):
+    """Cross-host referral graph: (src_host, dst_host, n_links) counting
+    spans whose ``@referer`` host differs from their own host — the
+    host-level web graph the per-doc trees imply (HostNode edges aggregated
+    across the corpus, har2tree.py:680-708 generalized).  Batch-local pair
+    counts pre-aggregate before one bounded (host×host) shuffle."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..functions import parse
+    from ..functions.urls import split_url
+    from ..util import pre_shuffle_coalesce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.match_substring(batch["text"], "@referer="))
+        src, dst = [], []
+        for t, h in zip(batch["text"].to_pylist(),
+                        batch["hostname"].to_pylist()):
+            ref = parse.first(parse.RE_REFERER, t)
+            if not ref or not h:
+                continue
+            _, rh, _ = split_url(ref)
+            if rh and rh != h:
+                src.append(rh)
+                dst.append(h)
+        t2 = pa.table({"src_host": pa.array(src, pa.string()),
+                       "dst_host": pa.array(dst, pa.string())})
+        g = t2.group_by(["src_host", "dst_host"]).aggregate([("src_host", "count")])
+        return g.rename_columns(["src_host", "dst_host", "part_n"])
+
+    agg = pre_shuffle_coalesce(
+        flat_ds.select_columns(["text", "hostname"]).map_batches(
+            partial, batch_format="pyarrow")
+    ).groupby(["src_host", "dst_host"]).aggregate(Sum("part_n", alias_name="n_links"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "src_host": t["src_host"],
+            "dst_host": t["dst_host"],
+            "n_links": pc.cast(t["n_links"], pa.int64()),
+        }),
+        batch_format="pyarrow")
+
+
+def host_link_graph_sql(flat_path: str) -> str:
+    return f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+), r AS (
+    SELECT CASE WHEN regexp_matches(regexp_extract(s.text, '@referer=(\\S+)', 1), '^https?://')
+                THEN regexp_extract(regexp_extract(s.text, '@referer=(\\S+)', 1), '^https?://([^/?#]+)', 1)
+                ELSE '' END AS src_host,
+           CASE WHEN regexp_matches(s.media_ref, '^https?://')
+                THEN regexp_extract(s.media_ref, '^https?://([^/?#]+)', 1)
+                ELSE '' END AS dst_host
+    FROM ex WHERE regexp_matches(s.text, '@referer=')
+)
+SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+FROM r WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+GROUP BY src_host, dst_host
+"""
+
+
 # ------------------------------------------------------ embedded data-URIs
 
 

@@ -267,6 +267,11 @@ def q_doc_domhash(sf_dir: str):
     return webmeta.doc_domhash(read_interleaved(sf_dir))
 
 
+def q_host_link_graph(sf_dir: str):
+    return webmeta.host_link_graph(explode_spans(
+        read_interleaved(sf_dir), ["text", "hostname"]))
+
+
 def q_host_tld(sf_dir: str):
     return webmeta.host_tld(explode_spans(read_interleaved(sf_dir), ["hostname"]))
 
@@ -771,6 +776,7 @@ _INTERLEAVED_ORACLES = {
     "span_hhhash": webmeta.span_hhhash_sql,
     "doc_domhash": webmeta.doc_domhash_sql,
     "host_tld": webmeta.host_tld_sql,
+    "host_link_graph": webmeta.host_link_graph_sql,
     "span_identifiers": webmeta.span_identifiers_sql,
     "cookies_never_sent": webmeta.cookies_never_sent_sql,
     "posted_data": webmeta.posted_data_sql,
@@ -835,6 +841,7 @@ def queries() -> dict[str, Callable]:
         "span_hhhash": q_span_hhhash,
         "doc_domhash": q_doc_domhash,
         "host_tld": q_host_tld,
+        "host_link_graph": q_host_link_graph,
         "span_identifiers": q_span_identifiers,
         "cookies_never_sent": q_cookies_never_sent,
         # M12 POST decode, M26 security details, M11 user agent, S2/M18 sidecars
