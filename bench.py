@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "event_sessions",
     "event_asof",
     "event_funnel",
+    "event_retention",
     "media_features",
     "span_hhhash",
     "posted_data",

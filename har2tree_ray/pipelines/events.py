@@ -245,6 +245,74 @@ def funnel_sql(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + selects
 
 
+# ---------------------------------------------------------------- retention
+
+RETENTION_MAX_DAYS = 30
+
+
+def retention(events_ds, max_days: int = RETENTION_MAX_DAYS):
+    """Cohort retention matrix: users grouped by the DATE of their first
+    event; for each day offset, how many of the cohort were active that day.
+    Output: (cohort_day ISO string, day_offset, n_users).
+
+    One user-keyed shuffle; each user contributes at most one row per
+    (cohort, offset) pair (distinct-by-construction), so the final count is
+    a plain Sum over batch-local partials — never a distinct over events."""
+    from ray.data.aggregate import Sum
+
+    from ..util import pre_shuffle_coalesce
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        days = df["ts"].dt.normalize()
+        d0 = days.min()
+        offs = sorted({int(x) for x in (days - d0).dt.days if x <= max_days})
+        return pd.DataFrame({
+            "cohort_day": str(d0.date()),
+            "day_offset": pd.array(offs, dtype="int64"),
+        })
+
+    per = events_ds.select_columns(["user_id", "ts"]).groupby(
+        "user_id").map_groups(per_user, batch_format="pandas")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["cohort_day", "day_offset"]).aggregate(
+            [("cohort_day", "count")])
+        return g.rename_columns(["cohort_day", "day_offset", "part_n"])
+
+    agg = pre_shuffle_coalesce(
+        per.map_batches(partial, batch_format="pyarrow")
+    ).groupby(["cohort_day", "day_offset"]).aggregate(
+        Sum("part_n", alias_name="n_users"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "cohort_day": t["cohort_day"],
+            "day_offset": pc.cast(t["day_offset"], pa.int64()),
+            "n_users": pc.cast(t["n_users"], pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def retention_sql(max_days: int = RETENTION_MAX_DAYS) -> str:
+    return f"""
+WITH u AS (
+    SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort FROM events GROUP BY user_id
+), a AS (
+    SELECT DISTINCT e.user_id, u.cohort,
+           date_diff('day', u.cohort, CAST(e.ts AS DATE)) AS day_offset
+    FROM events e JOIN u ON e.user_id = u.user_id
+)
+SELECT CAST(cohort AS VARCHAR) AS cohort_day,
+       CAST(day_offset AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a WHERE day_offset <= {max_days}
+GROUP BY cohort, day_offset
+"""
+
+
 # ------------------------------------------------------------- JSON decoding
 
 

@@ -364,6 +364,10 @@ def q_event_funnel(sf_dir: str):
     return events.funnel(_events(sf_dir))
 
 
+def q_event_retention(sf_dir: str):
+    return events.retention(_events(sf_dir))
+
+
 def _media_slim(sf_dir: str):
     return explode_spans(read_interleaved(sf_dir),
                          ["doc_id", "offset", "media_ref", "kind"])
@@ -749,6 +753,7 @@ _TABLE_ORACLES = {
     "event_asof": lambda _p: events.asof_error_click_sql(),
     "event_props_rollup": lambda _p: events.props_rollup_sql(),
     "event_funnel": lambda _p: events.funnel_sql(),
+    "event_retention": lambda _p: events.retention_sql(),
     "orders_by_nation": lambda _p: relational.orders_by_nation_sql(),
 }
 
@@ -864,6 +869,7 @@ def queries() -> dict[str, Callable]:
         "event_asof": q_event_asof,
         "event_props_rollup": q_event_props_rollup,
         "event_funnel": q_event_funnel,
+        "event_retention": q_event_retention,
         # multimodal plumbing (decode stage stubbed — see stages/media.py)
         "media_features": q_media_features,
         "media_frames": q_media_frames,
