@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "host_link_graph",
     "host_tree_json",
     "orders_by_nation",
+    "revenue_by_month",
     "capture_stats",
     "urls_in_doc",
     "embedded_blobs",

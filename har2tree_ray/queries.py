@@ -340,6 +340,10 @@ def q_orders_by_nation(sf_dir: str):
     return relational.orders_by_nation(sf_dir)
 
 
+def q_revenue_by_month(sf_dir: str):
+    return relational.revenue_by_month(sf_dir)
+
+
 def _events(sf_dir: str):
     return read_table(sf_dir, "events")
 
@@ -755,6 +759,7 @@ _TABLE_ORACLES = {
     "event_funnel": lambda _p: events.funnel_sql(),
     "event_retention": lambda _p: events.retention_sql(),
     "orders_by_nation": lambda _p: relational.orders_by_nation_sql(),
+    "revenue_by_month": lambda _p: relational.revenue_by_month_sql(),
 }
 
 
@@ -863,6 +868,7 @@ def queries() -> dict[str, Callable]:
         "top_hosts": q_top_hosts,
         # broadcast hash join (small-side join pattern, no shuffle)
         "orders_by_nation": q_orders_by_nation,
+        "revenue_by_month": q_revenue_by_month,  # shuffle hash join (big x big)
         # event-stream operators (windowed / sessionize / as-of / JSON decode)
         "event_sessions": q_event_sessions,
         "event_window_agg": q_event_window_agg,

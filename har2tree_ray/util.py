@@ -23,6 +23,63 @@ def pre_shuffle_coalesce(ds, blocks: int | None = None):
     return ds.repartition(blocks)
 
 
+def hash_join(left_ds, right_ds, left_on: str, right_on: str,
+              n_parts: int | None = None):
+    """Distributed equi-join of two LARGE tables on int64 keys — the shuffle
+    join the broadcast pattern can't cover when neither side fits a worker.
+
+    Plan: tag each side, schema-harmonize with typed nulls, co-partition
+    BOTH sides on a multiplicative hash range of the key, and merge
+    batch-locally (vectorized pandas) inside each range group — one
+    sort-based exchange total, group size O((|L|+|R|) / n_parts) with
+    ``n_parts`` scaling with cluster width.  Pre-project both sides to the
+    columns the consumer needs before calling (the join moves every
+    surviving column once)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if n_parts is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        n_parts = max(64, cpus * 8)
+
+    lschema, rschema = left_ds.schema(), right_ds.schema()
+    lcols, rcols = list(lschema.names), list(rschema.names)
+    if set(lcols) & set(rcols):
+        raise ValueError("hash_join requires disjoint column names")
+    types = {**dict(zip(lschema.names, lschema.types)),
+             **dict(zip(rschema.names, rschema.types))}
+
+    def tag(side: int, key: str, missing: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            k = t[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+            # Knuth multiplicative hash: uniform ranges even for
+            # sequential keys
+            part = ((k * np.uint64(2654435761)) % np.uint64(1 << 32)
+                    ) % np.uint64(n_parts)
+            t = t.append_column("_part", pa.array(part.astype(np.int32)))
+            t = t.append_column("_side", pa.array(
+                np.full(t.num_rows, side, dtype=np.int8)))
+            for c in missing:
+                t = t.append_column(c, pa.nulls(t.num_rows, types[c]))
+            return t.select(["_part", "_side"] + lcols + rcols)
+
+        return f
+
+    both = (left_ds.map_batches(tag(0, left_on, rcols), batch_format="pyarrow")
+            .union(right_ds.map_batches(tag(1, right_on, lcols),
+                                        batch_format="pyarrow")))
+
+    def per_part(df):
+        l = df[df["_side"] == 0][lcols]
+        r = df[df["_side"] == 1][rcols]
+        return l.merge(r, left_on=left_on, right_on=right_on, how="inner")
+
+    return pre_shuffle_coalesce(both).groupby("_part").map_groups(
+        per_part, batch_format="pandas")
+
+
 def salted_groupby_sum(ds, key_cols: list[str], sum_cols: list[str],
                        salt_buckets: int = 16):
     """Two-stage salted sum for skewed keys (SURVEY §4 hot-host handling).

@@ -5,3 +5,27 @@ from tests.oracle_utils import assert_matches_oracle
 
 def test_orders_by_nation():
     assert_matches_oracle("orders_by_nation", "/root/testdata/sf0.001")
+
+
+def test_hash_join_inner_semantics():
+    """Shuffle hash join: inner semantics with duplicate keys (cartesian
+    within key) and unmatched rows dropped, regardless of partition count."""
+    import pandas as pd
+    import ray.data as rd
+
+    from har2tree_ray.util import hash_join
+
+    left = rd.from_items([{"k": 1, "a": "x"}, {"k": 1, "a": "y"},
+                          {"k": 2, "a": "z"}, {"k": 9, "a": "w"}])
+    right = rd.from_items([{"r": 1, "b": 10}, {"r": 1, "b": 20},
+                           {"r": 2, "b": 30}, {"r": 7, "b": 40}])
+    out = hash_join(left, right, "k", "r", n_parts=5).to_pandas()
+    got = sorted(map(tuple, out[["k", "a", "b"]].itertuples(index=False)))
+    assert got == [(1, "x", 10), (1, "x", 20), (1, "y", 10), (1, "y", 20),
+                   (2, "z", 30)]
+
+
+def test_oracle_parity_revenue():
+    from tests.oracle_utils import assert_matches_oracle
+
+    assert_matches_oracle("revenue_by_month", "/root/testdata/sf0.001")
