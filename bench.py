@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "doc_exact_dedup",
     "doc_filter",
     "doc_len_histogram",
+    "ngram_topk",
     "corpus_keep",
     "doc_minhash_pairs",
     "doc_simhash",

@@ -237,6 +237,10 @@ def q_doc_simhash(sf_dir: str):
     return dedup.simhash_table(_docs(sf_dir))
 
 
+def q_ngram_topk(sf_dir: str):
+    return text.ngram_topk(_docs(sf_dir))
+
+
 def q_doc_len_histogram(sf_dir: str):
     return text.doc_len_histogram(_docs(sf_dir))
 
@@ -748,6 +752,7 @@ _TABLE_ORACLES = {
     "doc_exact_dedup": _oracle_doc_exact_dedup,
     "doc_filter": lambda _p: text.doc_filter_sql(),
     "doc_len_histogram": lambda _p: text.doc_len_histogram_sql(),
+    "ngram_topk": lambda _p: text.ngram_topk_sql(),
     "dedup_clusters": lambda _p: text.dedup_clusters_sql(),
     "corpus_keep": lambda _p: corpus.corpus_keep_sql(),
     "embed_neardup": lambda _p: embed.embed_neardup_sql(),
@@ -840,6 +845,7 @@ def queries() -> dict[str, Callable]:
         "doc_simhash": q_doc_simhash,              # blake2-based — rows-only
         "doc_filter": q_doc_filter,
         "doc_len_histogram": q_doc_len_histogram,
+        "ngram_topk": q_ngram_topk,
         "dedup_clusters": q_dedup_clusters,
         "corpus_keep": q_corpus_keep,
         "embed_neardup": q_embed_neardup,

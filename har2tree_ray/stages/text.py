@@ -369,6 +369,67 @@ GROUP BY d.doc_id
 """)
 
 
+# ------------------------------------------------- vocabulary heavy hitters
+
+NGRAM_TOPK = 20
+
+
+def ngram_topk(ds, k: int = NGRAM_TOPK):
+    """Top-k n-grams by DOCUMENT frequency — vocabulary heavy-hitters over
+    an UNBOUNDED key domain: batch-local distinct-gram counts → one Sum
+    shuffle keyed on gram → per-block top-k partials (exact: after the
+    groupby every gram lives in exactly one block) → tiny driver merge of
+    num_blocks × k rows.  The full gram table never reaches the driver.
+    Ties break by gram ascending (deterministic, mirrored in SQL)."""
+    from ray.data.aggregate import Sum
+
+    from ..util import pre_shuffle_coalesce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = _explode_grams(batch).select(["gram"]).group_by("gram").aggregate(
+            [("gram", "count")])
+        return g.rename_columns(["gram", "part_n"])
+
+    agg = pre_shuffle_coalesce(
+        ds.map_batches(partial, batch_format="pyarrow")
+    ).groupby("gram").aggregate(Sum("part_n", alias_name="df"))
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        df = df.sort_values(["df", "gram"], ascending=[False, True],
+                            kind="mergesort").head(k)
+        df["df"] = df["df"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    import pandas as pd
+
+    parts = agg.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    top = (parts.sort_values(["df", "gram"], ascending=[False, True],
+                             kind="mergesort").head(k).reset_index(drop=True))
+    top["rank"] = range(1, len(top) + 1)
+    return pa.Table.from_pandas(top[["rank", "gram", "df"]],
+                                preserve_index=False)
+
+
+def ngram_topk_sql(rel: str = "documents", k: int = NGRAM_TOPK) -> str:
+    kk = JACCARD_GRAM
+    return f"""
+WITH w AS (
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM {rel}
+), g AS (
+    SELECT DISTINCT doc_id, array_to_string(ws[i:i + {kk - 1}], ' ') AS gram
+    FROM w, UNNEST(range(1, GREATEST(len(ws) - {kk - 1}, 1) + 1)) AS t(i)
+), c AS (
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM g GROUP BY gram
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY df DESC, gram) AS BIGINT) AS rank,
+       gram, df
+FROM c ORDER BY df DESC, gram LIMIT {k}
+"""
+
+
 # --------------------------------------------------- length histogram sketch
 
 HIST_BUCKET_WIDTH = 16  # whitespace tokens per bucket

@@ -17,6 +17,7 @@ SF = "/root/testdata/sf0.001"
     "doc_tokens", "doc_quality", "doc_langid", "doc_fingerprint",
     "doc_jaccard_pairs", "doc_exact_dedup", "embed_neardup", "ann_topk",
     "doc_filter", "dedup_clusters", "doc_len_histogram", "corpus_keep",
+    "ngram_topk",
 ])
 def test_oracle_parity(name):
     assert_matches_oracle(name, SF)
