@@ -38,6 +38,7 @@ HEADLINE = "tile_rollup"
 BENCH_QUERIES = [
     "flatten_spans",
     "doc_stats",
+    "doc_durations",
     "span_dedup",
     "tile_rollup",
     "tile_vectorize",

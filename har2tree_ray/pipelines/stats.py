@@ -88,6 +88,51 @@ def kind_rollup(interleaved_ds):
     )
 
 
+def doc_durations(interleaved_ds):
+    """Per-doc duration rollup over the M8 ``@dur`` directive (the
+    reference's entry ``time``/timedelta fields, nodes.py:230-231):
+    (doc_id, total_ms, max_ms, n_timed).  Pure map — Arrow regex kernel +
+    one pandas groupby per batch, no shuffle."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        base = _flat_base(batch)
+        m = pc.extract_regex(base["text"], r"@dur=(?P<d>\d+)")
+        dur = pc.fill_null(pc.cast(pc.struct_field(m, "d"), pa.int64()), -1)
+        df = pa.table({"doc_id": base["doc_id"], "dur": dur}).to_pandas()
+        timed = df[df["dur"] >= 0]
+        g = timed.groupby("doc_id", sort=False)["dur"]
+        out = pd.DataFrame({
+            "total_ms": g.sum().astype(np.int64),
+            "max_ms": g.max().astype(np.int64),
+            "n_timed": g.size().astype(np.int64),
+        })
+        # docs whose spans carry no @dur at all still get a row (zeros)
+        all_ids = pd.Index(df["doc_id"].unique(), name="doc_id")
+        out = out.reindex(all_ids).fillna(0).astype(np.int64).reset_index()
+        return pa.Table.from_pandas(
+            out[["doc_id", "total_ms", "max_ms", "n_timed"]],
+            preserve_index=False)
+
+    return interleaved_ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def doc_durations_sql(flat_path: str) -> str:
+    return f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+), d AS (
+    SELECT doc_id,
+           TRY_CAST(regexp_extract(s.text, '@dur=(\\d+)', 1) AS BIGINT) AS dur
+    FROM ex
+)
+SELECT doc_id,
+       CAST(COALESCE(SUM(dur), 0) AS BIGINT) AS total_ms,
+       CAST(COALESCE(MAX(dur), 0) AS BIGINT) AS max_ms,
+       CAST(COUNT(dur) AS BIGINT) AS n_timed
+FROM d GROUP BY doc_id
+"""
+
+
 def capture_stats(interleaved_ds, n_parts: int | None = None):
     """Per-capture rollup (the CrawledTree analog of A1): docs, spans,
     distinct hostnames.

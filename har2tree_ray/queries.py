@@ -83,6 +83,10 @@ def q_doc_stats(sf_dir: str):
     return stats.doc_stats(read_interleaved(sf_dir))
 
 
+def q_doc_durations(sf_dir: str):
+    return stats.doc_durations(read_interleaved(sf_dir))
+
+
 def q_kind_rollup(sf_dir: str):
     return stats.kind_rollup(read_interleaved(sf_dir))
 
@@ -803,6 +807,7 @@ _INTERLEAVED_ORACLES = {
     "embedded_blobs": webmeta.embedded_blobs_sql,
     "urls_in_doc": webmeta.urls_in_doc_sql,
     "capture_stats": stats.capture_stats_sql,
+    "doc_durations": stats.doc_durations_sql,
     "doc_sample": stats.doc_sample_sql,
     "top_hosts": stats.top_hosts_sql,
 }
@@ -870,6 +875,7 @@ def queries() -> dict[str, Callable]:
         "embedded_blobs": q_embedded_blobs,
         "urls_in_doc": q_urls_in_doc,
         "capture_stats": q_capture_stats,
+        "doc_durations": q_doc_durations,
         "doc_sample": q_doc_sample,
         "top_hosts": q_top_hosts,
         # broadcast hash join (small-side join pattern, no shuffle)

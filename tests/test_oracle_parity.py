@@ -7,6 +7,7 @@ from .oracle_utils import assert_matches_oracle
 SQL_CHECKED = [
     "flatten_spans",
     "doc_stats",
+    "doc_durations",
     "kind_rollup",
     "span_dedup",
     "tile_assign",
