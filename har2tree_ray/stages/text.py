@@ -271,51 +271,87 @@ def _explode_grams(batch: pa.Table) -> pa.Table:
     })
 
 
-def ngram_jaccard_pairs(ds, tau: float = JACCARD_TAU, df_cap: int = JACCARD_DF_CAP):
+def ngram_jaccard_pairs(ds, tau: float = JACCARD_TAU, df_cap: int = JACCARD_DF_CAP,
+                        n_parts: int | None = None):
     """Exact near-dup pairs by n-gram Jaccard ≥ tau.
 
-    shuffle 1: groupby(gram) — stop-gram DF cut, then pair fan-out;
-    shuffle 2: groupby(pair) — intersection count → jaccard.
+    Two COARSE hash-range shuffles — never one Ray group per gram or per
+    pair.  Grams and candidate pairs are mostly-unique keys, so a
+    ``groupby(gram).map_groups`` plan pays per-group Python dispatch on
+    millions of near-singleton groups (the same anti-pattern measured at
+    15.9→2.4 s on span_dedup, see ``dedup.span_hash_groups``).  Instead:
+
+    * shuffle 1 keys on ``crc32(gram) % n_parts`` — every row of a gram
+      lands in exactly one range, so the DF cut (2 ≤ df ≤ df_cap) is exact
+      and the pair fan-out is ONE vectorized pandas self-merge per range;
+    * shuffle 2 keys on ``hash(doc_a, doc_b) % n_parts`` — every (gram,
+      pair) row of a pair lands in one range, so intersection counts and
+      the τ filter are ONE vectorized pandas groupby per range.
+
+    Range-group size is O(rows / n_parts) with n_parts scaling with
+    cluster width; per-gram fan-out stays bounded by df_cap² regardless.
     """
-    grams = ds.map_batches(_explode_grams, batch_format="pyarrow")
+    import zlib
 
-    def pairs_per_gram(t: pa.Table) -> pa.Table:
-        if t.num_rows > df_cap or t.num_rows < 2:
-            return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64()),
-                             "n_a": pa.array([], pa.int64()),
-                             "n_b": pa.array([], pa.int64())})
-        ids = t["doc_id"].to_pylist()
-        ns = t["n_grams"].to_pylist()
-        order = sorted(range(len(ids)), key=lambda j: ids[j])
-        a, b, na, nb = [], [], [], []
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                a.append(ids[order[x]])
-                b.append(ids[order[y]])
-                na.append(ns[order[x]])
-                nb.append(ns[order[y]])
-        return pa.table({"doc_a": pa.array(a, pa.int64()),
-                         "doc_b": pa.array(b, pa.int64()),
-                         "n_a": pa.array(na, pa.int64()),
-                         "n_b": pa.array(nb, pa.int64())})
+    import numpy as np
+    import pandas as pd
 
-    pair_rows = grams.groupby("gram").map_groups(pairs_per_gram, batch_format="pyarrow")
+    from ..util import pre_shuffle_coalesce
 
-    def jaccard(t: pa.Table) -> pa.Table:
-        inter = t.num_rows
-        na = t["n_a"][0].as_py()
-        nb = t["n_b"][0].as_py()
-        j = inter * 1.0 / (na + nb - inter)
-        if j < tau:
-            return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64()),
-                             "jaccard": pa.array([], pa.float64())})
-        return pa.table({"doc_a": t["doc_a"].slice(0, 1),
-                         "doc_b": t["doc_b"].slice(0, 1),
-                         "jaccard": pa.array([j], pa.float64())})
+    if n_parts is None:
+        import ray
 
-    return pair_rows.groupby(["doc_a", "doc_b"]).map_groups(jaccard, batch_format="pyarrow")
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        n_parts = max(32, cpus * 2)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t = _explode_grams(batch)
+        gp = np.fromiter(
+            (zlib.crc32(g.encode("utf-8")) for g in t["gram"].to_pylist()),
+            dtype=np.int64, count=t.num_rows) % n_parts
+        return t.append_column("gpart", pa.array(gp.astype(np.int32)))
+
+    grams = pre_shuffle_coalesce(ds.map_batches(explode, batch_format="pyarrow"))
+
+    _EMPTY_PAIRS = {"doc_a": "int64", "doc_b": "int64",
+                    "n_a": "int64", "n_b": "int64", "ppart": "int32"}
+
+    def pairs_per_range(df: pd.DataFrame) -> pd.DataFrame:
+        # exact DF per gram: all rows of a gram are in this range by key
+        cnt = df.groupby("gram")["doc_id"].transform("size")
+        df = df[(cnt >= 2) & (cnt <= df_cap)]
+        if df.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in _EMPTY_PAIRS.items()})
+        m = df[["gram", "doc_id", "n_grams"]].merge(
+            df[["gram", "doc_id", "n_grams"]], on="gram",
+            suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        a = m["doc_id_a"].to_numpy(dtype=np.int64)
+        b = m["doc_id_b"].to_numpy(dtype=np.int64)
+        # Knuth-style mix of the pair key → uniform second-stage ranges
+        key = (a.astype(np.uint64) * np.uint64(2654435761)
+               + b.astype(np.uint64) * np.uint64(40503)) % np.uint64(1 << 32)
+        return pd.DataFrame({
+            "doc_a": a, "doc_b": b,
+            "n_a": m["n_grams_a"].to_numpy(dtype=np.int64),
+            "n_b": m["n_grams_b"].to_numpy(dtype=np.int64),
+            "ppart": (key % np.uint64(n_parts)).astype(np.int32),
+        })
+
+    pair_rows = grams.groupby("gpart").map_groups(
+        pairs_per_range, batch_format="pandas")
+
+    def jaccard_per_range(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            i=("n_a", "size"), n_a=("n_a", "first"), n_b=("n_b", "first"))
+        j = g["i"] * 1.0 / (g["n_a"] + g["n_b"] - g["i"])
+        out = g.loc[j >= tau, ["doc_a", "doc_b"]].copy()
+        out["jaccard"] = j[j >= tau].astype("float64")
+        return out
+
+    return pre_shuffle_coalesce(pair_rows).groupby("ppart").map_groups(
+        jaccard_per_range, batch_format="pandas")
 
 
 def _jaccard_ctes(rel: str, tau: float, df_cap: int) -> str:
