@@ -160,6 +160,66 @@ def landing_interleaved(interleaved_ds, batch_size: int = 256):
                                       batch_size=batch_size)
 
 
+def resolve_final_redirect(urls: list[str], lr: str) -> tuple[str, bool]:
+    """The reference's progressive address-bar-URL search
+    (``_search_final_redirect``, har2tree.py:198-222): scan entry URLs in
+    order for an exact match or a ``lr + '?'`` prefix match; on failure
+    strip the fragment, then the query, and retry.  Returns (final URL —
+    the matched span URL, or the last stripped candidate on failure,
+    resolved?)."""
+    while True:
+        for u in urls:
+            if u == lr:
+                return lr, True
+            if u.startswith(lr + "?"):
+                return u, True
+        if "#" in lr:
+            lr = lr.split("#", 1)[0]
+        elif "?" in lr:
+            lr = lr.split("?", 1)[0]
+        else:
+            return lr, False
+
+
+def landing_validated(interleaved_ds, batch_size: int = 256):
+    """J10 sidecar validation: per doc with a ``last_redirect`` sidecar,
+    resolve the address-bar URL against the doc's span URLs
+    (offset-ordered, unquote_plus'd — har2tree.py:127-140,198-222).
+    Zero-shuffle: the sidecar column and spans share the interleaved row.
+
+    (doc_id, last_redirect, final_url, resolved).  The engine unquotes
+    span URLs for real-HAR parity; the SQL oracle compares raw — equal on
+    the synth vocabulary (escape-free URLs), documented like posted_data."""
+    from urllib.parse import unquote_plus
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        spans_col = batch["spans"].to_pylist()
+        lrs = batch["last_redirect"].to_pylist()
+        out = {"doc_id": [], "last_redirect": [], "final_url": [],
+               "resolved": []}
+        for did, spans, lr in zip(ids, spans_col, lrs):
+            if lr is None or not spans:
+                continue
+            ordered = sorted(spans, key=lambda s: s["offset"])
+            urls = [unquote_plus(s["media_ref"]) for s in ordered
+                    if s["media_ref"]]
+            final, ok = resolve_final_redirect(urls, lr)
+            out["doc_id"].append(did)
+            out["last_redirect"].append(lr)
+            out["final_url"].append(final)
+            out["resolved"].append(ok)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.string()),
+            "last_redirect": pa.array(out["last_redirect"], pa.string()),
+            "final_url": pa.array(out["final_url"], pa.string()),
+            "resolved": pa.array(out["resolved"], pa.bool_()),
+        })
+
+    return interleaved_ds.map_batches(per_batch, batch_format="pyarrow",
+                                      batch_size=batch_size)
+
+
 def add_capture_id(ds):
     def f(t: pa.Table) -> pa.Table:
         cap = pc.replace_substring_regex(t["doc_id"], r"\.\d+$", "")

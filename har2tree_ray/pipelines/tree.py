@@ -143,10 +143,12 @@ def build_doc_tree(nodes: list[dict]) -> tuple[list[dict], int]:
                     break
             for c in picked:
                 take(c, "redirect")
-        # 2. frames
+        # 2. frames (exact, then fragment-stripped — the reference matches
+        # {cu, cu.split('#')[0]} against all_url_requests, har2tree.py:954)
         for fu in node["frame_urls"]:
-            for c in [i for i in url_index.get(fu, []) if i in unattached]:
-                take(c, "frame")
+            for v in dict.fromkeys((fu, strip_fragment(fu))):
+                for c in [i for i in url_index.get(v, []) if i in unattached]:
+                    take(c, "frame")
         # 3. initiator / 4. referer / 5. referer_nofrag
         for c in sorted(unattached):
             if by_id[c]["initiator_url"] == url:

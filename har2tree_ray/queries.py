@@ -141,6 +141,11 @@ def q_landing(sf_dir: str):
     return graft.landing_interleaved(read_interleaved(sf_dir))
 
 
+def q_landing_validated(sf_dir: str):
+    return graft.landing_validated(read_interleaved(
+        sf_dir, columns=["doc_id", "spans", "last_redirect"]))
+
+
 def q_host_rollup(sf_dir: str):
     return hosttree.host_rollup_interleaved(read_interleaved(sf_dir))
 
@@ -602,6 +607,50 @@ FROM chain GROUP BY doc_id
 """)
 
 
+def _oracle_landing_validated(path: str) -> str:
+    """J10 sidecar validation: the reference's progressive search
+    (har2tree.py:198-222) — per candidate (raw, fragment-stripped,
+    query-stripped) in priority order, the first span (offset order)
+    matching exactly or as a ``c || '?'`` prefix wins."""
+    return f"""
+WITH iv AS (
+    SELECT doc_id, last_redirect, spans
+    FROM read_parquet('{path}/*.parquet')
+    WHERE last_redirect IS NOT NULL AND len(spans) > 0
+), d2 AS (
+    SELECT *, CASE WHEN lr1 IS NOT NULL AND contains(lr1, '?')
+                   THEN split_part(lr1, '?', 1) END AS lr2
+    FROM (
+        SELECT doc_id, last_redirect AS lr0,
+               CASE WHEN contains(last_redirect, '#')
+                    THEN split_part(last_redirect, '#', 1)
+                    WHEN contains(last_redirect, '?')
+                    THEN split_part(last_redirect, '?', 1)
+               END AS lr1
+        FROM iv)
+), cand AS (
+    SELECT doc_id, 0 AS pr, lr0 AS c FROM d2
+    UNION ALL SELECT doc_id, 1, lr1 FROM d2 WHERE lr1 IS NOT NULL
+    UNION ALL SELECT doc_id, 2, lr2 FROM d2 WHERE lr2 IS NOT NULL
+), ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM iv
+), su AS (
+    SELECT doc_id, s.media_ref AS url, s."offset" AS off
+    FROM ex WHERE s.media_ref <> ''
+), m AS (
+    SELECT cand.doc_id, su.url,
+           row_number() OVER (PARTITION BY cand.doc_id
+                              ORDER BY cand.pr, su.off) AS rn
+    FROM cand JOIN su ON su.doc_id = cand.doc_id
+     AND (su.url = cand.c OR starts_with(su.url, cand.c || '?'))
+)
+SELECT d2.doc_id, d2.lr0 AS last_redirect,
+       COALESCE(m.url, COALESCE(d2.lr2, d2.lr1, d2.lr0)) AS final_url,
+       m.url IS NOT NULL AS resolved
+FROM d2 LEFT JOIN (SELECT doc_id, url FROM m WHERE rn = 1) m USING (doc_id)
+"""
+
+
 def _oracle_graft_edges(path: str) -> str:
     """J9 forest graft: per capture, a child attaches to the MIN doc whose
     landing or root URL equals the child's root referer."""
@@ -784,6 +833,7 @@ _INTERLEAVED_ORACLES = {
     "tile_neighbor_density": _oracle_tile_neighbors,
     "redirect_chain": _oracle_redirect_chain,
     "landing": _oracle_landing,
+    "landing_validated": _oracle_landing_validated,
     "host_rollup": _oracle_host_rollup,
     "cookie_events": _oracle_cookie_events,
     "cookie_asof": _oracle_cookie_asof,
@@ -826,6 +876,7 @@ def queries() -> dict[str, Callable]:
         "tile_neighbor_density": q_tile_neighbor_density,
         "redirect_chain": q_redirect_chain,
         "landing": q_landing,
+        "landing_validated": q_landing_validated,
         "host_rollup": q_host_rollup,
         "cookie_events": q_cookie_events,
         "cookie_asof": q_cookie_asof,

@@ -40,6 +40,10 @@ INTERLEAVED_SCHEMA = pa.schema(
         pa.field("downloaded_filename", pa.string()),
         pa.field("downloaded_b64", pa.string()),
         pa.field("rendered_html", pa.string()),
+        # <stem>.last_redirect.txt — the address-bar URL at capture end
+        # (har2tree.py:127-140); validated against span URLs by
+        # pipelines.graft.landing_validated (J10, har2tree.py:198-222).
+        pa.field("last_redirect", pa.string()),
     ]
 )
 

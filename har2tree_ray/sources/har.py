@@ -87,8 +87,56 @@ def _initiator_url(entry: dict) -> str:
     return ""
 
 
-def har_entries_to_spans(entries: list[dict]) -> list[dict]:
+def _local_only(url: str | None) -> bool:
+    """URLs whose frame content never loads remotely — reference
+    ``_url_to_local_only_content`` (har2tree.py:430-436)."""
+    return (url is None or url in ("about:blank", "about:srcdoc", "")
+            or url.startswith(("data", "chrome-error", "blob")))
+
+
+def flatten_frames(frames: dict) -> dict[str, list[str]]:
+    """Recursive ``FramesResponse`` sidecar → {frame URL → child real URLs}.
+
+    Mirrors the reference's frame walk (har2tree.py:855-877): a frame node
+    with children contributes, per child, its first *real* (non-local-only)
+    URL, recursing through local-only children.  Keys are stored unquoted
+    AND fragment-stripped so the cascade's exact ``media_ref`` lookup hits
+    both variants (``search_in_frames`` matches ``{u, u.split('#')[0]}``)."""
+    from urllib.parse import unquote_plus
+
+    out: dict[str, list[str]] = {}
+
+    def real_urls(fr: dict):
+        u = fr.get("url")
+        if u and not _local_only(u):
+            yield unquote_plus(u)
+        else:
+            for c in fr.get("children") or []:
+                if isinstance(c, dict):
+                    yield from real_urls(c)
+
+    def walk(fr: dict) -> None:
+        if not isinstance(fr, dict):
+            return
+        kids = [c for c in (fr.get("children") or []) if isinstance(c, dict)]
+        if fr.get("url") and kids:
+            u = unquote_plus(fr["url"])
+            found = [ru for c in kids for ru in real_urls(c)]
+            for key in {u, u.split("#", 1)[0]}:
+                out.setdefault(key, []).extend(found)
+        for c in kids:
+            walk(c)
+
+    walk(frames)
+    return out
+
+
+def har_entries_to_spans(entries: list[dict],
+                         frames_map: dict[str, list[str]] | None = None
+                         ) -> list[dict]:
     """HAR entries → span structs (offset = startedDateTime sort rank)."""
+    from urllib.parse import unquote_plus
+
     entries = sorted(entries, key=lambda e: e.get("startedDateTime", ""))
     spans = []
     for off, e in enumerate(entries):
@@ -112,6 +160,18 @@ def har_entries_to_spans(entries: list[dict]) -> list[dict]:
         ini = _initiator_url(e)
         if ini:
             parts.append(f"@initiator={_tok(ini)}")
+        if frames_map:
+            # J4 frame evidence: this entry's URL names a frame with
+            # children → its children's real URLs become @frame= targets
+            # (reference search_in_frames, har2tree.py:865-877; matched on
+            # the unquoted URL and its fragment-stripped variant)
+            uq = unquote_plus(url)
+            seen_fu: set[str] = set()
+            for key in {uq, uq.split("#", 1)[0]}:
+                for fu in frames_map.get(key, ()):
+                    if fu not in seen_fu:
+                        seen_fu.add(fu)
+                        parts.append(f"@frame={_tok(fu)}")
         if e.get("time") is not None:
             parts.append(f"@dur={max(0, int(e['time']))}")
         sent = _header(req.get("headers"), "cookie")
@@ -159,10 +219,65 @@ def har_entries_to_spans(entries: list[dict]) -> list[dict]:
     return spans
 
 
+def _sidecar_stem(path: str) -> str:
+    """``x.har`` / ``x.har.gz`` → the ``x`` every sidecar file is keyed on
+    (reference root_name, har2tree.py:121-124)."""
+    stem = path[:-3] if path.endswith(".gz") else path
+    return stem[:-4] if stem.endswith(".har") else stem
+
+
+def load_sidecars(path: str) -> dict:
+    """S2: the per-capture companion files of a HAR
+    (har2tree.py:127-179) → interleaved-row columns + the frames map.
+
+    * ``<stem>.frames.json``       → frames_map for ``@frame=`` directives
+    * ``<stem>.last_redirect.txt`` → ``last_redirect`` (unquote_plus'd)
+    * ``<stem>.html``              → ``rendered_html``
+    * ``<stem>.data`` + ``.data.filename`` → downloaded blob columns
+    """
+    from urllib.parse import unquote_plus
+
+    stem = _sidecar_stem(path)
+    out: dict = {"downloaded_filename": None, "downloaded_b64": None,
+                 "rendered_html": None, "last_redirect": None,
+                 "frames_map": None}
+    fp = stem + ".frames.json"
+    if os.path.isfile(fp):
+        try:
+            with open(fp, encoding="utf-8", errors="replace") as f:
+                out["frames_map"] = flatten_frames(json.load(f)) or None
+        except (OSError, json.JSONDecodeError):
+            pass
+    lr = stem + ".last_redirect.txt"
+    if os.path.isfile(lr):
+        try:
+            with open(lr, encoding="utf-8", errors="replace") as f:
+                out["last_redirect"] = unquote_plus(f.read())
+        except OSError:
+            pass
+    html = stem + ".html"
+    if os.path.isfile(html):
+        try:
+            with open(html, "rb") as f:
+                out["rendered_html"] = f.read().decode("utf-8", "replace")
+        except OSError:
+            pass
+    data, datafn = stem + ".data", stem + ".data.filename"
+    if os.path.isfile(data) and os.path.isfile(datafn):
+        try:
+            with open(datafn, encoding="utf-8", errors="replace") as f:
+                out["downloaded_filename"] = f.read()
+            with open(data, "rb") as f:
+                out["downloaded_b64"] = base64.b64encode(f.read()).decode()
+        except OSError:
+            out["downloaded_filename"] = out["downloaded_b64"] = None
+    return out
+
+
 def har_file_to_row(path: str, doc_id: str) -> dict | None:
-    """One HAR file → one interleaved row; ``None`` for unreadable files
-    (the reference's capture loader logs and skips broken members rather
-    than failing the whole capture — parser.py:30-41)."""
+    """One HAR file (+ sidecars) → one interleaved row; ``None`` for
+    unreadable files (the reference's capture loader logs and skips broken
+    members rather than failing the whole capture — parser.py:30-41)."""
     import logging
 
     opener = gzip.open if path.endswith(".gz") else open
@@ -170,14 +285,13 @@ def har_file_to_row(path: str, doc_id: str) -> dict | None:
         with opener(path, "rt", encoding="utf-8", errors="replace") as f:
             h = json.load(f)
         entries = (h.get("log") or {}).get("entries") or []
-        spans = har_entries_to_spans(entries)
+        side = load_sidecars(path)
+        spans = har_entries_to_spans(entries, side.pop("frames_map"))
     except (OSError, json.JSONDecodeError, AttributeError, TypeError) as e:
         logging.getLogger("har2tree_ray.har").warning(
             "skipping unreadable HAR %s: %s", path, e)
         return None
-    return {"doc_id": doc_id, "spans": spans,
-            "downloaded_filename": None, "downloaded_b64": None,
-            "rendered_html": None}
+    return {"doc_id": doc_id, "spans": spans, **side}
 
 
 def read_har_dir(dir_path: str, capture_id: str | None = None,

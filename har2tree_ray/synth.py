@@ -48,7 +48,7 @@ import pyarrow.parquet as pq
 
 from .schema import INTERLEAVED_SCHEMA
 
-SYNTH_VERSION = 7  # bump to invalidate /tmp caches when generation changes
+SYNTH_VERSION = 8  # bump to invalidate /tmp caches when generation changes
 
 _GTAG_ALPHABET = np.array(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"))
 
@@ -349,7 +349,22 @@ def _generate_doc(rs: np.random.RandomState, doc_id: str, root_referer: str | No
     # S2 sidecars: downloaded blob (magic-prefixed — M18 sniff fixture) and
     # rendered HTML, as nullable doc columns
     extra = {"downloaded_filename": None, "downloaded_b64": None,
-             "rendered_html": None}
+             "rendered_html": None, "last_redirect": None}
+    # <stem>.last_redirect.txt recast: the address-bar URL, exercising every
+    # branch of the reference's progressive search (har2tree.py:198-222) —
+    # exact, fragment-bearing (strip '#'), query-stripped ('?'-prefix
+    # upgrade), failed capture (chrome-error), and unresolvable.
+    r_lr = rs.random_sample()
+    if r_lr < 0.35:
+        extra["last_redirect"] = landing
+    elif r_lr < 0.50:
+        extra["last_redirect"] = f"{landing}#frag{int(rs.randint(0, 9))}"
+    elif r_lr < 0.62:
+        extra["last_redirect"] = landing.split("?", 1)[0]
+    elif r_lr < 0.68:
+        extra["last_redirect"] = "chrome-error://chromewebdata/"
+    elif r_lr < 0.73:
+        extra["last_redirect"] = "https://gone.example/vanished.html"
     if rs.random_sample() < 0.12:
         magic, ext = _MAGIC_PREFIXES[int(rs.randint(0, len(_MAGIC_PREFIXES)))]
         payload = magic + bytes(

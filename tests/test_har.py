@@ -148,3 +148,97 @@ def test_broken_har_logged_and_skipped(tmp_path):
     assert len(df) == 1
     assert df["doc_id"].tolist() == ["caps.0"]
     assert len(df["spans"].iloc[0]) > 5
+
+
+def _mini_har(entries):
+    return {"log": {"version": "1.2", "creator": {"name": "t", "version": "0"},
+                    "pages": [], "entries": entries}}
+
+
+def _entry(url, t, status=200, mime="text/html", referer=None):
+    headers = [{"name": "Referer", "value": referer}] if referer else []
+    return {
+        "startedDateTime": f"2024-01-01T00:00:{t:02d}.000Z",
+        "time": 10,
+        "request": {"method": "GET", "url": url, "headers": headers},
+        "response": {"status": status, "headers": [],
+                     "content": {"mimeType": mime, "size": 10},
+                     "redirectURL": ""},
+    }
+
+
+def test_sidecar_ingestion(tmp_path):
+    """S2: <stem>.frames.json / .last_redirect.txt / .html / .data(.filename)
+    load into the interleaved row (reference HarFile.__init__,
+    har2tree.py:121-179); frame children attach via the J4 'frame' rule
+    (search_in_frames, har2tree.py:855-877)."""
+    from har2tree_ray.pipelines.graft import landing_validated
+    from har2tree_ray.sources.har import read_har_dir
+
+    d = tmp_path / "cap"
+    d.mkdir()
+    main = "https://site.example/index.html"
+    ifr = "https://ads.example/frame.html"
+    nested = "https://cdn.example/inner.html"
+    # iframe + nested entries carry NO referer/initiator — only the frames
+    # sidecar can attach them
+    har = _mini_har([_entry(main, 0), _entry(ifr, 1), _entry(nested, 2)])
+    (d / "001.har").write_text(json.dumps(har))
+    frames = {
+        "name": "root", "url": main, "content": "<html>x</html>",
+        "children": [
+            {"name": "f1", "url": ifr + "#frag", "content": "<p>ad</p>",
+             "children": []},
+            # local-only frame whose child holds the real URL — the walk
+            # must recurse through it (all_real_urls_in_children)
+            {"name": "f2", "url": "about:blank", "content": None,
+             "children": [{"name": "f3", "url": nested,
+                           "content": "<i>deep</i>", "children": []}]},
+        ],
+    }
+    (d / "001.frames.json").write_text(json.dumps(frames))
+    (d / "001.last_redirect.txt").write_text(main + "#top")
+    (d / "001.html").write_text("<html><body>rendered</body></html>")
+    (d / "001.data").write_bytes(b"%PDF-1.7 fake")
+    (d / "001.data.filename").write_text("report.pdf")
+
+    ds = read_har_dir(str(d))
+    df = ds.to_pandas()
+    assert len(df) == 1
+    row = df.iloc[0]
+    assert row["rendered_html"] == "<html><body>rendered</body></html>"
+    assert row["downloaded_filename"] == "report.pdf"
+    import base64 as b64
+    assert b64.b64decode(row["downloaded_b64"]) == b"%PDF-1.7 fake"
+    assert row["last_redirect"] == main + "#top"
+
+    # the main span carries @frame= directives for BOTH real child URLs
+    spans = sorted(row["spans"], key=lambda s: s["offset"])
+    assert f"@frame={ifr}#frag" in spans[0]["text"]
+    assert f"@frame={nested}" in spans[0]["text"]
+
+    # cascade: both children attach under main via the 'frame' rule
+    # (ifr matches fragment-stripped — reference's {cu, nofrag(cu)} lookup)
+    from tests.test_tree import _edges
+    from tests.tree_oracle import build_tree_oracle
+    eng_spans = [dict(s) for s in spans]
+    got, _ = _edges(eng_spans)
+    assert (1, 0, "frame", 1) in got
+    assert (2, 0, "frame", 1) in got
+    assert got == build_tree_oracle(eng_spans)
+
+    # J10: the address-bar URL resolves by stripping the fragment
+    lv = landing_validated(ds).to_pandas().iloc[0]
+    assert bool(lv["resolved"]) and lv["final_url"] == main
+
+
+def test_sidecar_absent_columns_null(tmp_path):
+    from har2tree_ray.sources.har import read_har_dir
+
+    d = tmp_path / "cap"
+    d.mkdir()
+    (d / "001.har").write_text(json.dumps(_mini_har(
+        [_entry("https://a.example/", 0)])))
+    row = read_har_dir(str(d)).to_pandas().iloc[0]
+    assert row["rendered_html"] is None and row["last_redirect"] is None
+    assert row["downloaded_filename"] is None and row["downloaded_b64"] is None

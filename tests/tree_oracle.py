@@ -136,10 +136,11 @@ def build_tree_oracle(spans: list[dict]) -> list[tuple]:
                 grab(c, u, "redirect")
                 kids.append(c)
         for fu in me["frames"]:
-            for c in urlmap.get(fu, []):
-                if c in free:
-                    grab(c, u, "frame")
-                    kids.append(c)
+            for v in dict.fromkeys((fu, nofrag(fu))):
+                for c in urlmap.get(v, []):
+                    if c in free:
+                        grab(c, u, "frame")
+                        kids.append(c)
         for c in sorted(free):
             if ns[c]["initiator"] == me["url"]:
                 grab(c, u, "initiator")
