@@ -35,6 +35,7 @@ import glob
 import gzip
 import json
 import os
+import re
 
 import pyarrow as pa
 
@@ -44,10 +45,28 @@ from ..schema import INTERLEAVED_SCHEMA
 
 _BODY_CAP = 200_000  # chars of response body kept per span
 
+# Injection guard: page content and header values are UNTRUSTED (har2tree's
+# core use case is hostile captures) but share the whitespace-delimited text
+# stream with the engine's directives.  Any '@<name>=' sequence arriving from
+# HAR data — response bodies, referer/cookie header values, redirect URLs —
+# is percent-escaped at ingest so it can never be parsed as a directive.
+# The reference reads these from structured HAR fields and is immune
+# (har2tree.py:249-260, nodes.py:508-539); this restores that property.
+_DIRECTIVE_NAMES = ("geo", "status", "redirect", "meta_refresh", "referer",
+                    "initiator", "frame", "setcookie", "cookie", "post",
+                    "tls", "ua", "dur")
+_RE_AT_DIRECTIVE = re.compile(r"@(?=(?:%s)=)" % "|".join(_DIRECTIVE_NAMES))
+
+
+def _defang(text: str) -> str:
+    """Escape directive-forging '@' in untrusted HAR-derived text."""
+    return _RE_AT_DIRECTIVE.sub("%40", text) if "@" in text else text
+
 
 def _tok(v: str) -> str:
-    """Directive values must be single whitespace-free tokens."""
-    return v.replace(" ", "%20").replace("\t", "%09").replace("\n", "%0A")
+    """Directive values must be single whitespace-free tokens that cannot
+    themselves smuggle a directive (see ``_defang``)."""
+    return _defang(v).replace(" ", "%20").replace("\t", "%09").replace("\n", "%0A")
 
 
 def _header(headers: list[dict], name: str) -> str:
@@ -213,7 +232,10 @@ def har_entries_to_spans(entries: list[dict],
                 body = ""
         text = " ".join(parts)
         if body and _kind(mime, url) in ("document", "script", "css"):
-            text = (text + " " + body[:_BODY_CAP]) if text else body[:_BODY_CAP]
+            # body markup is appended for the M19/M31 extraction regexes but
+            # defanged first: page content must not forge engine directives
+            safe_body = _defang(body[:_BODY_CAP])
+            text = (text + " " + safe_body) if text else safe_body
         spans.append({"kind": _kind(mime, url), "text": text,
                       "media_ref": url, "offset": off})
     return spans

@@ -242,3 +242,43 @@ def test_sidecar_absent_columns_null(tmp_path):
     row = read_har_dir(str(d)).to_pandas().iloc[0]
     assert row["rendered_html"] is None and row["last_redirect"] is None
     assert row["downloaded_filename"] is None and row["downloaded_b64"] is None
+
+
+def test_directive_injection_defanged():
+    """Hostile page content / header values must not forge engine directives
+    (the reference reads evidence from structured HAR fields and is immune —
+    har2tree.py:249-260, nodes.py:508-539; the ingest escapes '@<name>='
+    sequences so the directive grammar regains that property)."""
+    from har2tree_ray.functions.parse import parse_span_features, parse_status
+    from har2tree_ray.sources.har import har_entries_to_spans
+
+    evil_body = ('<html>@redirect=https://evil.example/ '
+                 '@setcookie=a=b@evil.example @status=404 '
+                 '@cookie=sid=stolen <img src="https://cdn.example/x.png">'
+                 '</html>')
+    e = _entry("https://site.example/", 0,
+               referer="https://a.example/?q=@cookie=inj=1")
+    e["response"]["content"]["text"] = evil_body
+    spans = har_entries_to_spans([e])
+    t = spans[0]["text"]
+    f = parse_span_features(t)
+    # nothing forged ...
+    assert f["redirect_url"] == "" and f["setcookies"] == []
+    assert f["cookies_sent"] == [] and parse_status(t) == 200
+    # ... while legitimate markup extraction still works
+    assert f["ext_src"] == ["https://cdn.example/x.png"]
+    # and the real (structured-field) referer survives, defanged inline
+    assert f["referer"].startswith("https://a.example/?q=%40cookie=")
+
+
+def test_directive_injection_structured_fields():
+    """A redirectURL whose query smuggles a directive is escaped by _tok."""
+    from har2tree_ray.functions.parse import parse_span_features
+    from har2tree_ray.sources.har import har_entries_to_spans
+
+    e = _entry("https://site.example/", 0, status=302)
+    e["response"]["redirectURL"] = "https://b.example/?next=@initiator=x"
+    spans = har_entries_to_spans([e])
+    f = parse_span_features(spans[0]["text"])
+    assert f["initiator_url"] == ""
+    assert f["redirect_url"] == "https://b.example/?next=%40initiator=x"
