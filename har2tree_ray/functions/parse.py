@@ -32,6 +32,19 @@ RE_SRC = re.compile(r'src="([^"]+)"')
 RE_HREF = re.compile(r'href="([^"]+)"')
 RE_CSSURL = re.compile(r"url\(([^)]+)\)")
 RE_JSLOC = re.compile(r"location\.href='([^']+)'")
+# M19 breadth (reference helper.py:356-466): responsive-image srcset,
+# poster/longdesc/data resource attributes, the CSS @import string form
+# (tinycss2 path; the url() form is RE_CSSURL), the meta-refresh HTML TAG
+# (vs the @meta_refresh directive, nodes.py:586-590), and the full-text URL
+# fallback the reference runs over the whole (unescaped) body.
+RE_SRCSET = re.compile(r'srcset="([^"]+)"')
+RE_ATTR = re.compile(r'\b(?:poster|longdesc|data)="([^"]+)"')
+RE_CSSIMPORT = re.compile(r'@import\s+["\']([^"\']+)["\']')
+RE_META_TAG = re.compile(r'<meta[^>]*?content="\s*\d+\s*;\s*url=([^"]+)"',
+                         re.IGNORECASE)
+RE_DIRECTIVE_TOKEN = re.compile(r"@\w+=\S+")
+RE_FULLURL = re.compile(r'https?://[^\s"\'<>()\[\]{}]+')
+_URL_TRAIL_PUNCT = ".,;:!?"
 RE_DATAURI = re.compile(r"data:([\w/+.-]+);base64,([A-Za-z0-9+/=]+)")
 RE_POST = re.compile(r"@post=([^:\s]+):(\S+)")       # M12 mime:b64 POST body
 RE_TLS = re.compile(r"@tls=([^@\s]+)@(\S+)")         # M26 proto@issuer
@@ -69,6 +82,40 @@ def repair_b64(data: str) -> bytes:
         return b""
 
 
+def _markup_channel(rx: re.Pattern, text: str, unescaped: str | None,
+                    guard: str) -> list[str]:
+    """Scan one markup channel over the raw text AND (when HTML-escaped
+    markup is present) its unescaped copy — the reference ``unescape()``s
+    blobs before re-walking them (helper.py:391-400).  Order-preserving
+    dedup keeps cascade determinism."""
+    vals = rx.findall(text) if guard in text else []
+    if unescaped is not None and guard in unescaped:
+        vals = list(dict.fromkeys(vals + rx.findall(unescaped)))
+    return vals
+
+
+def split_srcset(value: str) -> list[str]:
+    """``srcset`` attribute value → candidate URLs (descriptors dropped) —
+    comma-separated candidates, URL is the first whitespace token of each
+    (reference collects srcset per tag, helper.py:403-415)."""
+    out = []
+    for cand in value.split(","):
+        u = cand.strip().split(" ", 1)[0]
+        if u:
+            out.append(u)
+    return out
+
+
+def fulltext_urls(text: str) -> list[str]:
+    """M19 full-text URL fallback (reference helper.py:451-466: a URL regex
+    over the whole body catches references no tag walk sees).  Directive
+    tokens are stripped first — in the interleaved recast they share the
+    text stream but correspond to the reference's *structured* fields, which
+    its body regex never saw."""
+    stripped = RE_DIRECTIVE_TOKEN.sub(" ", text)
+    return [u.rstrip(_URL_TRAIL_PUNCT) for u in RE_FULLURL.findall(stripped)]
+
+
 def parse_span_features(text: str) -> dict:
     """Single-pass extraction of every attach-evidence feature of one span.
 
@@ -85,16 +132,35 @@ def parse_span_features(text: str) -> dict:
             raw = repair_b64(b64)
             if raw:
                 embedded.append((mime, hashlib.sha256(raw).hexdigest()))
+    # HTML-escaped markup: unescape once and let every markup channel scan
+    # both copies (helper.py:391-400)
+    unescaped = None
+    if "&quot;" in text or "&amp;" in text or "&#" in text:
+        import html
+        unescaped = html.unescape(text)
+    # M23 meta refresh: the @meta_refresh directive wins; otherwise the
+    # meta-refresh HTML tag in body markup (nodes.py:586-590, helper.py)
+    meta = first(RE_META_REFRESH, text) if "@meta_refresh=" in text else ""
+    if not meta and "<meta" in text:
+        meta = first(RE_META_TAG, text)
+    srcset_vals = _markup_channel(RE_SRCSET, text, unescaped, 'srcset="')
     return {
         "redirect_url": first(RE_REDIRECT, text) if "@redirect=" in text else "",
-        "meta_refresh": first(RE_META_REFRESH, text) if "@meta_refresh=" in text else "",
+        "meta_refresh": meta,
         "referer": first(RE_REFERER, text) if "@referer=" in text else "",
         "initiator_url": first(RE_INITIATOR, text) if "@initiator=" in text else "",
         "frame_urls": RE_FRAME.findall(text) if "@frame=" in text else [],
-        "ext_src": RE_SRC.findall(text) if 'src="' in text else [],
-        "ext_href": RE_HREF.findall(text) if 'href="' in text else [],
-        "ext_cssurl": RE_CSSURL.findall(text) if "url(" in text else [],
-        "jsloc_urls": RE_JSLOC.findall(text) if "location.href=" in text else [],
+        "ext_src": _markup_channel(RE_SRC, text, unescaped, 'src="'),
+        "ext_href": _markup_channel(RE_HREF, text, unescaped, 'href="'),
+        "ext_cssurl": _markup_channel(RE_CSSURL, text, unescaped, "url("),
+        "ext_srcset": [u for v in srcset_vals for u in split_srcset(v)],
+        "ext_attr": _markup_channel(RE_ATTR, text, unescaped, '="'),
+        "ext_cssimport": _markup_channel(RE_CSSIMPORT, text, unescaped,
+                                         "@import"),
+        "ext_fulltext": fulltext_urls(unescaped or text)
+        if "http" in text else [],
+        "jsloc_urls": _markup_channel(RE_JSLOC, text, unescaped,
+                                      "location.href="),
         "embedded_mimes": [m for m, _ in embedded],
         "embedded_hashes": [h for _, h in embedded],
         "setcookies": [f"{n}={v}@{d}" for n, v, d in RE_SETCOOKIE.findall(text)]

@@ -160,8 +160,15 @@ def build_doc_tree(nodes: list[dict]) -> tuple[list[dict], int]:
             r = by_id[c]["referer"]
             if r and r != url and strip_fragment(r) == url:
                 take(c, "referer_nofrag")
-        # 6. external resources by tag class (anti-join on resolvable referer)
-        for cls, key in (("src", "ext_src"), ("href", "ext_href"), ("cssurl", "ext_cssurl")):
+        # 6. external resources by tag class (anti-join on resolvable
+        # referer).  Channel order is part of the determinism contract:
+        # src/href/url() first (the reference's tag walk), then the M19
+        # breadth channels — srcset, poster/longdesc/data attrs, CSS
+        # @import, and the full-text URL fallback (helper.py:356-466).
+        for cls, key in (("src", "ext_src"), ("href", "ext_href"),
+                         ("cssurl", "ext_cssurl"), ("srcset", "ext_srcset"),
+                         ("attr", "ext_attr"), ("cssimport", "ext_cssimport"),
+                         ("fulltext", "ext_fulltext")):
             for ref in node[key]:
                 for c in [i for i in url_index.get(ref, []) if i in unattached]:
                     if referer_resolves(by_id[c]):
@@ -212,14 +219,17 @@ def build_doc_tree(nodes: list[dict]) -> tuple[list[dict], int]:
 _PARSED_COLS = [
     "doc_id", "offset", "kind", "media_ref", "hostname", "status",
     "redirect_url", "meta_refresh", "referer", "initiator_url",
-    "frame_urls", "ext_src", "ext_href", "ext_cssurl", "jsloc_urls",
+    "frame_urls", "ext_src", "ext_href", "ext_cssurl", "ext_srcset",
+    "ext_attr", "ext_cssimport", "ext_fulltext", "jsloc_urls",
 ]
 
 
 def _group_fn(df: pd.DataFrame) -> pd.DataFrame:
     rows = df.to_dict("records")
     for r in rows:
-        for k in ("frame_urls", "ext_src", "ext_href", "ext_cssurl", "jsloc_urls"):
+        for k in ("frame_urls", "ext_src", "ext_href", "ext_cssurl",
+                  "ext_srcset", "ext_attr", "ext_cssimport", "ext_fulltext",
+                  "jsloc_urls"):
             v = r[k]
             r[k] = list(v) if v is not None else []
     edges, _dropped = build_doc_tree(rows)

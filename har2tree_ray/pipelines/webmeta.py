@@ -777,6 +777,8 @@ def urls_in_doc(interleaved_ds, batch_size: int = 64):
                 t = s["text"]
                 f = parse.parse_span_features(t)
                 for u in (f["ext_src"] + f["ext_href"] + f["ext_cssurl"]
+                          + f["ext_srcset"] + f["ext_attr"]
+                          + f["ext_cssimport"] + f["ext_fulltext"]
                           + f["jsloc_urls"]):
                     u = u.strip(" '\"")  # same char-set trim as the oracle
                     if u.startswith(("http://", "https://")):
@@ -792,19 +794,44 @@ def urls_in_doc(interleaved_ds, batch_size: int = 64):
 
 
 def urls_in_doc_sql(flat_path: str) -> str:
+    """Every markup channel runs over the raw text AND its HTML-unescaped
+    copy (the engine uses ``html.unescape``; the replace() pair below covers
+    the synth escape vocabulary — &quot;/&amp; — the same documented
+    synth-only contract as ``posted_data``)."""
+    channels = (
+        ('src="([^"]+)"', 1),
+        ('href="([^"]+)"', 1),
+        ('url\\(([^)]+)\\)', 1),
+        ("location\\.href=''([^'']+)''", 1),
+        ('\\b(?:poster|longdesc|data)="([^"]+)"', 1),
+        ('@import\\s+["'']([^"'']+)["'']', 1),
+    )
     unions = "\nUNION ALL\n".join(
-        f"""SELECT doc_id, UNNEST(regexp_extract_all(s.text, '{rx}', 1)) AS u
-    FROM ex""" for rx, _name in (
-            ('src="([^"]+)"', "src"),
-            ('href="([^"]+)"', "href"),
-            ('url\\(([^)]+)\\)', "cssurl"),
-            ("location\\.href=''([^'']+)''", "jsloc"),
-        ))
+        f"""SELECT doc_id, UNNEST(regexp_extract_all({col}, '{rx}', {grp})) AS u
+    FROM ex""" for rx, grp in channels for col in ("t", "tu"))
+    srcset = "\nUNION ALL\n".join(
+        f"""SELECT doc_id, split_part(trim(c), ' ', 1) AS u FROM (
+    SELECT doc_id, UNNEST(string_split(v, ',')) AS c FROM (
+        SELECT doc_id, UNNEST(regexp_extract_all({col}, 'srcset="([^"]+)"', 1)) AS v
+        FROM ex))
+    WHERE trim(c) <> ''""" for col in ("t", "tu"))
+    fulltext = """SELECT doc_id,
+       rtrim(UNNEST(regexp_extract_all(
+           regexp_replace(tu, '@\\w+=\\S+', ' ', 'g'),
+           'https?://[^\\s"''<>()\\[\\]{}]+')), '.,;:!?') AS u
+    FROM ex"""
     return f"""
 WITH ex AS (
-    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+    SELECT doc_id, s.text AS t,
+           replace(replace(s.text, '&quot;', '"'), '&amp;', '&') AS tu
+    FROM (SELECT doc_id, UNNEST(spans) AS s
+          FROM read_parquet('{flat_path}/*.parquet'))
 ), raw AS (
 {unions}
+UNION ALL
+{srcset}
+UNION ALL
+{fulltext}
 )
 SELECT DISTINCT doc_id, trim(u, ' ''\"') AS url
 FROM raw

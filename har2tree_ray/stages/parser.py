@@ -44,6 +44,10 @@ class SpanParser:
             "ext_src": [None] * n,
             "ext_href": [None] * n,
             "ext_cssurl": [None] * n,
+            "ext_srcset": [None] * n,
+            "ext_attr": [None] * n,
+            "ext_cssimport": [None] * n,
+            "ext_fulltext": [None] * n,
             "jsloc_urls": [None] * n,
             "embedded_mimes": [None] * n,
             "embedded_hashes": [None] * n,

@@ -48,7 +48,7 @@ import pyarrow.parquet as pq
 
 from .schema import INTERLEAVED_SCHEMA
 
-SYNTH_VERSION = 8  # bump to invalidate /tmp caches when generation changes
+SYNTH_VERSION = 9  # bump to invalidate /tmp caches when generation changes
 
 _GTAG_ALPHABET = np.array(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"))
 
@@ -210,10 +210,15 @@ def _generate_doc(rs: np.random.RandomState, doc_id: str, root_referer: str | No
         parent = int(containers[rs.randint(0, len(containers))])
         channel = rs.random_sample()
         idx = add(kind, u, h)
-        if channel < 0.30:  # embedded resource in parent's text (J5)
+        if channel < 0.24:  # embedded resource in parent's text (J5)
             tag = {"script": "src", "img": "src", "media": "src", "iframe": "src",
                    "css": "href", "font": "cssurl", "document": "href"}[kind]
             spans[parent]["refs"].append((tag, u))
+        elif channel < 0.27:  # M19 srcset candidate list (one live URL + one
+            # dangling descriptor-bearing candidate — parse must split both)
+            spans[parent]["refs"].append(("srcset", u))
+        elif channel < 0.30:  # M19 poster/longdesc/data resource attr
+            spans[parent]["refs"].append(("attr", u))
         elif channel < 0.45:  # initiator (J2)
             spans[idx]["directives"].append(f"@initiator={spans[parent]['url']}")
         elif channel < 0.60:  # referer exact (J3)
@@ -222,21 +227,33 @@ def _generate_doc(rs: np.random.RandomState, doc_id: str, root_referer: str | No
             spans[idx]["directives"].append(f"@referer={spans[parent]['url']}#frag{rs.randint(0, 9)}")
         elif channel < 0.74 and spans[parent]["kind"] in ("document", "iframe"):
             spans[parent]["directives"].append(f"@frame={u}")  # frame join (J4)
-        elif channel < 0.80:  # JS location redirect evidence (M22)
+        elif channel < 0.78:  # JS location redirect evidence (M22)
             spans[parent]["refs"].append(("jsloc", u))
+        elif channel < 0.80:  # M19 CSS @import string form
+            spans[parent]["refs"].append(("cssimport", u))
         elif channel < 0.84:  # meta refresh (M23) — absolute, scheme-relative
             # or path-absolute target; the relative forms only attach when the
             # rebuilt URL (parent's scheme/origin) matches, else the span
-            # becomes a fallback orphan (realistic cross-origin miss)
+            # becomes a fallback orphan (realistic cross-origin miss).
+            # Absolute targets split between the @meta_refresh directive and
+            # the raw meta-refresh HTML tag (M19/M23 tag channel).
             r2 = rs.random_sample()
             if r2 < 0.5:
-                tgt = u
+                if rs.random_sample() < 0.5:
+                    spans[parent]["refs"].append(("metatag", u))
+                else:
+                    spans[parent]["directives"].append(f"@meta_refresh={u}")
             elif r2 < 0.8:
-                tgt = "//" + u.split("://", 1)[1]
+                spans[parent]["directives"].append(
+                    "@meta_refresh=//" + u.split("://", 1)[1])
             else:
-                tgt = "/" + u.split("://", 1)[1].split("/", 1)[1]
-            spans[parent]["directives"].append(f"@meta_refresh={tgt}")
-        elif channel < 0.92:  # orphan with partial referer → hostname fallback (J6)
+                spans[parent]["directives"].append(
+                    "@meta_refresh=/" + u.split("://", 1)[1].split("/", 1)[1])
+        elif channel < 0.87:  # M19 HTML-escaped markup (&quot;-escaped src)
+            spans[parent]["refs"].append(("escsrc", u))
+        elif channel < 0.89:  # M19 full-text URL fallback: bare URL in body
+            spans[parent]["refs"].append(("fulltext", u))
+        elif channel < 0.95:  # orphan with partial referer → hostname fallback (J6)
             spans[idx]["directives"].append(
                 f"@referer=https://{HOSTS[spans[parent]['host_idx']]}/unknown{rs.randint(0, 999)}.html")
         # else: fully orphan → fallback_root
@@ -314,6 +331,24 @@ def _generate_doc(rs: np.random.RandomState, doc_id: str, root_referer: str | No
                 parts.append(f"url({u})")
             elif tag == "jsloc":
                 parts.append(f"location.href='{u}'")
+            elif tag == "srcset":
+                # live candidate + dangling 1x candidate; descriptor variety
+                # pinned by the URL length so generation stays deterministic
+                dangle = f"https://cdn-alt.example/v{len(u) % 7}.webp"
+                parts.append(f'srcset="{dangle} 1x, {u} {len(u) % 3 + 1}x"'
+                             if len(u) % 2 else f'srcset="{u} 2x"')
+            elif tag == "attr":
+                name = ("poster", "longdesc", "data")[len(u) % 3]
+                parts.append(f'{name}="{u}"')
+            elif tag == "cssimport":
+                parts.append(f'@import "{u}"')
+            elif tag == "metatag":
+                parts.append(
+                    f'<meta http-equiv="refresh" content="{len(u) % 9};url={u}">')
+            elif tag == "escsrc":
+                parts.append(f"src=&quot;{u}&quot;")
+            elif tag == "fulltext":
+                parts.append(u)
         if rs.random_sample() < 0.05:
             blob = base64.b64encode(bytes(rs.randint(0, 256, size=12, dtype=np.int32).astype(np.uint8)))
             parts.append(f"data:application/octet-stream;base64,{blob.decode()}")

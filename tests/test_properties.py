@@ -92,7 +92,8 @@ def test_parse_span_features_total(text):
     f = parse.parse_span_features(text)
     assert set(f) == {
         "redirect_url", "meta_refresh", "referer", "initiator_url",
-        "frame_urls", "ext_src", "ext_href", "ext_cssurl", "jsloc_urls",
+        "frame_urls", "ext_src", "ext_href", "ext_cssurl", "ext_srcset",
+        "ext_attr", "ext_cssimport", "ext_fulltext", "jsloc_urls",
         "embedded_mimes", "embedded_hashes", "setcookies", "cookies_sent",
     }
 

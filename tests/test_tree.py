@@ -32,6 +32,9 @@ def _engine_rows(spans):
             "referer": f["referer"], "initiator_url": f["initiator_url"],
             "frame_urls": f["frame_urls"], "ext_src": f["ext_src"],
             "ext_href": f["ext_href"], "ext_cssurl": f["ext_cssurl"],
+            "ext_srcset": f["ext_srcset"], "ext_attr": f["ext_attr"],
+            "ext_cssimport": f["ext_cssimport"],
+            "ext_fulltext": f["ext_fulltext"],
             "jsloc_urls": f["jsloc_urls"],
         })
     return rows

@@ -20,6 +20,11 @@ SRC = re.compile(r'src="([^"]+)"')
 HREF = re.compile(r'href="([^"]+)"')
 CSSURL = re.compile(r"url\(([^)]+)\)")
 JSLOC = re.compile(r"location\.href='([^']+)'")
+SRCSET = re.compile(r'srcset="([^"]+)"')
+ATTR = re.compile(r'\b(?:poster|longdesc|data)="([^"]+)"')
+CSSIMPORT = re.compile(r'@import\s+["\']([^"\']+)["\']')
+METATAG = re.compile(r'<meta[^>]*?content="\s*\d+\s*;\s*url=([^"]+)"', re.I)
+ANYURL = re.compile(r'https?://[^\s"\'<>()\[\]{}]+')
 
 CONTAINERS = {"document", "script", "iframe"}
 
@@ -41,10 +46,30 @@ def parse_span(span: dict) -> dict:
             d["frames"].append(val)
         elif key == "status":
             d["status"] = int(val)
-    d["src"] = SRC.findall(t)
-    d["href"] = HREF.findall(t)
-    d["cssurl"] = CSSURL.findall(t)
-    d["jsloc"] = JSLOC.findall(t)
+    import html as _html
+
+    un = _html.unescape(t) if ("&quot;" in t or "&amp;" in t or "&#" in t) else None
+
+    def chan(rx):
+        vals = rx.findall(t)
+        if un is not None:
+            vals = list(dict.fromkeys(vals + rx.findall(un)))
+        return vals
+
+    d["src"] = chan(SRC)
+    d["href"] = chan(HREF)
+    d["cssurl"] = chan(CSSURL)
+    d["jsloc"] = chan(JSLOC)
+    d["srcset"] = [c.strip().split(" ")[0] for v in chan(SRCSET)
+                   for c in v.split(",") if c.strip()]
+    d["attr"] = chan(ATTR)
+    d["cssimport"] = chan(CSSIMPORT)
+    d["fulltext"] = [u.rstrip(".,;:!?") for u in
+                     ANYURL.findall(re.sub(r"@\w+=\S+", " ", un or t))]
+    if not d["meta_refresh"]:
+        m = METATAG.search(t)
+        if m:
+            d["meta_refresh"] = m.group(1)
     d["url"] = span["media_ref"]
     d["kind"] = span["kind"]
     d["offset"] = span["offset"]
@@ -154,7 +179,8 @@ def build_tree_oracle(spans: list[dict]) -> list[tuple]:
             if r and r != me["url"] and nofrag(r) == me["url"]:
                 grab(c, u, "referer_nofrag")
                 kids.append(c)
-        for cls in ("src", "href", "cssurl"):
+        for cls in ("src", "href", "cssurl", "srcset", "attr", "cssimport",
+                    "fulltext"):
             for ref in me[cls]:
                 for c in urlmap.get(ref, []):
                     if c in free and not resolvable_ref(ns[c]):
