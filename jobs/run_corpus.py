@@ -7,13 +7,19 @@ Two phases, both resumable:
 
 1. **Global small sides** (exact-dup map + near-dup roots) computed ONCE
    over the whole corpus and committed atomically to ``<out>/_maps.json``
-   with the code version — a rerun reuses them (the verdict maps must be
+   keyed on the code version AND an input fingerprint (fragment names,
+   sizes, row counts) — a rerun on the same corpus reuses them, a rerun
+   pointed at a different corpus recomputes (the verdict maps must be
    global; per-partition dedup would miss cross-partition duplicates).
-2. **Verdict labeling** over hash-range partitions of the corpus
-   (``crc32(doc_id) % n_parts``), one checkpointed parquet partition each
-   (har2tree_ray.state.checkpoint manifests: lineage + metrics).  An
-   interrupted run redoes only unfinished ranges; the maps broadcast into
-   every partition's tasks via ``ray.put``.
+2. **Verdict labeling** partitioned by INPUT FRAGMENTS
+   (``checkpoint.plan_partitions``, same as ``run_tiling``): each partition
+   reads only its own parquet files — the corpus is read once in total, not
+   once per partition (the earlier hash-range scheme re-read the whole
+   corpus ``n_parts`` times; at 100 TB with 64 parts that is 64 full corpus
+   scans).  Each partition commits a checkpoint manifest listing exactly the
+   fragments it consumed (lineage) + metrics; an interrupted run redoes only
+   unfinished fragments.  The maps broadcast into every partition's tasks
+   via ``ray.put``.
 """
 
 from __future__ import annotations
@@ -23,17 +29,35 @@ import json
 import os
 import sys
 import time
-import zlib
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def docs_fragments(input_dir: str) -> list[str]:
+    """The corpus fragment list: ``documents.parquet`` as a directory of
+    fragments (the 100 TB layout) or a single file (the sandbox tables)."""
+    p = os.path.join(input_dir, "documents.parquet")
+    if os.path.isdir(p):
+        return sorted(os.path.join(p, f) for f in os.listdir(p)
+                      if f.endswith(".parquet"))
+    return [p]
+
+
+def input_fingerprint(files: list[str]) -> list[list]:
+    """Cheap per-fragment identity: (basename, size, num_rows).  Footer-only
+    reads — O(fragments), no data scan."""
+    import pyarrow.parquet as pq
+
+    return [[os.path.basename(f), os.path.getsize(f),
+             pq.ParquetFile(f).metadata.num_rows] for f in files]
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default="/tmp/graft_corpus_out")
-    ap.add_argument("--parts", type=int, default=8)
-    ap.add_argument("--code-version", default="corpus-v1")
+    ap.add_argument("--files-per-part", type=int, default=1)
+    ap.add_argument("--code-version", default="corpus-v2")
     args = ap.parse_args()
 
     import ray
@@ -41,14 +65,13 @@ def main() -> None:
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     try:
-        import pyarrow as pa
-
         import ray.data as rd
 
         from har2tree_ray.pipelines import corpus
         from har2tree_ray.state import checkpoint as ck
 
-        docs_path = os.path.join(args.input, "documents.parquet")
+        files = docs_fragments(args.input)
+        fprint = input_fingerprint(files)
         os.makedirs(args.out, exist_ok=True)
         t0 = time.perf_counter()
 
@@ -58,40 +81,32 @@ def main() -> None:
         if os.path.exists(maps_path):
             try:
                 loaded = json.load(open(maps_path))
-                if loaded.get("code_version") == args.code_version:
+                if (loaded.get("code_version") == args.code_version
+                        and loaded.get("input_fingerprint") == fprint):
                     maps = (dict(loaded["dup_pairs"]),
                             dict(loaded["root_pairs"]))
             except (json.JSONDecodeError, KeyError, TypeError):
                 maps = None
         maps_reused = maps is not None
         if maps is None:
-            docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+            docs = rd.read_parquet(files, columns=["doc_id", "text"])
             dup_map, root_min = corpus.corpus_small_sides(docs)
             tmp = maps_path + ".tmp"
             json.dump({"code_version": args.code_version,
+                       "input_fingerprint": fprint,
                        "dup_pairs": [[k, v] for k, v in dup_map.items()],
                        "root_pairs": [[k, v] for k, v in root_min.items()]},
                       open(tmp, "w"))
             os.replace(tmp, maps_path)  # commit point
             maps = (dup_map, root_min)
 
-        # ---- phase 2: checkpointed per-range labeling ----
-        n = args.parts
-        parts = [ck.Partition(part_id=f"{i:05d}",
-                              inputs=[f"hash_range:{i}/{n}", docs_path])
-                 for i in range(n)]
+        # ---- phase 2: checkpointed per-fragment labeling (one read total) ----
+        parts = ck.plan_partitions(files, files_per_part=args.files_per_part)
 
         def make(inputs: list[str]):
-            i, nn = map(int, inputs[0].split(":")[1].split("/"))
-            ds = rd.read_parquet(inputs[1], columns=["doc_id", "text"])
-
-            def keep_range(t: pa.Table) -> pa.Table:
-                mask = [zlib.crc32(str(d).encode()) % nn == i
-                        for d in t["doc_id"].to_pylist()]
-                return t.filter(pa.array(mask))
-
-            part = ds.map_batches(keep_range, batch_format="pyarrow")
-            return corpus.corpus_keep(part, small_sides=maps)
+            return corpus.corpus_keep(
+                rd.read_parquet(inputs, columns=["doc_id", "text"]),
+                small_sides=maps)
 
         result = ck.run_checkpointed(args.out, parts, make,
                                      code_version=args.code_version)

@@ -114,21 +114,34 @@ def test_rollup_from_assign_matches_source_rollup():
 
 
 def test_corpus_job_resumes_and_matches_query(tmp_path):
-    """run_corpus twice: fresh run writes all partitions, rerun skips them
-    and reuses the global maps; the partitioned output equals corpus_keep."""
+    """run_corpus on a FRAGMENTED corpus (the 100 TB layout): fresh run
+    writes one partition per fragment, rerun skips them and reuses the
+    global maps; pointing --input at a different corpus invalidates the
+    maps; the partitioned output equals corpus_keep."""
     import json
     import subprocess
     import sys
 
     import duckdb
     import pandas as pd
+    import pyarrow.parquet as pq
 
     from har2tree_ray import queries as q
     from tests.oracle_utils import to_pandas
 
+    # re-shard the driver's documents table into 4 fragments under a
+    # directory named documents.parquet (multi-fragment corpus layout)
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    frag_dir = tmp_path / "frag_input" / "documents.parquet"
+    frag_dir.mkdir(parents=True)
+    n = src.num_rows
+    for i in range(4):
+        pq.write_table(src.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4),
+                       str(frag_dir / f"frag-{i:02d}.parquet"))
+
     out = str(tmp_path / "corpus_out")
     cmd = [sys.executable, "jobs/run_corpus.py", "--input",
-           "/root/testdata/sf0.001", "--out", out, "--parts", "4"]
+           str(tmp_path / "frag_input"), "--out", out]
     r1 = json.loads(subprocess.run(cmd, capture_output=True, text=True,
                                    check=True).stdout.strip().splitlines()[-1])
     assert r1["partitions_run"] == 4 and not r1["maps_reused"]
@@ -136,9 +149,21 @@ def test_corpus_job_resumes_and_matches_query(tmp_path):
                                    check=True).stdout.strip().splitlines()[-1])
     assert r2["partitions_skipped"] == 4 and r2["maps_reused"]
 
+    # manifests carry fragment lineage
+    m = json.load(open(os.path.join(out, "_ckpt", "partition-00000.json")))
+    assert m["inputs"] == [str(frag_dir / "frag-00.parquet")]
+
     got = duckdb.connect().execute(
         f"SELECT doc_id, keep, reason FROM read_parquet('{out}/partition=*/*.parquet')"
     ).df().sort_values("doc_id").reset_index(drop=True)
     want = to_pandas(q.queries()["corpus_keep"]("/root/testdata/sf0.001"))
     want = want.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # different input corpus with the same --out: stale maps must NOT be
+    # reused (keyed on the input fingerprint, not just code_version)
+    cmd3 = [sys.executable, "jobs/run_corpus.py", "--input",
+            "/root/testdata/sf0.001", "--out", out]
+    r3 = json.loads(subprocess.run(cmd3, capture_output=True, text=True,
+                                   check=True).stdout.strip().splitlines()[-1])
+    assert not r3["maps_reused"] and r3["partitions_run"] == 1
