@@ -118,7 +118,28 @@ def host_tld(flat_ds):
 
 
 def host_tld_sql(flat_path: str) -> str:
-    sl = ", ".join(f"'{s}'" for s in sorted(webhash.SECOND_LEVEL_SUFFIXES))
+    """Oracle for the full PSL algorithm, generated from the SAME vendored
+    suffix tables the engine loads (webhash.psl_sql_tables): exceptions
+    first (suffix = rule minus leftmost label), else the longest matching
+    exact / wildcard rule, else the implicit '*' default."""
+    exact, wild, exc = webhash.psl_sql_tables()
+
+    def inlist(vals: list[str]) -> str:
+        return ", ".join(f"'{v}'" for v in vals)
+
+    exc_branches = "\n           ".join(
+        f"WHEN noport = '{r}' OR ends_with(noport, '.{r}') THEN {k - 1}"
+        for r, k in exc)
+    length_terms = ["1"]
+    for k in sorted(exact):
+        length_terms.append(
+            f"CASE WHEN len(l) >= {k} AND array_to_string(l[-{k}:], '.')"
+            f" IN ({inlist(exact[k])}) THEN {k} ELSE 1 END")
+    for k in sorted(wild):
+        length_terms.append(
+            f"CASE WHEN len(l) >= {k + 1} AND array_to_string(l[-{k}:], '.')"
+            f" IN ({inlist(wild[k])}) THEN {k + 1} ELSE 1 END")
+    greatest = ",\n               ".join(length_terms)
     return f"""
 WITH ex AS (
     SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
@@ -132,21 +153,21 @@ WITH ex AS (
            string_split(regexp_replace(hostname, ':[0-9]+$', ''), '.') AS l,
            regexp_replace(hostname, ':[0-9]+$', '') AS noport
     FROM hosts
+), sized AS (
+    SELECT hostname, l,
+           hostname = '' OR len(l) < 2
+               OR regexp_matches(noport, '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$')
+               AS nodomain,
+           CASE {exc_branches}
+           ELSE greatest({greatest}) END AS k
+    FROM lab
 )
 SELECT hostname,
-       CASE WHEN hostname = '' OR len(l) < 2
-                 OR regexp_matches(noport, '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$')
-            THEN ''
-            WHEN len(l) >= 3 AND (l[-2] || '.' || l[-1]) IN ({sl})
-            THEN l[-2] || '.' || l[-1]
-            ELSE l[-1] END AS tld,
-       CASE WHEN hostname = '' OR len(l) < 2
-                 OR regexp_matches(noport, '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$')
-            THEN ''
-            WHEN len(l) >= 3 AND (l[-2] || '.' || l[-1]) IN ({sl})
-            THEN l[-3] || '.' || l[-2] || '.' || l[-1]
-            ELSE l[-2] || '.' || l[-1] END AS reg_domain
-FROM lab
+       CASE WHEN nodomain THEN ''
+            ELSE array_to_string(l[-k:], '.') END AS tld,
+       CASE WHEN nodomain OR len(l) <= k THEN ''
+            ELSE array_to_string(l[-(k + 1):], '.') END AS reg_domain
+FROM sized
 """
 
 

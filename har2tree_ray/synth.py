@@ -48,7 +48,7 @@ import pyarrow.parquet as pq
 
 from .schema import INTERLEAVED_SCHEMA
 
-SYNTH_VERSION = 9  # bump to invalidate /tmp caches when generation changes
+SYNTH_VERSION = 10  # bump to invalidate /tmp caches when generation changes
 
 _GTAG_ALPHABET = np.array(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"))
 
@@ -58,9 +58,20 @@ _N_HOSTS = 200
 _PUNYCODE = ["xn--caf-dma", "xn--mnchen-3ya", "xn--bcher-kva", "xn--nxasmq6b", "xn--wgv71a"]
 
 
+# hosts 170-184 exercise the PSL paths of split_suffix (M28): multi-level
+# exact suffixes, private-section suffixes, the *.ck / *.kawasaki.jp
+# wildcards and their !www.ck / !city.kawasaki.jp exceptions
+_PSL_HOSTS = ["shop.co.uk", "a.b.com.cn", "cdn.co.za", "user{i}.github.io",
+              "h{i}.com.au", "blog{i}.blogspot.com", "x.co.jp", "h{i}.co.in",
+              "s{i}.foo.ck", "www.ck", "h{i}.x.kawasaki.jp",
+              "city.kawasaki.jp", "h{i}.org.uk", "h{i}.com.br", "co.uk"]
+
+
 def _host(idx: int) -> str:
-    if idx < 185:
+    if idx < 170:
         return f"h{idx}.example{idx % 10}.com"
+    if idx < 185:
+        return _PSL_HOSTS[idx - 170].format(i=idx)
     if idx < 190:
         return f"h{idx}.example.com:8080"
     if idx < 195:

@@ -83,6 +83,21 @@ def test_split_suffix():
     assert webhash.split_suffix("h1.example2.com:8080") == ("com", "example2.com")
     assert webhash.split_suffix("10.1.1.2") == ("", "")
     assert webhash.split_suffix("localhost") == ("", "")
+    # multi-level exact suffixes from the vendored PSL snapshot
+    assert webhash.split_suffix("shop.com.cn") == ("com.cn", "shop.com.cn")
+    assert webhash.split_suffix("a.b.co.za") == ("co.za", "b.co.za")
+    # private-section suffix
+    assert webhash.split_suffix("user.github.io") == ("github.io", "user.github.io")
+    # wildcard rule *.ck: any label under ck is itself a suffix
+    assert webhash.split_suffix("shop.foo.ck") == ("foo.ck", "shop.foo.ck")
+    assert webhash.split_suffix("foo.ck") == ("foo.ck", "")
+    # exception rule !www.ck overrides the wildcard
+    assert webhash.split_suffix("www.ck") == ("ck", "www.ck")
+    # jp city wildcard + exception
+    assert webhash.split_suffix("x.y.kawasaki.jp") == ("y.kawasaki.jp", "x.y.kawasaki.jp")
+    assert webhash.split_suffix("city.kawasaki.jp") == ("kawasaki.jp", "city.kawasaki.jp")
+    # hostname that IS a public suffix → no registered domain
+    assert webhash.split_suffix("co.uk") == ("co.uk", "")
 
 
 def test_host_tree_json_roundtrip():
