@@ -329,7 +329,14 @@ def posted_data(flat_ds):
     dispatch (form-urlencoded → dict, JSON family → object, text → string,
     undecodable bytes → ``{"_raw_b64": ...}``), emitted as one canonical JSON
     string per POST (``sort_keys`` + compact separators) so the SQL oracle
-    can reproduce it byte-for-byte."""
+    can reproduce it byte-for-byte.
+
+    Form-urlencoded parity contract: the engine decodes with ``parse_qsl``
+    (the reference's semantics); the oracle mirrors '&'-split, first-'='
+    split, '+'→space and JSON quote/backslash escaping, but DuckDB 1.0 has
+    no url_decode, so payloads carrying %XX escapes, duplicate keys
+    (parse_qsl last-wins) or control chars are outside the oracle's domain
+    — the pytest fixtures and synth stay within it on purpose."""
     import json
 
     from ..functions import parse
@@ -362,9 +369,21 @@ def posted_data(flat_ds):
 
 
 def posted_data_sql(flat_path: str) -> str:
+    """Oracle for ``posted_data``.  The form-urlencoded branch reproduces
+    parse_qsl for the SQL-expressible subset: '&'-split (empty segments
+    dropped), key = before the FIRST '=', value = the full remainder,
+    '+'→space on both, JSON backslash/quote escaping, pairs sorted — see
+    the engine docstring for the out-of-domain cases (%XX, dup keys)."""
     rx = "@post=([^:\\s]+):(\\S+)"
     # decode() is blob→utf8 text; CAST(blob AS VARCHAR) would escape bytes
     body = "decode(from_base64(b64))"
+    # JSON string escaping: backslash first, then quote
+    esc = ("replace(replace(replace({0}, '+', ' '), '\\', '\\\\'), "
+           "'\"', '\\\"')")
+    key = esc.format("split_part(x, '=', 1)")
+    val = esc.format("CASE WHEN contains(x, '=') THEN "
+                     "substr(x, length(split_part(x, '=', 1)) + 2) "
+                     "ELSE '' END")
     return f"""
 WITH ex AS (
     SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
@@ -378,8 +397,8 @@ SELECT doc_id, "offset", mime,
        CASE
          WHEN mime LIKE '%form-urlencoded%' THEN
            '{{' || array_to_string(list_sort(list_transform(
-               string_split({body}, '&'),
-               x -> '"' || split_part(x, '=', 1) || '":"' || split_part(x, '=', 2) || '"')), ',') || '}}'
+               list_filter(string_split({body}, '&'), x -> x <> ''),
+               x -> '"' || {key} || '":"' || {val} || '"')), ',') || '}}'
          WHEN mime LIKE '%json%' THEN {body}
          WHEN mime LIKE 'text/%' THEN '"' || {body} || '"'
          ELSE '{{"_raw_b64":"' || b64 || '"}}'
@@ -650,6 +669,9 @@ def embedded_blobs(flat_ds):
 
 
 def embedded_blobs_sql(flat_path: str) -> str:
+    """Mirrors the engine's repair_b64 semantics: pad to a multiple of 4
+    with '='; length ≡ 1 (mod 4) is undecodable even after padding (both
+    sides drop the blob)."""
     rx = "data:([\\w/+.-]+);base64,([A-Za-z0-9+/=]+)"
     return f"""
 WITH ex AS (
@@ -661,8 +683,11 @@ WITH ex AS (
     FROM ex
 )
 SELECT doc_id, "offset", mime, payload_b64,
-       CAST(octet_length(from_base64(payload_b64)) AS BIGINT) AS n_bytes
+       CAST(octet_length(from_base64(
+           payload_b64 || repeat('=', (4 - length(payload_b64) % 4) % 4)
+       )) AS BIGINT) AS n_bytes
 FROM m
+WHERE length(payload_b64) % 4 <> 1
 """
 
 
@@ -675,7 +700,10 @@ def span_resource_hashes(flat_ds):
     (har2tree.py:550-569, helper.py:236-250).  ``res_hash`` is sha256 of the
     blob's base64 TEXT: DuckDB's sha256 is VARCHAR-only, so the engine
     hashes the same representation the oracle can (the reference hashes
-    decoded bytes with sha512 — same identity, different digest domain)."""
+    decoded bytes with sha512 — same identity, different digest domain).
+    Every regex match is hashed unconditionally — decodability is NOT a
+    precondition (the hash is over the text), so undecodable payloads in
+    real captures keep engine and oracle in lockstep."""
     import hashlib
 
     from ..functions import parse
@@ -689,8 +717,6 @@ def span_resource_hashes(flat_ds):
                              batch["offset"].to_pylist(),
                              batch["text"].to_pylist()):
             for _mime, b64 in parse.RE_DATAURI.findall(t):
-                if not parse.repair_b64(b64):
-                    continue
                 o["doc_id"].append(d)
                 o["offset"].append(off)
                 o["res_hash"].append(hashlib.sha256(b64.encode()).hexdigest())

@@ -48,7 +48,7 @@ import pyarrow.parquet as pq
 
 from .schema import INTERLEAVED_SCHEMA
 
-SYNTH_VERSION = 10  # bump to invalidate /tmp caches when generation changes
+SYNTH_VERSION = 11  # bump to invalidate /tmp caches when generation changes
 
 _GTAG_ALPHABET = np.array(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"))
 
@@ -148,7 +148,18 @@ def _gen_post(rs: np.random.RandomState) -> str:
     r = rs.random_sample()
     if r < 0.3:
         n = int(rs.randint(1, 4))
-        raw = "&".join(f"k{i}=v{int(rs.randint(0, 99))}" for i in range(n)).encode()
+        pairs = []
+        for i in range(n):
+            rv = rs.random_sample()
+            if rv < 0.15:       # '+' decodes to space on both sides
+                pairs.append(f"k{i}=v+{int(rs.randint(0, 99))}")
+            elif rv < 0.3:      # '=' inside value: remainder after FIRST '='
+                pairs.append(f"k{i}=v={int(rs.randint(0, 99))}")
+            elif rv < 0.4:      # bare key, no '=' → empty value
+                pairs.append(f"flag{i}")
+            else:
+                pairs.append(f"k{i}=v{int(rs.randint(0, 99))}")
+        raw = "&".join(pairs).encode()
         mime = "application/x-www-form-urlencoded"
     elif r < 0.6:
         n = int(rs.randint(1, 4))
@@ -362,7 +373,13 @@ def _generate_doc(rs: np.random.RandomState, doc_id: str, root_referer: str | No
                 parts.append(u)
         if rs.random_sample() < 0.05:
             blob = base64.b64encode(bytes(rs.randint(0, 256, size=12, dtype=np.int32).astype(np.uint8)))
-            parts.append(f"data:application/octet-stream;base64,{blob.decode()}")
+            # Sometimes truncate the b64 (len%4 ∈ {1,2,3}): len%4==1 is
+            # undecodable even after padding repair (both engine repair_b64
+            # and the embedded_blobs oracle must drop it); 2/3 decode after
+            # '=' padding on both sides.
+            cut = int(rs.randint(0, 4)) if rs.random_sample() < 0.3 else 0
+            b64 = blob.decode()[: len(blob) - cut]
+            parts.append(f"data:application/octet-stream;base64,{b64}")
         # identifiers (M30): captcha sitekeys + google tag IDs, including
         # blocklisted placeholders the extractor must reject
         if s["kind"] == "document":

@@ -71,13 +71,24 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str,
             .union(right_ds.map_batches(tag(1, right_on, lcols),
                                         batch_format="pyarrow")))
 
-    def per_part(df):
-        l = df[df["_side"] == 0][lcols]
-        r = df[df["_side"] == 1][rcols]
-        return l.merge(r, left_on=left_on, right_on=right_on, how="inner")
+    # Split the sides IN ARROW before any pandas conversion: the typed-null
+    # union makes every column nullable, and a whole-group to_pandas would
+    # coerce int64 keys/values to float64 (exact only below 2^53 — silent
+    # key collisions at scale).  Filtering on _side first leaves each side's
+    # own columns null-free, so they stay int64 through the merge.
+    out_schema = pa.schema([(c, types[c]) for c in lcols + rcols])
+
+    def per_part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        l = t.filter(pc.equal(t["_side"], 0)).select(lcols).to_pandas()
+        r = t.filter(pc.equal(t["_side"], 1)).select(rcols).to_pandas()
+        merged = l.merge(r, left_on=left_on, right_on=right_on, how="inner")
+        return pa.Table.from_pandas(merged[lcols + rcols], schema=out_schema,
+                                    preserve_index=False)
 
     return pre_shuffle_coalesce(both).groupby("_part").map_groups(
-        per_part, batch_format="pandas")
+        per_part, batch_format="pyarrow")
 
 
 def salted_groupby_sum(ds, key_cols: list[str], sum_cols: list[str],

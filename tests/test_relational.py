@@ -25,6 +25,24 @@ def test_hash_join_inner_semantics():
                    (2, "z", 30)]
 
 
+def test_hash_join_keys_above_2pow53_stay_integral():
+    """The typed-null union makes every column nullable; a whole-group
+    pandas conversion would coerce int64 keys to float64, which is exact
+    only below 2^53.  Keys that differ only beyond float64 precision must
+    still join distinctly and round-trip bit-exact."""
+    import ray.data as rd
+
+    from har2tree_ray.util import hash_join
+
+    k1, k2 = (1 << 60) + 1, (1 << 60) + 2  # identical after float64 rounding
+    left = rd.from_items([{"k": k1, "a": "one"}, {"k": k2, "a": "two"}])
+    right = rd.from_items([{"r": k1, "b": 111}, {"r": k2, "b": 222}])
+    out = hash_join(left, right, "k", "r", n_parts=3).to_pandas()
+    assert out["k"].dtype.kind == "i" and out["b"].dtype.kind == "i"
+    got = sorted(map(tuple, out[["k", "a", "b"]].itertuples(index=False)))
+    assert got == [(k1, "one", 111), (k2, "two", 222)]
+
+
 def test_oracle_parity_revenue():
     from tests.oracle_utils import assert_matches_oracle
 
