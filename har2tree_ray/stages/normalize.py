@@ -21,8 +21,34 @@ from ..functions import parse, urls
 from ..schema import FLAT_SPAN_SCHEMA
 
 
+_HTTP_PARTS = r"^(?P<scheme>https?)://(?P<host>[^/?#]+)(?P<path>[^?#]*)"
+
+
+def _scalar_fallback(values, mask: pa.Array, fn):
+    """Apply scalar ``fn`` only to the rows flagged by ``mask`` (boolean
+    Arrow array), replacing them in ``values`` — the rare-row escape hatch
+    that keeps the batch path on Arrow kernels."""
+    import numpy as np
+
+    m = mask.to_numpy(zero_copy_only=False)
+    if not m.any():
+        return values
+    idx = np.flatnonzero(m)
+    src = values.take(pa.array(idx))
+    repl = pa.array([fn(v) for v in src.to_pylist()], values.type)
+    return pc.replace_with_mask(values, mask, repl)
+
+
 def flatten_normalize(batch: pa.Table) -> pa.Table:
-    """interleaved (doc_id, spans) batch → FLAT_SPAN_SCHEMA batch."""
+    """interleaved (doc_id, spans) batch → FLAT_SPAN_SCHEMA batch.
+
+    All per-span derivations run as Arrow C++ kernels; Python scalar UDFs
+    run only behind rarity guards (non-http(s) schemes for the URL split,
+    ``%``/``+`` for unquote, ``:``/leading-digit hostnames for the IP
+    check, ``xn--`` for IDNA) — differential-tested against the scalar
+    functions they replace (tests/test_normalize_vectorized.py)."""
+    import numpy as np
+
     spans = batch.column("spans")
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.combine_chunks()
@@ -33,34 +59,67 @@ def flatten_normalize(batch: pa.Table) -> pa.Table:
     text = pc.struct_field(flat, "text")
     media_ref = pc.struct_field(flat, "media_ref")
     offset = pc.struct_field(flat, "offset")
+    n = len(media_ref)
 
-    refs = media_ref.to_pylist()
-    texts = text.to_pylist()
-    n = len(refs)
-    scheme = [""] * n
-    hostname = [""] * n
-    filename = [""] * n
-    name = [""] * n
-    nofrag = [""] * n
-    is_ip = [False] * n
-    idna = [""] * n
-    status = [200] * n
-    lat = [0.0] * n
-    lng = [0.0] * n
-    bhash = [""] * n
-    for i in range(n):
-        u = refs[i]
-        s, h, f = urls.split_url(u)
-        scheme[i], hostname[i], filename[i] = s, h, f
-        name[i] = urls.unquote_name(u)
-        nofrag[i] = urls.strip_fragment(u)
-        is_ip[i] = urls.is_ip_hostname(h)
-        idna[i] = urls.idna_decode(h)
-        t = texts[i]
-        status[i] = parse.parse_status(t)
-        lat[i], lng[i] = parse.parse_geo(t)
-        bhash[i] = hashlib.sha256(t.encode("utf-8")).hexdigest()
+    # --- URL split (M5): http(s) fast path in one extract_regex ---
+    parts = pc.extract_regex(media_ref, _HTTP_PARTS)
+    scheme = pc.fill_null(pc.struct_field(parts, "scheme"), "")
+    hostname = pc.fill_null(pc.struct_field(parts, "host"), "")
+    path = pc.struct_field(parts, "path")
+    base = pc.struct_field(pc.extract_regex(path, r"/(?P<fn>[^/]*)$"), "fn")
+    filename = pc.if_else(
+        pc.is_valid(parts),
+        pc.if_else(pc.equal(pc.fill_null(base, ""), ""), "file.bin", pc.fill_null(base, "")),
+        "")
+    # non-http(s), non-empty refs (file:/blob:/data:/odd/relative) take the
+    # scalar split — rare by construction in web corpora
+    fb = pc.and_(pc.is_null(parts), pc.not_equal(media_ref, ""))
+    fbm = fb.to_numpy(zero_copy_only=False)
+    if fbm.any():
+        idx = np.flatnonzero(fbm)
+        trip = [urls.split_url(u)
+                for u in media_ref.take(pa.array(idx)).to_pylist()]
+        scheme = pc.replace_with_mask(
+            scheme, fb, pa.array([t[0] for t in trip], pa.string()))
+        hostname = pc.replace_with_mask(
+            hostname, fb, pa.array([t[1] for t in trip], pa.string()))
+        filename = pc.replace_with_mask(
+            filename, fb, pa.array([t[2] for t in trip], pa.string()))
 
+    # --- display name (M4): identity unless quoted chars present ---
+    name = _scalar_fallback(
+        media_ref,
+        pc.or_(pc.match_substring(media_ref, "%"),
+               pc.match_substring(media_ref, "+")),
+        urls.unquote_name)
+
+    # --- fragment strip (M6): pure kernel, '#'-free rows pass through ---
+    nofrag = pc.struct_field(
+        pc.extract_regex(media_ref, r"^(?P<nf>[^#]*)"), "nf")
+
+    # --- IP hostname (M9): only ':'-bearing or digit-leading candidates ---
+    ip_cand = pc.or_(pc.match_substring(hostname, ":"),
+                     pc.match_substring_regex(hostname, r"^[0-9]"))
+    is_ip_np = np.zeros(n, dtype=bool)
+    cm = ip_cand.to_numpy(zero_copy_only=False)
+    if cm.any():
+        idx = np.flatnonzero(cm)
+        checks = [urls.is_ip_hostname(h)
+                  for h in hostname.take(pa.array(idx)).to_pylist()]
+        is_ip_np[idx] = checks
+    is_ip = pa.array(is_ip_np)
+
+    # --- IDNA (M10): only 'xn--' hostnames ---
+    idna = pc.if_else(pc.match_substring(hostname, "xn--"), hostname, "")
+    idna = _scalar_fallback(idna, pc.not_equal(idna, ""), urls.idna_decode)
+
+    # --- body hash (M17): sha256 is C either way; straight comprehension ---
+    bhash = pa.array(
+        [hashlib.sha256(t.encode("utf-8")).hexdigest()
+         for t in text.to_pylist()], pa.string())
+
+    geo = pc.extract_regex(
+        text, r"@geo=(?P<glat>-?\d+\.\d+),(?P<glng>-?\d+\.\d+)")
     return pa.table(
         {
             "doc_id": doc_id,
@@ -68,18 +127,23 @@ def flatten_normalize(batch: pa.Table) -> pa.Table:
             "kind": kind,
             "media_ref": media_ref,
             "text": text,
-            "scheme": pa.array(scheme, pa.string()),
-            "hostname": pa.array(hostname, pa.string()),
-            "filename": pa.array(filename, pa.string()),
-            "name": pa.array(name, pa.string()),
-            "url_nofrag": pa.array(nofrag, pa.string()),
-            "is_ip": pa.array(is_ip, pa.bool_()),
-            "idna_hostname": pa.array(idna, pa.string()),
-            "status": pa.array(status, pa.int32()),
-            "lat": pa.array(lat, pa.float64()),
-            "lng": pa.array(lng, pa.float64()),
+            "scheme": scheme,
+            "hostname": hostname,
+            "filename": filename,
+            "name": name,
+            "url_nofrag": nofrag,
+            "is_ip": is_ip,
+            "idna_hostname": idna,
+            # same semantics as parse.parse_status: missing/unparsable → 200
+            "status": pc.fill_null(pc.cast(pc.struct_field(
+                pc.extract_regex(text, r"@status=(?P<st>-?\d+)"), "st"),
+                pa.int32()), 200),
+            "lat": pc.fill_null(
+                pc.cast(pc.struct_field(geo, "glat"), pa.float64()), 0.0),
+            "lng": pc.fill_null(
+                pc.cast(pc.struct_field(geo, "glng"), pa.float64()), 0.0),
             "text_len": pc.cast(pc.utf8_length(text), pa.int64()),
-            "body_hash": pa.array(bhash, pa.string()),
+            "body_hash": bhash,
             # M8 duration + M16 empty-body flag — pure Arrow kernels
             "duration_ms": pc.fill_null(pc.cast(pc.struct_field(
                 pc.extract_regex(text, r"@dur=(?P<d>\d+)"), "d"), pa.int64()), 0),
