@@ -172,10 +172,45 @@ def parse_span_features(text: str) -> dict:
 
 # ---------------------------------------------------------- POST-body decode
 
+_RE_BOUNDARY = re.compile(r'boundary="?([^";,\s]+)"?')
+
+
+def decode_multipart(mimetype: str, text: str) -> "list[dict] | None":
+    """Stdlib multipart decode matching the reference's MultipartDecoder
+    shape (nodes.py:377-400): a list of ``{"headers": {...}, "content":
+    str}`` per part.  Like the reference, LF-only bodies are normalized to
+    CRLF before splitting; content is the exact bytes between the blank
+    line and the CRLF preceding the next boundary.  → None when the
+    mimetype carries no boundary (caller falls back to raw text)."""
+    m = _RE_BOUNDARY.search(mimetype)
+    if not m:
+        return None
+    body = text if "\r\n" in text else text.replace("\n", "\r\n")
+    out: list[dict] = []
+    for seg in body.split("--" + m.group(1))[1:]:
+        if seg.startswith("--"):
+            break  # closing delimiter → epilogue
+        if seg.startswith("\r\n"):
+            seg = seg[2:]
+        hdr_blk, sep, content = seg.partition("\r\n\r\n")
+        if not sep:
+            hdr_blk, content = "", seg
+        if content.endswith("\r\n"):
+            content = content[:-2]
+        headers: dict[str, str] = {}
+        for line in hdr_blk.split("\r\n"):
+            k, colon, v = line.partition(":")
+            if colon:
+                headers[k.strip()] = v.strip()
+        out.append({"headers": headers, "content": content})
+    return out
+
+
 def decode_posted_data(mimetype: str, payload: "str | bytes"):
     """Mime-routed POST-body decode dispatch — the recast of the reference's
     biggest per-record parser (M12, /root/reference/har2tree/nodes.py:260-498):
-    base64 repair → form-urlencoded → JSON family → text → pass-through.
+    base64 repair → form-urlencoded → NDJSON stream → multipart → JSON
+    family → text → pass-through.
 
     Formats whose parsers aren't in this container (amazon-ion, protobuf,
     dns-wire — nodes.py:384-441) fall through to the raw-bytes branch, like
@@ -197,6 +232,18 @@ def decode_posted_data(mimetype: str, payload: "str | bytes"):
     mt = (mimetype or "").lower()
     if "form-urlencoded" in mt:
         return dict(parse_qsl(payload, keep_blank_values=True))
+    if mt.startswith("application/x-json-stream"):
+        # NDJSON recast of the reference's json_stream.load (nodes.py:
+        # 344-361): one JSON value per non-empty line, as a list
+        try:
+            return [_json.loads(ln) for ln in payload.splitlines()
+                    if ln.strip()]
+        except ValueError:
+            return payload
+    if mt.startswith("multipart"):
+        # boundary tokens are case-sensitive — extract from the raw mimetype
+        parts = decode_multipart(mimetype or "", payload)
+        return parts if parts is not None else payload
     if "json" in mt or mt.endswith("+json"):
         try:
             return _json.loads(payload)

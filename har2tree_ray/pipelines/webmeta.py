@@ -378,12 +378,32 @@ def posted_data_sql(flat_path: str) -> str:
     # decode() is blob→utf8 text; CAST(blob AS VARCHAR) would escape bytes
     body = "decode(from_base64(b64))"
     # JSON string escaping: backslash first, then quote
-    esc = ("replace(replace(replace({0}, '+', ' '), '\\', '\\\\'), "
-           "'\"', '\\\"')")
+    jesc = "replace(replace({0}, '\\', '\\\\'), '\"', '\\\"')"
+    esc = jesc.format("replace({0}, '+', ' ')")
     key = esc.format("split_part(x, '=', 1)")
     val = esc.format("CASE WHEN contains(x, '=') THEN "
                      "substr(x, length(split_part(x, '=', 1)) + 2) "
                      "ELSE '' END")
+    crlf = "chr(13) || chr(10)"
+    # multipart: segment between boundary markers → strip leading CRLF,
+    # header block before the first blank line, content after it (minus the
+    # CRLF owned by the next boundary) — mirrors parse.decode_multipart
+    seg = f"CASE WHEN starts_with(x, {crlf}) THEN substr(x, 3) ELSE x END"
+    hb = f"string_split({seg}, {crlf} || {crlf})"
+    hdr_json = (
+        "array_to_string(list_sort(list_transform(list_filter("
+        f"string_split(({hb})[1], {crlf}), h -> contains(h, ':')), "
+        "h -> '\"' || " + jesc.format("trim(split_part(h, ':', 1))")
+        + " || '\":\"' || "
+        + jesc.format("trim(substr(h, strpos(h, ':') + 1))")
+        + " || '\"')), ',')")
+    content = jesc.format(
+        f"regexp_replace(array_to_string(({hb})[2:], {crlf} || {crlf}),"
+        " '\\r\\n$', '')")
+    # NOTE: interpolated into the f-string below as a VALUE — single braces
+    part_json = ("'{\"content\":\"' || " + content
+                 + " || '\",\"headers\":{' || " + hdr_json + " || '}}'")
+    boundary = "regexp_extract(mime, 'boundary=\"?([^\";,]+)\"?', 1)"
     return f"""
 WITH ex AS (
     SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
@@ -399,6 +419,14 @@ SELECT doc_id, "offset", mime,
            '{{' || array_to_string(list_sort(list_transform(
                list_filter(string_split({body}, '&'), x -> x <> ''),
                x -> '"' || {key} || '":"' || {val} || '"')), ',') || '}}'
+         WHEN mime LIKE 'application/x-json-stream%' THEN
+           '[' || array_to_string(list_filter(
+               string_split({body}, chr(10)), x -> trim(x) <> ''), ',') || ']'
+         WHEN mime LIKE 'multipart%' THEN
+           '[' || array_to_string(list_transform(
+               list_filter((string_split({body}, '--' || {boundary}))[2:],
+                           x -> NOT starts_with(x, '--')),
+               x -> {part_json}), ',') || ']'
          WHEN mime LIKE '%json%' THEN {body}
          WHEN mime LIKE 'text/%' THEN '"' || {body} || '"'
          ELSE '{{"_raw_b64":"' || b64 || '"}}'

@@ -48,7 +48,7 @@ import pyarrow.parquet as pq
 
 from .schema import INTERLEAVED_SCHEMA
 
-SYNTH_VERSION = 11  # bump to invalidate /tmp caches when generation changes
+SYNTH_VERSION = 12  # bump to invalidate /tmp caches when generation changes
 
 _GTAG_ALPHABET = np.array(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"))
 
@@ -161,16 +161,35 @@ def _gen_post(rs: np.random.RandomState) -> str:
                 pairs.append(f"k{i}=v{int(rs.randint(0, 99))}")
         raw = "&".join(pairs).encode()
         mime = "application/x-www-form-urlencoded"
-    elif r < 0.6:
+    elif r < 0.55:
         n = int(rs.randint(1, 4))
         obj = {f"k{i}": (int(rs.randint(0, 999)) if rs.random_sample() < 0.5
                          else f"s{int(rs.randint(0, 99))}") for i in range(n)}
         raw = json.dumps(obj, sort_keys=True, separators=(",", ":")).encode()
         mime = "application/json"
-    elif r < 0.8:
+    elif r < 0.7:
         raw = " ".join(_VOCAB[int(k)]
                        for k in rs.randint(0, len(_VOCAB), size=4)).encode()
         mime = "text/plain"
+    elif r < 0.8:
+        # NDJSON stream: one canonical JSON object per line (M12
+        # x-json-stream branch)
+        n = int(rs.randint(1, 4))
+        lines = [json.dumps({"ev": f"e{int(rs.randint(0, 9))}",
+                             "n": int(rs.randint(0, 99))},
+                            sort_keys=True, separators=(",", ":"))
+                 for _ in range(n)]
+        raw = "\n".join(lines).encode()
+        mime = "application/x-json-stream"
+    elif r < 0.9:
+        # multipart/form-data with 1-2 parts (M12 multipart branch)
+        n = int(rs.randint(1, 3))
+        segs = []
+        for i in range(n):
+            segs.append(f'--bnd1\r\nContent-Disposition: form-data; '
+                        f'name="f{i}"\r\n\r\nv{int(rs.randint(0, 99))}\r\n')
+        raw = ("".join(segs) + "--bnd1--\r\n").encode()
+        mime = "multipart/form-data;boundary=bnd1"
     else:
         # \xff\xfe prefix guarantees invalid UTF-8 → the raw-bytes branch
         raw = b"\xff\xfe" + bytes(

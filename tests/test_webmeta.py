@@ -41,6 +41,29 @@ def test_posted_data_decode_branches():
     assert decode_posted_data(
         "application/json;base64",
         base64.b64encode(b'{"z":2}').decode()) == {"z": 2}
+    # NDJSON stream → list, one value per non-empty line (nodes.py:344-361)
+    assert decode_posted_data(
+        "application/x-json-stream", b'{"a":1}\n{"b":2}\n\n') == \
+        [{"a": 1}, {"b": 2}]
+    # multipart → [{"headers": {...}, "content": str}] per part, matching
+    # the reference's MultipartDecoder shape (nodes.py:377-400)
+    body = (b'--B\r\nContent-Disposition: form-data; name="f0"\r\n'
+            b'\r\nhello\r\n'
+            b'--B\r\nContent-Disposition: form-data; name="f1"\r\n'
+            b'Content-Type: text/plain\r\n\r\nworld\r\n--B--\r\n')
+    got = decode_posted_data("multipart/form-data;boundary=B", body)
+    assert got == [
+        {"headers": {"Content-Disposition": 'form-data; name="f0"'},
+         "content": "hello"},
+        {"headers": {"Content-Disposition": 'form-data; name="f1"',
+                     "Content-Type": "text/plain"},
+         "content": "world"},
+    ]
+    # LF-only multipart bodies normalize to CRLF first (nodes.py:385-388)
+    lf = body.replace(b"\r\n", b"\n")
+    assert decode_posted_data("multipart/form-data;boundary=B", lf) == got
+    # no boundary param → raw text fallback
+    assert decode_posted_data("multipart/form-data", b"x=1") == "x=1"
 
 
 def test_magic_sniff_signatures():
