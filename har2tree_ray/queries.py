@@ -271,6 +271,12 @@ def q_host_tree_json(sf_dir: str):
     return render.host_tree_json(read_interleaved(sf_dir))
 
 
+def q_host_tree_d3(sf_dir: str):
+    return render.host_tree_json_d3(read_interleaved(
+        sf_dir, columns=["doc_id", "spans", "rendered_html",
+                         "downloaded_filename"]))
+
+
 def q_span_hhhash(sf_dir: str):
     return webmeta.span_hhhash(explode_spans(
         read_interleaved(sf_dir), ["doc_id", "offset", "text"]))
@@ -889,6 +895,7 @@ def queries() -> dict[str, Callable]:
         "host_edges": q_host_edges,
         "graft_edges": q_graft_edges,  # full SQL oracle (recursive chain CTE)
         "host_tree_json": q_host_tree_json,  # S3 render sink — rows-only
+        "host_tree_d3": q_host_tree_d3,  # S3 reference-format d3js — golden pytest
         "har_edges": q_har_edges,            # S1 real-HAR source — rows-only
         # training-data pipeline operators (documents / embeddings tables)
         "doc_tokens": q_doc_tokens,
