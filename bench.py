@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "doc_len_histogram",
     "ngram_topk",
     "corpus_keep",
+    "corpus_keep_lsh",
     "doc_minhash_pairs",
     "doc_simhash",
     "embed_neardup",

@@ -29,23 +29,79 @@ import pyarrow as pa
 import ray
 
 
+def _exact_dup_map(docs_ds, id_col: str, text_col: str) -> dict:
+    """content_hash → keeper doc for every content seen ≥2 times — small by
+    construction (only duplicated contents survive the filter)."""
+    import pyarrow.compute as pc
+
+    from ..stages import dedup
+
+    dups = dedup.exact_dedup(docs_ds, id_col, text_col).map_batches(
+        lambda t: t.filter(pc.greater(t["n_dups"], 1)),
+        batch_format="pyarrow").to_pandas()
+    return (dict(zip(dups["content_hash"], dups["keep_id"]))
+            if len(dups) else {})
+
+
 def corpus_small_sides(docs_ds, id_col: str = "doc_id",
                        text_col: str = "text") -> tuple[dict, dict]:
     """The two broadcast maps of the curation verdict: duplicated contents
     (hash → keeper) and near-dup components (doc → min doc in component).
     Both small by construction — duplicates and candidate-pair members are
     rare fractions of the corpus."""
-    import pyarrow.compute as pc
-
     from ..stages import dedup, text
 
-    dups = dedup.exact_dedup(docs_ds, id_col, text_col).map_batches(
-        lambda t: t.filter(pc.greater(t["n_dups"], 1)),
-        batch_format="pyarrow").to_pandas()
-    dup_map = (dict(zip(dups["content_hash"], dups["keep_id"]))
-               if len(dups) else {})
+    dup_map = _exact_dup_map(docs_ds, id_col, text_col)
     pairs = text.ngram_jaccard_pairs(docs_ds).select_columns(
         ["doc_a", "doc_b"]).to_pandas()
+    root_min = dedup.union_roots(pairs, "doc_a", "doc_b")
+    return dup_map, root_min
+
+
+def corpus_small_sides_lsh(docs_ds, id_col: str = "doc_id",
+                           text_col: str = "text", verify: bool = True,
+                           **lsh_kw) -> tuple[dict, dict]:
+    """Scale-path small sides: near-dup candidates from MinHash-LSH banding
+    instead of an exact all-grams self-join over the full corpus.
+
+    The exact path's gram explode is O(total grams) rows through two
+    shuffles — fine per-capture, hostile at 10^12 docs where the gram table
+    dwarfs the corpus.  Here the corpus flows ONCE through the MinHash
+    actor pool (64 perms, 16 bands — see ``dedup.MinHasher``), the shuffle
+    moves only (doc, band) fingerprint rows, and the exact Jaccard is then
+    recomputed ONLY over the candidate-doc subset (``verify=True``), which
+    is near-dup-fraction-sized, not corpus-sized.
+
+    Approximation contract (why the registry entry is rows-only):
+    * recall < 1: a true pair the banding curve misses stays missed
+      (P(detect) = 1-(1-s^r)^b ≈ 0.9997 at s=τ=0.5 with r=4,b=16);
+    * the verify pass runs the exact Jaccard with document frequencies
+      computed over the SUBSET, so the df_cap stop-gram cut prunes less
+      than a full-corpus run would — pairs among candidates can only be
+      a SUPERSET of the full-run pairs restricted to that subset (the
+      τ filter itself is exact; with ``verify=False`` you get raw banding
+      candidates: higher recall, known false positives).
+    """
+    from ..stages import dedup, text
+
+    dup_map = _exact_dup_map(docs_ds, id_col, text_col)
+    cand = dedup.minhash_candidate_pairs(
+        docs_ds, id_col=id_col, text_col=text_col, **lsh_kw).to_pandas()
+    if not len(cand):
+        return dup_map, {}
+    if verify:
+        cand_ids = set(cand["id_a"]) | set(cand["id_b"])
+        ref = ray.put(cand_ids)
+
+        def keep_candidates(t: pa.Table) -> pa.Table:
+            ids = ray.get(ref)
+            return t.filter(pa.array([v in ids for v in t[id_col].to_pylist()]))
+
+        sub = docs_ds.map_batches(keep_candidates, batch_format="pyarrow")
+        pairs = text.ngram_jaccard_pairs(sub).select_columns(
+            ["doc_a", "doc_b"]).to_pandas()
+    else:
+        pairs = cand.rename(columns={"id_a": "doc_a", "id_b": "doc_b"})
     root_min = dedup.union_roots(pairs, "doc_a", "doc_b")
     return dup_map, root_min
 
@@ -98,6 +154,36 @@ def corpus_keep(docs_ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return docs_ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def corpus_keep_lsh(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+                    verify: bool = True, **lsh_kw):
+    """``corpus_keep`` with the near-dup side sourced from MinHash-LSH
+    banding (``corpus_small_sides_lsh``) — the default above the size knob
+    in ``corpus_keep_auto``.  Approximate (rows-only): recall bounded by
+    the banding curve, precision exact when ``verify=True``."""
+    return corpus_keep(
+        docs_ds, id_col, text_col,
+        small_sides=corpus_small_sides_lsh(docs_ds, id_col, text_col,
+                                           verify=verify, **lsh_kw))
+
+
+#: above this many documents the exact gram self-join is the wrong plan —
+#: its gram-exploded row count (~100 distinct grams/doc) outgrows the
+#: corpus through two all-to-all shuffles, while the LSH path moves only
+#: 16 fingerprint rows per doc.  Small-corpus runs keep the exact verdict.
+LSH_ABOVE_DOCS = 1_000_000
+
+
+def corpus_keep_auto(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+                     lsh_above: int = LSH_ABOVE_DOCS):
+    """Route the curation verdict by corpus size: exact n-gram Jaccard below
+    ``lsh_above`` documents, MinHash-LSH (verified candidates) above.
+    ``count()`` on a parquet-backed dataset is metadata-only — no scan."""
+    n = docs_ds.count()
+    if n > lsh_above:
+        return corpus_keep_lsh(docs_ds, id_col, text_col)
+    return corpus_keep(docs_ds, id_col, text_col)
 
 
 def corpus_keep_sql(rel: str = "documents") -> str:

@@ -262,6 +262,14 @@ def q_corpus_keep(sf_dir: str):
     return corpus.corpus_keep(_docs(sf_dir))
 
 
+def q_corpus_keep_lsh(sf_dir: str):
+    """Scale-path verdict: near-dup side from MinHash-LSH banding with
+    exact verification over the candidate subset (corpus_keep_lsh).
+    Approximate by the banding curve — rows-only, with a recall-vs-exact
+    pytest (tests/test_training_ops.py)."""
+    return corpus.corpus_keep_lsh(_docs(sf_dir))
+
+
 def q_dedup_clusters(sf_dir: str):
     return dedup.dedup_clusters(_docs(sf_dir),
                                 text.ngram_jaccard_pairs(_docs(sf_dir)))
@@ -911,6 +919,7 @@ def queries() -> dict[str, Callable]:
         "ngram_topk": q_ngram_topk,
         "dedup_clusters": q_dedup_clusters,
         "corpus_keep": q_corpus_keep,
+        "corpus_keep_lsh": q_corpus_keep_lsh,      # approximate — rows-only
         "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,  # approximate — rows-only
         "ann_topk": q_ann_topk,

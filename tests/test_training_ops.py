@@ -50,6 +50,52 @@ def test_lsh_neardup_recall():
         assert len(es & ls) / len(es) >= 0.9
 
 
+def test_corpus_keep_lsh_recall_sf01():
+    """Scale-path verdict vs the exact verdict at sf0.1 (5k docs): the LSH
+    path must reproduce ≥90% of the exact path's drop verdicts, and every
+    disagreement must be a recall miss (LSH keeping a doc the exact path
+    dropped as near_dup) — never a false drop of a kept doc, because the
+    candidate subset is exact-verified."""
+    from har2tree_ray import queries as q
+
+    sf = "/root/testdata/sf0.1"
+    exact = to_pandas(q.q_corpus_keep(sf)).set_index("doc_id")
+    lsh = to_pandas(q.q_corpus_keep_lsh(sf)).set_index("doc_id")
+    assert len(exact) == len(lsh)
+    joined = exact.join(lsh, lsuffix="_e", rsuffix="_l")
+    # filter + exact-dup verdicts share code paths — must agree everywhere
+    non_near = joined[~joined["reason_e"].str.startswith("near_dup_of:")
+                      & ~joined["reason_l"].str.startswith("near_dup_of:")]
+    pd.testing.assert_series_equal(non_near["keep_e"], non_near["keep_l"],
+                                   check_names=False)
+    dropped_exact = set(joined.index[joined["reason_e"]
+                                     .str.startswith("near_dup_of:")])
+    dropped_lsh = set(joined.index[joined["reason_l"]
+                                   .str.startswith("near_dup_of:")])
+    assert dropped_exact, "sf0.1 should contain planted near-dups"
+    recall = len(dropped_exact & dropped_lsh) / len(dropped_exact)
+    assert recall >= 0.9, (recall, len(dropped_exact), len(dropped_lsh))
+
+
+def test_corpus_keep_auto_routes_by_size():
+    """Below the knob the auto verdict IS the exact verdict; forcing the
+    knob to 0 routes through the LSH path and still yields one verdict row
+    per doc with the same schema."""
+    import ray.data as rd
+
+    from har2tree_ray.pipelines import corpus
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    exact = to_pandas(corpus.corpus_keep_auto(docs)).sort_values(
+        "doc_id").reset_index(drop=True)
+    want = to_pandas(corpus.corpus_keep(docs)).sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(exact, want)
+    lsh = to_pandas(corpus.corpus_keep_auto(docs, lsh_above=0))
+    assert len(lsh) == len(want)
+    assert list(lsh.columns) == list(want.columns)
+
+
 def test_simhash_near_dup_locality():
     """Near-identical texts (the planted Jaccard pairs) must land within a
     small Hamming distance; the all-pairs median must be far larger."""
