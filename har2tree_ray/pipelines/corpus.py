@@ -67,7 +67,7 @@ def corpus_small_sides_lsh(docs_ds, id_col: str = "doc_id",
     The exact path's gram explode is O(total grams) rows through two
     shuffles — fine per-capture, hostile at 10^12 docs where the gram table
     dwarfs the corpus.  Here the corpus flows ONCE through the MinHash
-    actor pool (64 perms, 16 bands — see ``dedup.MinHasher``), the shuffle
+    signing stage (64 perms, 16 bands — see ``dedup.MinHasher``), the shuffle
     moves only (doc, band) fingerprint rows, and the exact Jaccard is then
     recomputed ONLY over the candidate-doc subset (``verify=True``), which
     is near-dup-fraction-sized, not corpus-sized.

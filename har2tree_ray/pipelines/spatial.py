@@ -155,12 +155,13 @@ def host_boxes(flat_ds) -> pd.DataFrame:
 
 
 class CoveringIndex:
-    """Actor-pool stage holding the broadcast covering index (ST5).
+    """Compiled covering index over the broadcast boxes side (ST5).
 
-    ``__init__`` fetches the boxes once per actor (``ray.get`` of the
+    ``__init__`` fetches the boxes once per worker (``ray.get`` of the
     driver's ``ray.put``) and compiles cell → candidate-box lists at
     COVER_RES; ``__call__`` tests each media span only against the boxes
-    covering its cell.
+    covering its cell.  Deployed via ``util.worker_cached_stage`` keyed on
+    the boxes ObjectRef — compile-once per worker, no actor-pool spin-up.
     """
 
     def __init__(self, boxes_ref) -> None:
@@ -236,20 +237,24 @@ class CoveringIndex:
 
 def pip_media_in_host(flat_ds, concurrency: int | tuple[int, int] | None = None):
     """(doc_id, offset, box_hostname) for every media span inside a host
-    boundary box (cross-host membership included)."""
-    from ..stages.parser import default_pool_size
+    boundary box (cross-host membership included).
 
-    # the slim projection feeds BOTH passes (boundary aggregation, covering
-    # probe) — materialize it once instead of re-executing the explode
-    flat_ds = flat_ds.materialize()
+    Two passes over the input — boundary aggregation, then the covering
+    probe — by RE-EXECUTING the cheap explode rather than pinning the full
+    exploded span table in the object store (a ``materialize()`` here is an
+    object-store-sized pin/spill at 100 TB; only the boxes side, one row
+    per hostname, ever gathers).  The index stage runs as plain tasks with
+    a per-worker compiled-index memo keyed on the boxes ObjectRef — same
+    compile-once contract as the actor pool (ST5) without its spin-up."""
+    from ..util import worker_cached_stage
+
     boxes = host_boxes(flat_ds)
     ref = ray.put(boxes)
     slim = flat_ds.select_columns(["doc_id", "offset", "kind", "lat", "lng"])
     return slim.map_batches(
-        CoveringIndex,
-        fn_constructor_args=(ref,),
+        worker_cached_stage(CoveringIndex, ref, cache_key=ref.hex()),
         batch_format="pyarrow",
         batch_size=4096,  # numeric columns are narrow; bigger batches cut
         # per-batch sort/group overhead (measured 3.3s -> 2.5s at sf0.1)
-        concurrency=concurrency or default_pool_size(),
+        **(dict(concurrency=concurrency) if concurrency else {}),
     )

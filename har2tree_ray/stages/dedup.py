@@ -144,10 +144,12 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 
 
 class MinHasher:
-    """Actor-pool stage: text → MinHash signature + LSH band keys.
+    """Stateful signer: text → MinHash signature + LSH band keys.
 
-    Permutation parameters are built once per actor (``__init__``), batches
-    are signed in ``__call__`` — the stateful-stage contract (SURVEY §2.3).
+    Permutation parameters and the gram memo live in ``__init__`` state;
+    batches are signed in ``__call__``.  Deployed as plain tasks with a
+    per-worker instance memo (``_worker_cached_minhasher``) — see the note
+    there for why this beats an actor pool for microsecond-setup state.
     Emits one row per (doc, band): ``(id, band, band_hash, bh_part)`` where
     ``bh_part`` is a hash-range partition of ``band_hash`` — the LSH
     candidate shuffle keys on (band, bh_part), so no reducer ever sees a
@@ -236,15 +238,18 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     """
     import logging
 
-    from .parser import default_pool_size
+    from ..util import worker_cached_stage
 
+    # plain tasks + per-worker memo: MinHasher setup is microseconds, the
+    # gram memo accumulates per worker exactly as it did per actor, and the
+    # actor pool's spin-up (3-6 s per execution) disappears — see
+    # util.worker_cached_stage for the contract
     sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col,
-                                   num_perm=num_perm, bands=bands, k=k,
-                                   n_parts=n_parts),
+        worker_cached_stage(MinHasher, id_col=id_col, text_col=text_col,
+                            num_perm=num_perm, bands=bands, k=k,
+                            n_parts=n_parts),
         batch_format="pyarrow",
-        concurrency=concurrency or default_pool_size(),
+        **(dict(concurrency=concurrency) if concurrency else {}),
     )
 
     def bucket_pairs(t: pa.Table) -> pa.Table:

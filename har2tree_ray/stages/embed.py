@@ -272,13 +272,14 @@ def embed_neardup_lsh(ds, tau: float = NEARDUP_TAU, bits: int = LSH_BITS,
     verified with exact cosine in-bucket, deduped across tables.  Shuffles
     are keyed on (table_id, bucket) then (pair); groups stay bounded — this
     is the 100 TB path, recall-benchmarked against the exact baseline."""
-    from .parser import default_pool_size
+    from ..util import worker_cached_stage
 
-    # capped at half the CPUs: a fixed pool that reserves EVERY core
-    # deadlocks the streaming executor (observed with 4 actors on 4 CPUs)
-    hashed = ds.map_batches(HyperplaneHasher, batch_format="pyarrow",
-                            concurrency=min(4, default_pool_size()),
-                            fn_constructor_kwargs={"bits": bits, "tables": tables})
+    # plain tasks + per-worker memo (setup = one randn matrix); the fixed
+    # seed keeps every worker's planes identical, so instances are
+    # interchangeable — see util.worker_cached_stage
+    hashed = ds.map_batches(
+        worker_cached_stage(HyperplaneHasher, bits=bits, tables=tables),
+        batch_format="pyarrow")
 
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows < 2:

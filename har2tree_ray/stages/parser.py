@@ -79,12 +79,21 @@ def default_pool_size() -> int:
 
 def parse_spans(flat_ds, concurrency: int | tuple[int, int] | None = None,
                 batch_size: int = 2048):
-    """Flat span Dataset → Dataset with parsed attach-evidence columns."""
+    """Flat span Dataset → Dataset with parsed attach-evidence columns.
+
+    Runs as plain tasks with a per-worker SpanParser memo
+    (``util.worker_cached_stage``): the parser's state is compiled regex
+    bindings — microsecond setup — so an actor pool paid its spin-up
+    (3-6 s per Dataset execution, once per QUERY) for nothing.  Tasks run
+    on Ray's long-lived workers and parallelize across every core instead
+    of a fixed half-CPU pool."""
+    from ..util import worker_cached_stage
+
     return flat_ds.map_batches(
-        SpanParser,
+        worker_cached_stage(SpanParser),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or default_pool_size(),
+        **(dict(concurrency=concurrency) if concurrency else {}),
     )
 
 

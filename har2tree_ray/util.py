@@ -23,6 +23,43 @@ def pre_shuffle_coalesce(ds, blocks: int | None = None):
     return ds.repartition(blocks)
 
 
+#: per-worker-process instance memo for ``worker_cached_stage`` — Ray reuses
+#: worker processes across tasks and datasets, so an entry built for one
+#: query execution is warm for the next.
+_WORKER_STAGE_CACHE: dict = {}
+
+
+def worker_cached_stage(cls, *args, cache_key=None, **kwargs):
+    """Deploy a callable-class stage as plain TASKS with a per-worker
+    instance memo instead of an actor pool.
+
+    The actor-pool contract (build state in ``__init__``, use it per
+    ``__call__``) is right when setup is genuinely heavy — a model, a
+    codec (``media.MediaDecoder`` keeps it).  But for cheap-to-build state
+    (compiled regexes, a small randn matrix, a broadcast-side index) the
+    pool's spin-up cost dominates: cpus//2 fresh actor processes per
+    Dataset execution measured 3-6 s, paid again by EVERY query, while
+    plain tasks run on Ray's long-lived reusable workers.  This wrapper
+    keeps the setup-once property — the instance is built on first use per
+    worker process and memoized — with zero spin-up.  State must be
+    deterministic from the constructor args (same key ⇒ interchangeable
+    instance on any worker).
+
+    ``cache_key`` overrides the memo key when an arg is unhashable or
+    identity-ambiguous (e.g. pass the hex of an ObjectRef)."""
+    key = (cls.__module__, cls.__qualname__,
+           cache_key if cache_key is not None
+           else (args, tuple(sorted(kwargs.items()))))
+
+    def stage(batch):
+        inst = _WORKER_STAGE_CACHE.get(key)
+        if inst is None:
+            inst = _WORKER_STAGE_CACHE[key] = cls(*args, **kwargs)
+        return inst(batch)
+
+    return stage
+
+
 def hash_join(left_ds, right_ds, left_on: str, right_on: str,
               n_parts: int | None = None):
     """Distributed equi-join of two LARGE tables on int64 keys — the shuffle
