@@ -41,6 +41,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..functions.charset import charset_from_content_type, decode_body
 from ..schema import INTERLEAVED_SCHEMA
 
 _BODY_CAP = 200_000  # chars of response body kept per span
@@ -226,8 +227,15 @@ def har_entries_to_spans(entries: list[dict],
         mime = (resp.get("content") or {}).get("mimeType", "")
         body = (resp.get("content") or {}).get("text") or ""
         if (resp.get("content") or {}).get("encoding") == "base64":
+            # M32: charset-normalized decode (BOM → strict utf-8 → meta/xml
+            # declaration → Content-Type charset → latin-1), mirroring the
+            # reference's charset_normalizer pass (helper.py:283-294) with a
+            # deterministic stdlib chain — see functions/charset.py.
+            declared = (charset_from_content_type(mime)
+                        or charset_from_content_type(
+                            _header(resp.get("headers"), "content-type")))
             try:
-                body = base64.b64decode(body).decode("utf-8", "replace")
+                body = decode_body(base64.b64decode(body), declared)
             except Exception:
                 body = ""
         text = " ".join(parts)
