@@ -10,7 +10,9 @@ from __future__ import annotations
 
 import ipaddress
 import os
-from urllib.parse import unquote_plus, urljoin, urlparse
+import re as _re
+from urllib.parse import (parse_qsl, quote, unquote_plus, urlencode, urljoin,
+                          urlparse, urlsplit, urlunsplit)
 
 __all__ = [
     "split_url",
@@ -18,6 +20,9 @@ __all__ = [
     "is_ip_hostname",
     "idna_decode",
     "rebuild_url",
+    "strip_html5_whitespace",
+    "safe_url_string",
+    "canonicalize_url",
 ]
 
 
@@ -156,6 +161,101 @@ def rebuild_url(base_url: str, partial: str, known_urls: "set[str] | frozenset[s
         if partial and k.endswith(partial):
             return k
     return candidates[0]
+
+
+# --------------------------------------------------------------------------
+# M31 URL canonicalization — the reference sanitizes every rendered-page URL
+# through w3lib (strip_html5_whitespace → safe_url_string → urljoin →
+# canonicalize_url, /root/reference/har2tree/nodes.py:663-673).  The three
+# functions below re-express that PUBLIC, documented behavior with the
+# stdlib; none of w3lib's code is used.
+
+_HTML5_WS = " \t\n\r\x0c"
+
+#: RFC 3986 sub-delims + path extras w3lib's canonical form leaves unescaped.
+_PATH_SAFE = "/;:@&=+$,!*'()~"
+_FRAGMENT_SAFE = _PATH_SAFE + "?"
+
+
+def strip_html5_whitespace(url: str) -> str:
+    """Trim the HTML5 'space characters' (space, tab, LF, CR, FF) — what a
+    browser strips from an attribute URL before resolving it."""
+    return url.strip(_HTML5_WS)
+
+
+def safe_url_string(url: str) -> str:
+    """Percent-escape characters that make a URL unsafe to fetch (spaces,
+    non-ASCII, control bytes) while leaving existing escapes and RFC 3986
+    reserved characters intact; IDNA-encode a non-ASCII host.  Behavioral
+    recast of w3lib's documented ``safe_url_string`` contract."""
+    try:
+        parts = urlsplit(strip_html5_whitespace(url))
+    except ValueError:
+        return url
+    netloc = parts.netloc
+    try:
+        netloc.encode("ascii")
+    except UnicodeEncodeError:
+        userinfo, _, hostport = netloc.rpartition("@")
+        host, colon, port = hostport.partition(":")
+        try:
+            host = host.encode("idna").decode("ascii")
+        except UnicodeError:
+            pass
+        netloc = (userinfo + "@" if userinfo else "") + host + colon + port
+    # quote() with '%' in safe keeps existing escapes; utf-8 for the rest
+    return urlunsplit((
+        parts.scheme,
+        netloc,
+        quote(parts.path, safe=_PATH_SAFE + "%"),
+        quote(parts.query, safe=_PATH_SAFE + "%?/"),
+        quote(parts.fragment, safe=_FRAGMENT_SAFE + "%"),
+    ))
+
+
+_RE_PCT = _re.compile("%([0-9a-fA-F]{2})")
+
+
+def _norm_pct(text: str, safe: str) -> str:
+    """Normalize percent-escapes to canonical form: raw unsafe characters
+    get escaped, escapes of unreserved characters get decoded, every
+    remaining escape gets uppercase hex.  %2F/%3F stay escaped — decoding
+    them would change path semantics."""
+    text = quote(text, safe=safe + "%")  # '%' safe ⇒ existing escapes intact
+
+    def fix(m: "_re.Match[str]") -> str:
+        b = int(m.group(1), 16)
+        ch = chr(b)
+        if b < 128 and (ch.isalnum() or ch in "-._~"):
+            return ch  # unreserved: canonical form is the bare character
+        return "%" + m.group(1).upper()
+
+    return _RE_PCT.sub(fix, text)
+
+
+def canonicalize_url(url: str, keep_fragments: bool = False) -> str:
+    """One canonical spelling per URL — the reference's dedup key for
+    rendered-page URLs (nodes.py:669).  Behavioral recast of w3lib's
+    documented ``canonicalize_url``: lowercase scheme and host, strip the
+    scheme's default port, normalize percent-escapes to uppercase hex and
+    minimal form, empty path → '/', query arguments sorted by (key, value)
+    and re-encoded, fragment dropped unless ``keep_fragments``."""
+    try:
+        parts = urlsplit(strip_html5_whitespace(url))
+    except ValueError:
+        return url
+    scheme = parts.scheme.lower()
+    userinfo, _, hostport = parts.netloc.rpartition("@")
+    host, colon, port = hostport.partition(":")
+    host = host.lower()
+    if port and {"http": "80", "https": "443", "ftp": "21"}.get(scheme) == port:
+        colon = port = ""
+    netloc = (userinfo + "@" if userinfo else "") + host + colon + port
+    path = _norm_pct(parts.path, safe=_PATH_SAFE) or ("/" if netloc else "")
+    pairs = sorted(parse_qsl(parts.query, keep_blank_values=True))
+    query = urlencode(pairs)
+    fragment = parts.fragment if keep_fragments else ""
+    return urlunsplit((scheme, netloc, path, query, fragment))
 
 
 def unquote_name(url: str) -> str:

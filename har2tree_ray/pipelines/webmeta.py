@@ -824,6 +824,115 @@ FROM h LEFT JOIN su ON su.doc_id = h.doc_id AND su.url = h.url
 """
 
 
+def rendered_urls_canonical(sidecar_spans_ds, batch_size: int = 128):
+    """M31 full sanitize chain over the rendered-page hrefs — the recast of
+    ``urls_in_rendered_page``'s per-URL ``_sanitize`` (reference
+    nodes.py:663-673): strip HTML5 whitespace → ``safe_url_string`` →
+    ``urljoin`` against the capture root → ``canonicalize_url``
+    (keep_fragments=True, the reference's mode) → require a netloc.
+
+    Join base deviation, documented: the reference resolves against the
+    rendered NODE's own URL (``self.name``); the engine uses the capture
+    root (offset-0 span), which is the deterministic per-doc anchor the
+    interleaved layout carries without a chain walk.
+
+    Synth contract (like posted_data's): the synthetic href vocabulary is
+    escape-free, so the SQL oracle re-expresses only the transforms that
+    vocabulary needs (resolution, case, default port, query sort, empty
+    path); percent-normalization is pytest-covered on hostile inputs
+    (tests/test_url_canonical.py).  Zero-shuffle: per-doc map_batches."""
+    from urllib.parse import urljoin, urlsplit
+
+    from ..functions import parse
+    from ..functions.urls import (canonicalize_url, safe_url_string,
+                                  strip_html5_whitespace)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        htmls = batch["rendered_html"].to_pylist()
+        spans_col = batch["spans"].to_pylist()
+        out_doc, out_url = [], []
+        for did, html, spans in zip(ids, htmls, spans_col):
+            if not html:
+                continue
+            base = ""
+            for s in spans:
+                if s["offset"] == 0:
+                    base = s["media_ref"]
+                    break
+            found: set[str] = set()
+            for raw in parse.RE_HREF.findall(html):
+                href = safe_url_string(strip_html5_whitespace(raw))
+                href = canonicalize_url(urljoin(base, href),
+                                        keep_fragments=True)
+                if urlsplit(href).netloc:
+                    found.add(href)
+            for u in sorted(found):
+                out_doc.append(did)
+                out_url.append(u)
+        return pa.table({"doc_id": pa.array(out_doc, pa.string()),
+                         "url": pa.array(out_url, pa.string())})
+
+    return sidecar_spans_ds.map_batches(per_batch, batch_format="pyarrow",
+                                        batch_size=batch_size)
+
+
+def rendered_urls_canonical_sql(flat_path: str) -> str:
+    """The sanitize chain over the synth (escape-free) href vocabulary:
+    trim → resolve against the offset-0 span URL → lowercase scheme/host →
+    strip default port → empty path '/' → sort query args → keep fragment →
+    require netloc."""
+    return f"""
+WITH d AS (
+    SELECT doc_id, rendered_html,
+           list_filter(spans, s -> s."offset" = 0)[1].media_ref AS base
+    FROM read_parquet('{flat_path}/*.parquet')
+    WHERE rendered_html IS NOT NULL
+), h AS (
+    SELECT doc_id, base,
+           trim(UNNEST(regexp_extract_all(rendered_html, 'href="([^"]+)"', 1)))
+               AS href
+    FROM d
+), r AS (
+    SELECT doc_id,
+        CASE
+          WHEN href LIKE '//%'
+            THEN regexp_extract(base, '^([A-Za-z0-9+.-]+):', 1) || ':' || href
+          WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:')
+            THEN href
+          WHEN href LIKE '/%'
+            THEN regexp_extract(base, '^[A-Za-z0-9+.-]+://[^/?#]+') || href
+          ELSE regexp_replace(regexp_replace(base, '[?#].*$', ''),
+                              '[^/]*$', '') || href
+        END AS abs_url
+    FROM h
+), p AS (
+    SELECT doc_id,
+        lower(regexp_extract(abs_url, '^([A-Za-z0-9+.-]+)://', 1)) AS scheme,
+        lower(regexp_extract(abs_url, '^[A-Za-z0-9+.-]+://([^/?#]+)', 1)) AS netloc,
+        COALESCE(regexp_extract(abs_url, '^[A-Za-z0-9+.-]+://[^/?#]+([^?#]*)', 1), '') AS path,
+        COALESCE(regexp_extract(abs_url, '\\?([^#]*)', 1), '') AS query,
+        COALESCE(regexp_extract(abs_url, '#(.*)$', 1), '') AS frag
+    FROM r
+    WHERE regexp_matches(abs_url, '^[A-Za-z0-9+.-]+://[^/?#]+')
+)
+SELECT DISTINCT doc_id,
+    scheme || '://' ||
+    CASE WHEN scheme = 'https' AND netloc LIKE '%:443'
+             THEN regexp_replace(netloc, ':443$', '')
+         WHEN scheme = 'http' AND netloc LIKE '%:80'
+             THEN regexp_replace(netloc, ':80$', '')
+         ELSE netloc END ||
+    CASE WHEN path = '' THEN '/' ELSE path END ||
+    CASE WHEN query <> ''
+         THEN '?' || list_aggr(list_sort(str_split(query, '&')),
+                               'string_agg', '&')
+         ELSE '' END ||
+    CASE WHEN frag <> '' THEN '#' || frag ELSE '' END AS url
+FROM p
+"""
+
+
 # --------------------------------------------------- rendered-page URL list
 
 

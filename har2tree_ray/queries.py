@@ -342,6 +342,11 @@ def q_rendered_urls(sf_dir: str):
         sf_dir, columns=["doc_id", "spans", "rendered_html"]))
 
 
+def q_rendered_urls_canonical(sf_dir: str):
+    return webmeta.rendered_urls_canonical(read_interleaved(
+        sf_dir, columns=["doc_id", "spans", "rendered_html"]))
+
+
 def q_embedded_blobs(sf_dir: str):
     return webmeta.embedded_blobs(explode_spans(
         read_interleaved(sf_dir), ["doc_id", "offset", "text"]))
@@ -868,6 +873,7 @@ _INTERLEAVED_ORACLES = {
     "doc_sidecars": webmeta.doc_sidecars_sql,
     "span_resource_hashes": webmeta.span_resource_hashes_sql,
     "rendered_urls": webmeta.rendered_urls_sql,
+    "rendered_urls_canonical": webmeta.rendered_urls_canonical_sql,
     "embedded_blobs": webmeta.embedded_blobs_sql,
     "urls_in_doc": webmeta.urls_in_doc_sql,
     "capture_stats": stats.capture_stats_sql,
@@ -939,6 +945,7 @@ def queries() -> dict[str, Callable]:
         "doc_sidecars": q_doc_sidecars,
         "span_resource_hashes": q_span_resource_hashes,  # A4 per-node hashes
         "rendered_urls": q_rendered_urls,                # M33 rendered merge
+        "rendered_urls_canonical": q_rendered_urls_canonical,  # M31 sanitize chain
         "embedded_blobs": q_embedded_blobs,
         "urls_in_doc": q_urls_in_doc,
         "capture_stats": q_capture_stats,

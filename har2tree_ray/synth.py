@@ -48,7 +48,7 @@ import pyarrow.parquet as pq
 
 from .schema import INTERLEAVED_SCHEMA
 
-SYNTH_VERSION = 12  # bump to invalidate /tmp caches when generation changes
+SYNTH_VERSION = 13  # bump to invalidate /tmp caches when generation changes
 
 _GTAG_ALPHABET = np.array(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"))
 
@@ -455,8 +455,34 @@ def _generate_doc(rs: np.random.RandomState, doc_id: str, root_referer: str | No
         extra["downloaded_filename"] = f"dl{int(rs.randint(0, 1000))}.{ext}"
         extra["downloaded_b64"] = base64.b64encode(payload).decode()
     if rs.random_sample() < 0.5:
+        # M31 canonicalization fixtures: beside the plain landing href, the
+        # rendered page carries messy-but-escape-free URL spellings — each
+        # exercising one rule of the reference's sanitize chain
+        # (strip_html5_whitespace → safe_url_string → urljoin →
+        # canonicalize_url, nodes.py:663-673).  Escape-free by construction:
+        # percent-normalization is covered by pure-function pytests; the SQL
+        # oracle re-expresses only the transforms this vocabulary needs.
+        root_url = out[0]["media_ref"]
+        scheme, rest = root_url.split("://", 1)
+        host = rest.split("/", 1)[0]
+        n = int(rs.randint(0, 100))
+        messy = [
+            f"HTTPS://{host.upper()}/Mixed/Case{n}?b=2&a=1",  # case + query sort
+            f"{scheme}://{host}:{443 if scheme == 'https' else 80}/port{n}.html",
+            f"/rooted/asset{n}.css",            # root-relative → base origin
+            f"//cdn-render.example/lib{n}.js",  # scheme-relative → base scheme
+            f"img/banner{n}.png",               # relative → base directory
+            f"  {landing}  ",                   # HTML5 whitespace padding
+            f"{landing}#sec{n}",                # fragment kept (reference mode)
+            "https://plain.example",            # empty path → '/'
+            "mailto:contact@site.example",      # no netloc → dropped
+        ]
+        picks = sorted(int(i) for i in
+                       rs.choice(len(messy), size=int(rs.randint(2, 6)),
+                                 replace=False))
+        anchors = " ".join(f'<a href="{messy[i]}">m{i}</a>' for i in picks)
         extra["rendered_html"] = (
-            f'<html><body><a href="{landing}">home</a> '
+            f'<html><body><a href="{landing}">home</a> {anchors} '
             f"{len(out)} spans</body></html>")
     perm = rs.permutation(len(out))
     return [out[int(i)] for i in perm], landing, extra
