@@ -139,38 +139,3 @@ def cookie_asof_interleaved(interleaved_ds, batch_size: int = 64):
                                       batch_size=batch_size)
 
 
-def cookie_asof(flat_ds):
-    """As-of join: (doc_id, offset, name, setter_offset, third_party).
-
-    setter = max setter_offset < sender offset with matching name and
-    domain-suffix match on the sender hostname (port stripped).
-    """
-    events = cookie_events(flat_ds)
-
-    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
-        setters = df[df["side"] == "set"].sort_values("offset", kind="mergesort")
-        senders = df[df["side"] == "sent"].sort_values("offset", kind="mergesort")
-        rows = []
-        for _, s in senders.iterrows():
-            shost = s["hostname"].split(":")[0]
-            cand = setters[
-                (setters["name"] == s["name"]) & (setters["offset"] < s["offset"])
-            ]
-            cand = cand[[shost.endswith(d) for d in cand["domain"]]]
-            if cand.empty:
-                continue
-            best = cand.iloc[-1]
-            rows.append(
-                {
-                    "doc_id": s["doc_id"],
-                    "offset": int(s["offset"]),
-                    "name": s["name"],
-                    "setter_offset": int(best["offset"]),
-                }
-            )
-        out = pd.DataFrame(rows, columns=["doc_id", "offset", "name", "setter_offset"])
-        if out.empty:  # keep dtypes stable for empty groups
-            out = out.astype({"offset": "int64", "setter_offset": "int64"})
-        return out
-
-    return events.groupby("doc_id").map_groups(per_doc, batch_format="pandas")

@@ -2,9 +2,9 @@
 extraction, never-sent cookie anti-join.  Reference ops M13/M28/M29/M30/D4
 (SURVEY §2) re-expressed over the flat span / interleaved tables.
 
-All are single-pass ``map_batches`` except:
-* ``host_tld`` groups once on hostname (distinct — tiny output);
-* ``cookies_never_sent`` groups once on doc_id (per-doc anti-join).
+All are single-pass ``map_batches`` except ``host_tld``, which groups once
+on hostname (distinct — tiny output); ``cookies_never_sent_interleaved``
+does its per-doc anti-join batch-locally on the interleaved rows.
 """
 
 from __future__ import annotations
@@ -223,28 +223,6 @@ SELECT * FROM gt WHERE value NOT IN ({bl})
 # ------------------------------------------------------- cookies never sent
 
 
-def cookies_never_sent(flat_ds):
-    """D4 recast (har2tree/har2tree.py:362-387): cookies SET in a document
-    with no later SEND of the same name — per-doc anti-join on offset order."""
-    from .cookies import cookie_events
-
-    ev = cookie_events(flat_ds)
-
-    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
-        setters = df[df["side"] == "set"]
-        sent = df[df["side"] == "sent"]
-        rows = []
-        for _, s in setters.iterrows():
-            later = sent[(sent["name"] == s["name"]) & (sent["offset"] > s["offset"])]
-            if later.empty:
-                rows.append({"doc_id": s["doc_id"], "offset": int(s["offset"]),
-                             "name": s["name"], "domain": s["domain"]})
-        out = pd.DataFrame(rows, columns=["doc_id", "offset", "name", "domain"])
-        if out.empty:
-            out = out.astype({"offset": "int64"})
-        return out
-
-    return ev.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
 
 
 def cookies_never_sent_interleaved(interleaved_ds, batch_size: int = 64):

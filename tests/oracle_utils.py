@@ -55,3 +55,35 @@ def assert_matches_oracle(name: str, sf_dir: str = "/root/testdata/sf0.001"):
     )
     assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def cookie_asof_flat_oracle(flat_ds):
+    """Independent (flat + groupby + iterrows) re-implementation of the J7
+    cookie as-of join, kept ONLY as a differential oracle for the
+    zero-shuffle interleaved fast path (former engine flat variant; the
+    registered query is cookies.cookie_asof_interleaved)."""
+    from har2tree_ray.pipelines.cookies import cookie_events
+
+    events = cookie_events(flat_ds)
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        setters = df[df["side"] == "set"].sort_values("offset", kind="mergesort")
+        senders = df[df["side"] == "sent"].sort_values("offset", kind="mergesort")
+        rows = []
+        for _, s in senders.iterrows():
+            shost = s["hostname"].split(":")[0]
+            cand = setters[
+                (setters["name"] == s["name"]) & (setters["offset"] < s["offset"])
+            ]
+            cand = cand[[shost.endswith(d) for d in cand["domain"]]]
+            if cand.empty:
+                continue
+            best = cand.iloc[-1]
+            rows.append({"doc_id": s["doc_id"], "offset": int(s["offset"]),
+                         "name": s["name"], "setter_offset": int(best["offset"])})
+        out = pd.DataFrame(rows, columns=["doc_id", "offset", "name", "setter_offset"])
+        if out.empty:
+            out = out.astype({"offset": "int64", "setter_offset": "int64"})
+        return out
+
+    return events.groupby("doc_id").map_groups(per_doc, batch_format="pandas")

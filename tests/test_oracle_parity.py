@@ -38,7 +38,7 @@ def test_fast_paths_match_shuffle_paths():
     from har2tree_ray.pipelines import cookies, hosttree, spatial
     from har2tree_ray.sources.interleaved import read_interleaved
     from har2tree_ray.stages.normalize import flat_spans
-    from tests.oracle_utils import canon, to_pandas
+    from tests.oracle_utils import canon, cookie_asof_flat_oracle, to_pandas
 
     sf = "/root/testdata/sf0.001"
     inter = read_interleaved(sf)
@@ -46,7 +46,7 @@ def test_fast_paths_match_shuffle_paths():
     pairs = [
         (hosttree.host_rollup_interleaved(inter), hosttree.host_rollup(flat)),
         (cookies.cookie_asof_interleaved(inter),
-         cookies.cookie_asof(flat_spans(read_interleaved(sf)))),
+         cookie_asof_flat_oracle(flat_spans(read_interleaved(sf)))),
         (spatial.knn_referrer_interleaved(inter),
          spatial.knn_referrer(flat_spans(read_interleaved(sf), drop_text=True))),
     ]
