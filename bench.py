@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "embedded_blobs",
     "ann_topk_ivf",
     "knn_graph",
+    "semdedup_keep",
+    "rendered_urls_canonical",
 ]
 
 

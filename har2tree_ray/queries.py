@@ -445,6 +445,10 @@ def q_knn_graph(sf_dir: str):
     return embed.knn_graph(_embeds(sf_dir))
 
 
+def q_semdedup_keep(sf_dir: str):
+    return embed.semdedup_keep(_embeds(sf_dir))
+
+
 # -------------------------------------------------------------- oracle SQL
 
 
@@ -931,6 +935,7 @@ def queries() -> dict[str, Callable]:
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,            # approximate — rows-only
         "knn_graph": q_knn_graph,                  # float-rank ties — rows-only
+        "semdedup_keep": q_semdedup_keep,          # SemDeDup verdict (exact oracle)
         # web-artifact metadata (M13/M28/M29/M30/D4 parity ops)
         "span_hhhash": q_span_hhhash,
         "doc_domhash": q_doc_domhash,
@@ -976,4 +981,10 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     path = ensure_interleaved(sf_dir)
     out = {name: make(path) for name, make in _INTERLEAVED_ORACLES.items()}
     out.update({name: make(path) for name, make in _TABLE_ORACLES.items()})
+    # semdedup's oracle trains the same centroids the engine does, from the
+    # driver table itself (pure numpy — no Ray), and inlines them as SQL
+    import os as _os
+
+    out["semdedup_keep"] = embed.semdedup_keep_sql(
+        _os.path.join(sf_dir, "embeddings.parquet"))
     return out

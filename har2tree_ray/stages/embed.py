@@ -396,3 +396,107 @@ def ann_topk_ivf(ds, k: int = ANN_K, num_queries: int = ANN_NUM_QUERIES,
         })
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- SemDeDup
+
+
+SEMDEDUP_K = 16
+SEMDEDUP_TAU = NEARDUP_TAU
+SEMDEDUP_SAMPLE = 1024
+
+
+def semdedup_sample_matrix(ids: np.ndarray, mat: np.ndarray,
+                           n: int = SEMDEDUP_SAMPLE) -> np.ndarray:
+    """The deterministic trainer sample: the ``n`` smallest vec_ids'
+    normalized vectors in id order.  Shared verbatim by the engine
+    (via ``query_rows``' streaming partial-min) and the oracle-SQL builder
+    (via a direct parquet read) so both sides train BIT-IDENTICAL centroids
+    with ``_train_centroids``."""
+    order = np.argsort(ids, kind="stable")[:n]
+    return mat[order]
+
+
+def semdedup_keep(ds, k: int = SEMDEDUP_K, tau: float = SEMDEDUP_TAU):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) over the embedding
+    column: cluster with a sample-trained spherical k-means, then within
+    each cluster drop every vector that has a LOWER-id cluster-mate with
+    cosine ≥ tau.  Output: (vec_id, cluster, keep).
+
+    Scale shape: the corpus streams through centroid assignment
+    (broadcast centroids, one matmul per batch — never materialized);
+    the only exchange is the cluster-keyed groupby, whose group COUNT is
+    the k knob (scale k with the corpus so groups stay bounded) and whose
+    per-group work is one vectorized lower-triangle cosine pass.  The
+    greedy lower-id rule is deliberately order-free (no sequential scan
+    state), so any partition of a cluster's pair work would compose; the
+    oracle expresses the same rule as NOT EXISTS."""
+    samp_ids, samp_mat = query_rows(ds, SEMDEDUP_SAMPLE)
+    cent = _train_centroids(semdedup_sample_matrix(samp_ids, samp_mat), k)
+    ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _normalize(_to_matrix(batch["embedding"]))
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "cluster": pa.array(np.argmax(m @ c.T, axis=1).astype(np.int32)),
+            "embedding": batch["embedding"],
+        })
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow", batch_size=2048)
+
+    def prune(t: pa.Table) -> pa.Table:
+        vids = t["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(vids, kind="stable")
+        vids = vids[order]
+        m = _normalize(_to_matrix(t["embedding"]))[order]
+        sims = m @ m.T
+        dup = (np.tril(sims >= tau, k=-1)).any(axis=1)
+        return pa.table({
+            "vec_id": pa.array(vids, pa.int64()),
+            "cluster": pa.array([t["cluster"][0].as_py()] * len(vids), pa.int32()),
+            "keep": pa.array(~dup, pa.bool_()),
+        })
+
+    return assigned.groupby("cluster").map_groups(prune, batch_format="pyarrow")
+
+
+def semdedup_keep_sql(parquet_path: str, k: int = SEMDEDUP_K,
+                      tau: float = SEMDEDUP_TAU) -> str:
+    """Exact oracle: trains the SAME centroids (same sample, same numpy
+    code) and inlines them as DOUBLE[] literals; assignment is arg-max
+    cosine (ties broken by lowest cluster id, matching np.argmax), the
+    prune rule is the NOT EXISTS form of the lower-id greedy rule.
+    Float contract as for embed_neardup: only memberships cross the
+    compare boundary, and the synth similarity gaps dwarf the engine-vs-
+    DuckDB op-order noise."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    mat = _normalize(_to_matrix(t["embedding"]))
+    cent = _train_centroids(semdedup_sample_matrix(ids, mat, SEMDEDUP_SAMPLE), k)
+    rows = ",\n        ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(cent))
+    return f"""
+WITH cent(cid, v) AS (
+    VALUES {rows}
+), a AS (
+    SELECT e.vec_id, e.embedding,
+           (SELECT cid FROM cent
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cent.v) DESC,
+                     cid ASC
+            LIMIT 1) AS cluster
+    FROM embeddings e
+)
+SELECT a.vec_id, CAST(a.cluster AS INTEGER) AS cluster,
+       NOT EXISTS (
+           SELECT 1 FROM a o
+           WHERE o.cluster = a.cluster AND o.vec_id < a.vec_id
+             AND list_cosine_similarity(o.embedding::DOUBLE[],
+                                        a.embedding::DOUBLE[]) >= {tau}
+       ) AS keep
+FROM a
+"""

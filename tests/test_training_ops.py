@@ -226,3 +226,28 @@ def test_knn_graph_exact():
     for i in rng.choice(len(ids), size=60, replace=False):
         order = np.lexsort((ids, -sims[i]))[:KNN_GRAPH_K]
         assert by_q[ids[i]] == ids[order].tolist(), ids[i]
+
+
+def test_semdedup_keep_matches_oracle():
+    """SemDeDup verdict (cluster + lower-id cosine prune) is hash-exact
+    against the DuckDB oracle that trains the SAME centroids."""
+    from tests.oracle_utils import assert_matches_oracle
+
+    assert_matches_oracle("semdedup_keep", "/root/testdata/sf0.001")
+
+
+def test_semdedup_prune_rule_bit_exact():
+    """The vectorized lower-triangle prune equals the brute-force greedy
+    lower-id rule on a fixed random cluster."""
+    import numpy as np
+
+    from har2tree_ray.stages.embed import _normalize
+
+    rs = np.random.RandomState(7)
+    m = _normalize(rs.randn(40, 8))
+    tau = 0.5
+    sims = m @ m.T
+    fast = ~(np.tril(sims >= tau, k=-1).any(axis=1))
+    slow = np.array([not any(sims[i, j] >= tau for j in range(i))
+                     for i in range(len(m))])
+    assert (fast == slow).all()
