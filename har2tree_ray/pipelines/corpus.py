@@ -90,12 +90,13 @@ def corpus_small_sides_lsh(docs_ds, id_col: str = "doc_id",
     if not len(cand):
         return dup_map, {}
     if verify:
-        cand_ids = set(cand["id_a"]) | set(cand["id_b"])
-        ref = ray.put(cand_ids)
+        cand_ids = sorted(set(cand["id_a"]) | set(cand["id_b"]))
+        ref = ray.put(pa.array(cand_ids))
 
         def keep_candidates(t: pa.Table) -> pa.Table:
-            ids = ray.get(ref)
-            return t.filter(pa.array([v in ids for v in t[id_col].to_pylist()]))
+            import pyarrow.compute as pc
+
+            return t.filter(pc.is_in(t[id_col], value_set=ray.get(ref)))
 
         sub = docs_ds.map_batches(keep_candidates, batch_format="pyarrow")
         pairs = text.ngram_jaccard_pairs(sub).select_columns(
