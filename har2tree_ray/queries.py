@@ -169,6 +169,13 @@ def q_pip_media_in_host(sf_dir: str):
         ["doc_id", "offset", "kind", "hostname", "lat", "lng"]))
 
 
+def q_host_boxes(sf_dir: str):
+    """The ST5 boundary small side itself: per-hostname ε-expanded bbox of
+    document spans (the broadcast input of pip_media_in_host)."""
+    return spatial.host_boxes(explode_spans(
+        read_interleaved(sf_dir), ["kind", "hostname", "lat", "lng"]))
+
+
 def _edges(sf_dir: str):
     # shuffle-free fast path: interleaved rows are already doc-grouped
     return tree.build_edges_interleaved(read_interleaved(sf_dir))
@@ -419,6 +426,10 @@ def q_media_frames(sf_dir: str):
 
 def q_media_payloads(sf_dir: str):
     return media.media_payloads(_media_slim(sf_dir))
+
+
+def q_media_resize(sf_dir: str):
+    return media.media_resize(_media_slim(sf_dir))
 
 
 def _embeds(sf_dir: str):
@@ -790,6 +801,16 @@ FROM (
 """)
 
 
+def _oracle_host_boxes(path: str, eps: float = spatial.PIP_EPS) -> str:
+    return _FLAT_CTE.format(path=path) + f"""
+SELECT hostname,
+       MIN(lat) - {eps} AS min_lat, MAX(lat) + {eps} AS max_lat,
+       MIN(lng) - {eps} AS min_lng, MAX(lng) + {eps} AS max_lng
+FROM flat WHERE kind = 'document' AND hostname <> ''
+GROUP BY hostname
+"""
+
+
 def _oracle_pip(path: str, eps: float = spatial.PIP_EPS) -> str:
     return _FLAT_CTE.format(path=path) + f"""
 , boxes AS (
@@ -863,7 +884,9 @@ _INTERLEAVED_ORACLES = {
     "knn_referrer": _oracle_knn_referrer,
     "graft_edges": _oracle_graft_edges,
     "pip_media_in_host": _oracle_pip,
+    "host_boxes": _oracle_host_boxes,
     "media_features": media.media_features_sql,
+    "media_resize": media.media_resize_sql,
     "media_frames": media.media_frames_sql,
     "span_hhhash": webmeta.span_hhhash_sql,
     "doc_domhash": webmeta.doc_domhash_sql,
@@ -906,6 +929,7 @@ def queries() -> dict[str, Callable]:
         "cookie_asof": q_cookie_asof,
         "knn_referrer": q_knn_referrer,
         "pip_media_in_host": q_pip_media_in_host,
+        "host_boxes": q_host_boxes,
         # non-SQL-expressible (ordered consume-once cascade; pytest-verified
         # against an independent in-process implementation):
         "edges": q_edges,
@@ -971,6 +995,7 @@ def queries() -> dict[str, Callable]:
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "media_payloads": q_media_payloads,        # binary columns — rows-only
+        "media_resize": q_media_resize,            # resize dims/bytes (exact oracle)
     }
 
 

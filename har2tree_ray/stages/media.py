@@ -219,3 +219,119 @@ def frame_sample(flat_ds, every: int = FRAME_SAMPLE_EVERY):
         return out.append_column("frame_idx", pa.array(frame_idx, pa.int64()))
 
     return feats.map_batches(expand, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- resize
+
+
+RESIZE_MAX_SIDE = 64
+
+
+class MediaResizer:
+    """Actor-pool resize stage: payload → payload with dimensions fit into
+    a ``max_side`` box, aspect ratio preserved with integer floor math so
+    the DuckDB oracle recomputes the dims exactly.
+
+    Same real-codec gating as ``MediaDecoder``: ``__init__`` is where PIL
+    would load once per actor; this container has no codecs, so the stub
+    rewrites the fake header and truncates the body to the resized raster
+    bound (bytes are never duplicated row-to-row).  A genuinely heavy
+    per-actor codec is exactly the case that KEEPS the actor pool (vs the
+    worker-cached task stages used for microsecond-setup state)."""
+
+    def __init__(self, max_side: int = RESIZE_MAX_SIDE) -> None:
+        self.max_side = max_side
+        try:  # real resampler, once per actor — absent in this container
+            import PIL.Image  # noqa: F401
+            self._real = True
+        except ImportError:
+            self._real = False
+
+    def _resize_stub(self, payload: bytes) -> tuple[int, int, bytes]:
+        w = int.from_bytes(payload[10:12], "big")
+        h = int.from_bytes(payload[12:14], "big")
+        nf = payload[14:16]
+        s = self.max_side
+        if max(w, h) <= s:
+            nw, nh = w, h
+        elif w >= h:
+            nw, nh = s, max(1, h * s // w)
+        else:
+            nw, nh = max(1, w * s // h), s
+        body = payload[16:][: nw * nh * 3]
+        return nw, nh, MAGIC + nw.to_bytes(2, "big") + nh.to_bytes(2, "big") + nf + body
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._real:
+            raise NotImplementedError(
+                "real PIL resize path not exercised in this container")
+        payloads = batch["payload"].to_pylist()
+        resized = [self._resize_stub(p) for p in payloads]
+        out = batch.drop_columns(["payload", "payload_sha256"])
+        return out.append_column(
+            "width", pa.array([int.from_bytes(p[10:12], "big") for p in payloads], pa.int64())
+        ).append_column(
+            "height", pa.array([int.from_bytes(p[12:14], "big") for p in payloads], pa.int64())
+        ).append_column(
+            "new_width", pa.array([r[0] for r in resized], pa.int64())
+        ).append_column(
+            "new_height", pa.array([r[1] for r in resized], pa.int64())
+        ).append_column(
+            "n_bytes_out", pa.array([len(r[2]) for r in resized], pa.int64())
+        ).append_column(
+            "payload_out", pa.array([r[2] for r in resized], pa.large_binary())
+        )
+
+
+def media_resize(flat_ds, max_side: int = RESIZE_MAX_SIDE, concurrency=None):
+    """payload attach → actor-pool resize; the oracle-facing projection
+    drops the binary column (DuckDB cannot recompute the keystream bytes —
+    their LENGTH is the oracled contract)."""
+    from .parser import default_pool_size
+
+    resized = media_payloads(flat_ds).map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"max_side": max_side},
+        batch_format="pyarrow",
+        batch_size=PAYLOAD_BATCH,
+        concurrency=concurrency or default_pool_size(),
+    )
+    return resized.drop_columns(["payload_out"])
+
+
+def media_resize_sql(flat_path: str, max_side: int = RESIZE_MAX_SIDE) -> str:
+    """Oracle: header dims from md5(media_ref) (as media_features_sql), the
+    same integer floor-scaling, byte count = header + min(body, 3·raster)."""
+    def f(i: int) -> str:
+        return f"ascii(substr(md5(s.media_ref), {i}, 1))"
+
+    return f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+), m AS (
+    SELECT doc_id,
+           CAST(s."offset" AS INTEGER) AS "offset",
+           s.media_ref AS media_ref,
+           s.kind AS kind,
+           256 + ({f(1)} * 256 + {f(2)}) % 3840 AS n_bytes,
+           16 + ({f(3)} * 256 + {f(4)}) % 1008 AS width,
+           16 + ({f(5)} * 256 + {f(6)}) % 1008 AS height
+    FROM ex WHERE s.kind IN ('img', 'media')
+), r AS (
+    SELECT *,
+        CASE WHEN greatest(width, height) <= {max_side} THEN width
+             WHEN width >= height THEN {max_side}
+             ELSE greatest(1, (width * {max_side}) // height) END AS new_width,
+        CASE WHEN greatest(width, height) <= {max_side} THEN height
+             WHEN width >= height THEN greatest(1, (height * {max_side}) // width)
+             ELSE {max_side} END AS new_height
+    FROM m
+)
+SELECT doc_id, "offset", media_ref, kind,
+       CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+       CAST(new_width AS BIGINT) AS new_width,
+       CAST(new_height AS BIGINT) AS new_height,
+       CAST(16 + least(n_bytes - 16, new_width * new_height * 3) AS BIGINT)
+           AS n_bytes_out
+FROM r
+"""

@@ -51,3 +51,39 @@ def test_frame_sample_counts():
         n=("frame_idx", "size"), nf=("n_frames", "first"))
     expect = (per_span["nf"] + media.FRAME_SAMPLE_EVERY - 1) // media.FRAME_SAMPLE_EVERY
     assert (per_span["n"] == expect).all()
+
+
+def test_media_resize_matches_oracle():
+    """Resize dims (integer floor aspect fit) + truncated byte count are
+    hash-exact against the md5-derived oracle."""
+    from tests.oracle_utils import assert_matches_oracle
+
+    assert_matches_oracle("media_resize", "/root/testdata/sf0.001")
+
+
+def test_media_resize_stub_geometry():
+    """The stub obeys the resize contract: fits the box, preserves header
+    shape, never upscales, truncates body to the raster bound."""
+    from har2tree_ray.stages.media import (MAGIC, MediaResizer, synth_payload)
+
+    r = MediaResizer(max_side=64)
+    for ref in ("https://a.example/big.png", "https://b.example/tiny.gif",
+                "https://c.example/wide.jpg"):
+        p = synth_payload(ref)
+        w = int.from_bytes(p[10:12], "big")
+        h = int.from_bytes(p[12:14], "big")
+        nw, nh, out = r._resize_stub(p)
+        assert out.startswith(MAGIC)
+        assert max(nw, nh) <= max(64, max(w, h))
+        if max(w, h) > 64:
+            assert max(nw, nh) == 64
+            # aspect preserved under floor division
+            if w >= h:
+                assert nw == 64 and nh == max(1, h * 64 // w)
+            else:
+                assert nh == 64 and nw == max(1, w * 64 // h)
+        else:
+            assert (nw, nh) == (w, h)
+        assert int.from_bytes(out[10:12], "big") == nw
+        assert int.from_bytes(out[12:14], "big") == nh
+        assert len(out) <= 16 + nw * nh * 3

@@ -22,6 +22,8 @@ SQL_CHECKED = [
     "cookie_asof",
     "knn_referrer",
     "pip_media_in_host",
+    "host_boxes",
+    "rendered_urls_canonical",
 ]
 
 
