@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "knn_graph",
     "semdedup_keep",
     "rendered_urls_canonical",
+    "host_boxes",
+    "media_resize",
 ]
 
 
