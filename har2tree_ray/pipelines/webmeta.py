@@ -503,20 +503,48 @@ FROM ex GROUP BY doc_id
 # public file signatures for the M18 mimetype sniff (MagicDb recast —
 # /root/reference/har2tree/helper.py:477-485; no libmagic in this container,
 # so the signature table is a built-in constant shared with the SQL oracle)
+#: (offset, signature, mime) — public well-known magic numbers; ordered
+#: longest/most-specific first so weak 2-byte matches (BM, MZ, 1F8B) never
+#: shadow a longer one.  The SQL oracle is GENERATED from this table
+#: (single source of truth, like the PSL tables).
 MAGIC_SIGNATURES = [
-    (b"%PDF-", "application/pdf"),
-    (b"PK\x03\x04", "application/zip"),
-    (b"\x89PNG\r\n\x1a\n", "image/png"),
-    (b"GIF89a", "image/gif"),
-    (b"GIF87a", "image/gif"),
-    (b"\xff\xd8\xff", "image/jpeg"),
-    (b"\x1f\x8b", "application/gzip"),
+    (0, b"\x89PNG\r\n\x1a\n", "image/png"),
+    (0, b"7z\xbc\xaf\x27\x1c", "application/x-7z-compressed"),
+    (0, b"Rar!\x1a\x07", "application/vnd.rar"),
+    (0, b"\xfd7zXZ\x00", "application/x-xz"),
+    (0, b"GIF89a", "image/gif"),
+    (0, b"GIF87a", "image/gif"),
+    (0, b"%PDF-", "application/pdf"),
+    (4, b"ftyp", "video/mp4"),          # ISO BMFF (mp4/mov/heic family)
+    (8, b"WEBP", "image/webp"),         # RIFF....WEBP
+    (8, b"WAVE", "audio/wav"),          # RIFF....WAVE
+    (0, b"PK\x03\x04", "application/zip"),
+    (0, b"wOF2", "font/woff2"),
+    (0, b"wOFF", "font/woff"),
+    (0, b"OTTO", "font/otf"),
+    (0, b"\x00\x01\x00\x00", "font/ttf"),
+    (0, b"\x00\x00\x01\x00", "image/vnd.microsoft.icon"),
+    (0, b"OggS", "audio/ogg"),
+    (0, b"fLaC", "audio/flac"),
+    (0, b"ID3", "audio/mpeg"),
+    (0, b"\x1aE\xdf\xa3", "video/webm"),  # EBML (webm/matroska)
+    (0, b"FLV\x01", "video/x-flv"),
+    (0, b"\xff\xd8\xff", "image/jpeg"),
+    (0, b"II*\x00", "image/tiff"),
+    (0, b"MM\x00*", "image/tiff"),
+    (0, b"\x28\xb5\x2f\xfd", "application/zstd"),
+    (0, b"\x00asm", "application/wasm"),
+    (0, b"\x7fELF", "application/x-executable"),
+    (0, b"BZh", "application/x-bzip2"),
+    (0, b"\x1f\x8b", "application/gzip"),
+    (0, b"BM", "image/bmp"),
+    (0, b"MZ", "application/x-msdownload"),
 ]
 
 
 def sniff_mime(raw: bytes) -> str:
-    for sig, mime in MAGIC_SIGNATURES:
-        if raw.startswith(sig):
+    for off, sig, mime in MAGIC_SIGNATURES:
+        if len(raw) >= off + len(sig) and raw[off:off + len(sig)] == sig:
             return mime
     return ""
 
@@ -551,19 +579,20 @@ def doc_sidecars(sidecar_ds):
 
 
 def doc_sidecars_sql(flat_path: str) -> str:
+    """Oracle generated from MAGIC_SIGNATURES (same table, same order):
+    each (offset, sig) becomes a hex-substring CASE branch."""
     hx = "hex(from_base64(downloaded_b64))"
+    branches = "\n            ".join(
+        f"WHEN substr({hx}, {off * 2 + 1}, {len(sig) * 2}) = '{sig.hex().upper()}'"
+        f" THEN '{mime}'"
+        for off, sig, mime in MAGIC_SIGNATURES)
     return f"""
 SELECT doc_id,
        COALESCE(downloaded_filename, '') AS downloaded_filename,
        CAST(COALESCE(octet_length(from_base64(downloaded_b64)), 0) AS BIGINT)
            AS n_download_bytes,
        CASE WHEN downloaded_b64 IS NULL THEN ''
-            WHEN substr({hx}, 1, 10) = '255044462D' THEN 'application/pdf'
-            WHEN substr({hx}, 1, 8) = '504B0304' THEN 'application/zip'
-            WHEN substr({hx}, 1, 16) = '89504E470D0A1A0A' THEN 'image/png'
-            WHEN substr({hx}, 1, 12) IN ('474946383961', '474946383761') THEN 'image/gif'
-            WHEN substr({hx}, 1, 6) = 'FFD8FF' THEN 'image/jpeg'
-            WHEN substr({hx}, 1, 4) = '1F8B' THEN 'application/gzip'
+            {branches}
             ELSE '' END AS sniffed_mime,
        CAST(COALESCE(length(rendered_html), 0) AS BIGINT) AS rendered_len
 FROM read_parquet('{flat_path}/*.parquet')

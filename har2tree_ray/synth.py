@@ -48,7 +48,7 @@ import pyarrow.parquet as pq
 
 from .schema import INTERLEAVED_SCHEMA
 
-SYNTH_VERSION = 13  # bump to invalidate /tmp caches when generation changes
+SYNTH_VERSION = 14  # bump to invalidate /tmp caches when generation changes
 
 _GTAG_ALPHABET = np.array(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"))
 
@@ -137,6 +137,14 @@ _MAGIC_PREFIXES = [
     (b"GIF89a", "gif"),
     (b"\xff\xd8\xff", "jpg"),
     (b"\x1f\x8b", "gz"),
+    (b"RIFF\x24\x00\x00\x00WEBP", "webp"),
+    (b"\x00\x00\x00\x20ftypisom", "mp4"),
+    (b"OggS", "ogg"),
+    (b"wOF2", "woff2"),
+    (b"\x00\x00\x01\x00", "ico"),
+    (b"II*\x00", "tif"),
+    (b"\x1aE\xdf\xa3", "webm"),
+    (b"BM", "bmp"),
     (b"", "bin"),
 ]
 

@@ -171,3 +171,26 @@ def test_embedded_blob_roundtrip():
     assert len(df) > 0
     for b64, n in zip(df["payload_b64"].head(50), df["n_bytes"].head(50)):
         assert len(repair_b64(b64)) == n
+
+
+def test_sniff_mime_signature_table():
+    """M18 magic table: every signature resolves at its offset; longer
+    signatures shadow weaker prefixes; unknown bytes yield ''."""
+    from har2tree_ray.pipelines.webmeta import MAGIC_SIGNATURES, sniff_mime
+
+    pad = b"\x00\x00\x00\x20"  # ISO-BMFF size field for the ftyp case
+    for off, sig, mime in MAGIC_SIGNATURES:
+        if off == 0:
+            raw = sig + b"tail"
+        elif off == 4:
+            raw = pad + sig + b"tail"
+        else:  # RIFF container members
+            raw = b"RIFF\x24\x00\x00\x00" + sig + b"tail"
+        assert sniff_mime(raw) == mime, (off, sig, mime)
+    assert sniff_mime(b"plain text here") == ""
+    assert sniff_mime(b"") == ""
+    # gzip's 2-byte sig must not shadow xz/zstd (ordering contract)
+    assert sniff_mime(b"\xfd7zXZ\x00rest") == "application/x-xz"
+    assert sniff_mime(b"\x89PNG\r\n\x1a\n....") == "image/png"
+    # truncated payload shorter than an offset sig: no IndexError, no match
+    assert sniff_mime(b"RIFF\x24\x00") == ""
