@@ -410,38 +410,51 @@ GROUP BY d.doc_id
 NGRAM_TOPK = 20
 
 
-def ngram_topk(ds, k: int = NGRAM_TOPK):
+def ngram_topk(ds, k: int = NGRAM_TOPK, n_parts: int | None = None):
     """Top-k n-grams by DOCUMENT frequency — vocabulary heavy-hitters over
-    an UNBOUNDED key domain: batch-local distinct-gram counts → one Sum
-    shuffle keyed on gram → per-block top-k partials (exact: after the
-    groupby every gram lives in exactly one block) → tiny driver merge of
-    num_blocks × k rows.  The full gram table never reaches the driver.
-    Ties break by gram ascending (deterministic, mirrored in SQL)."""
-    from ray.data.aggregate import Sum
+    an UNBOUNDED key domain.  Grams are mostly-unique keys, so a native
+    per-gram Sum pays sort/merge bookkeeping on near-singleton groups (the
+    span_dedup lesson); instead the batch-local distinct-gram counts
+    shuffle ONCE on ``crc32(gram) % n_parts`` (every gram entirely inside
+    one range) and each range resolves its sums and local top-k with one
+    vectorized pandas pass — exact, since a global top-k is the merge of
+    per-range top-ks.  The driver merges n_parts × k rows; the full gram
+    table never reaches it.  Ties break by gram ascending (deterministic,
+    mirrored in SQL)."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
 
     from ..util import pre_shuffle_coalesce
+
+    if n_parts is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        n_parts = max(8, cpus)
 
     def partial(batch: pa.Table) -> pa.Table:
         g = _explode_grams(batch).select(["gram"]).group_by("gram").aggregate(
             [("gram", "count")])
-        return g.rename_columns(["gram", "part_n"])
+        g = g.rename_columns(["gram", "part_n"])
+        gp = np.fromiter(
+            (zlib.crc32(s.encode("utf-8")) for s in g["gram"].to_pylist()),
+            dtype=np.int64, count=g.num_rows) % n_parts
+        return g.append_column("gpart", pa.array(gp.astype(np.int32)))
 
-    agg = pre_shuffle_coalesce(
-        ds.map_batches(partial, batch_format="pyarrow")
-    ).groupby("gram").aggregate(Sum("part_n", alias_name="df"))
-
-    def block_topk(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = t.to_pandas()
+    def range_topk(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas().groupby("gram", as_index=False)["part_n"].sum()
+              .rename(columns={"part_n": "df"}))
         df = df.sort_values(["df", "gram"], ascending=[False, True],
                             kind="mergesort").head(k)
         df["df"] = df["df"].astype("int64")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df[["gram", "df"]], preserve_index=False)
 
-    import pandas as pd
-
-    parts = agg.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    parts = (pre_shuffle_coalesce(ds.map_batches(partial, batch_format="pyarrow"))
+             .groupby("gpart")
+             .map_groups(range_topk, batch_format="pyarrow")
+             .to_pandas())
     top = (parts.sort_values(["df", "gram"], ascending=[False, True],
                              kind="mergesort").head(k).reset_index(drop=True))
     top["rank"] = range(1, len(top) + 1)
