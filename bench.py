@@ -89,6 +89,26 @@ BENCH_QUERIES = [
     "rendered_urls_canonical",
     "host_boxes",
     "media_resize",
+    "kind_rollup",
+    "tile_assign",
+    "landing",
+    "cookie_events",
+    "cookies_never_sent",
+    "span_identifiers",
+    "doc_domhash",
+    "doc_fingerprint",
+    "doc_sample",
+    "doc_jaccard_pairs",
+    "dedup_clusters",
+    "embed_neardup_lsh",
+    "event_window_agg",
+    "event_props_rollup",
+    "media_frames",
+    "rendered_urls",
+    "host_edges",
+    "top_hosts",
+    "host_tree_d3",
+    "span_resource_hashes",
 ]
 
 

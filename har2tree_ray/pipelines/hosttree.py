@@ -46,18 +46,36 @@ def host_edges(edges_ds):
 
     from ..util import pre_shuffle_coalesce
 
-    partials = pre_shuffle_coalesce(edges.map_batches(project, batch_format="pyarrow"))
-    agg = partials.groupby(
-        ["doc_id", "host_level", "hostname", "parent_level", "parent_hostname"]
-    ).aggregate(Sum("partial_n", alias_name="n_urls"))
-    return agg.map_batches(
-        lambda t: t.set_column(
-            t.schema.get_field_index("n_urls"),
-            "n_urls",
-            pc.cast(t["n_urls"], pa.int64()),
-        ),
-        batch_format="pyarrow",
-    )
+    # (doc_id, hosts) composite keys are mostly UNIQUE (a handful of edges
+    # per key), so a native 5-key aggregate pays sort/merge bookkeeping on
+    # near-singleton groups (measured 17.6 s → ~3 s at sf0.1).  Shuffle the
+    # in-batch partials ONCE on crc32(doc_id) % n_parts — every doc entirely
+    # inside one range — and resolve each range with one Arrow group_by.
+    import zlib
+
+    import numpy as np
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    n_parts = max(8, cpus)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        gp = np.fromiter(
+            (zlib.crc32(d.encode("utf-8")) for d in t["doc_id"].to_pylist()),
+            dtype=np.int64, count=t.num_rows) % n_parts
+        return t.append_column("dpart", pa.array(gp.astype(np.int32)))
+
+    keys = ["doc_id", "host_level", "hostname", "parent_level", "parent_hostname"]
+
+    def per_range(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([("partial_n", "sum")])
+        return pa.table({**{k: g[k] for k in keys},
+                         "n_urls": pc.cast(g["partial_n_sum"], pa.int64())})
+
+    partials = pre_shuffle_coalesce(
+        edges.map_batches(project, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow"))
+    return partials.groupby("dpart").map_groups(per_range, batch_format="pyarrow")
 
 
 def host_rollup_interleaved(interleaved_ds, batch_size: int = 64):
