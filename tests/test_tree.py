@@ -237,3 +237,27 @@ def test_interleaved_fast_path_matches_shuffle_path():
     import pandas as pd
 
     pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+
+
+def test_host_edges_equals_pandas_rollup():
+    """The hash-range host_edges plan equals a driver-side pandas rollup of
+    the same URL-edge table (independent aggregation path)."""
+    import pandas as pd
+
+    from har2tree_ray.pipelines import hosttree
+    from har2tree_ray.queries import _edges
+
+    sf = "/root/testdata/sf0.001"
+    edges = _edges(sf).to_pandas()
+    exp = (edges.assign(host_level=edges["depth"].astype("int32"),
+                        parent_level=(edges["depth"] - 1).astype("int32"),
+                        hostname=edges["child_hostname"])
+           .groupby(["doc_id", "host_level", "hostname", "parent_level",
+                     "parent_hostname"], as_index=False)
+           .size().rename(columns={"size": "n_urls"}))
+    got = hosttree.host_edges(_edges(sf)).to_pandas()
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols, kind="mergesort").reset_index(drop=True),
+        exp[cols].sort_values(cols, kind="mergesort").reset_index(drop=True),
+        check_dtype=False)
