@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "top_hosts",
     "host_tree_d3",
     "span_resource_hashes",
+    "doc_tfidf_top",
 ]
 
 

@@ -237,6 +237,10 @@ def q_doc_fingerprint(sf_dir: str):
     return text.fingerprints(_docs(sf_dir))
 
 
+def q_doc_tfidf_top(sf_dir: str):
+    return text.doc_tfidf_top(_docs(sf_dir))
+
+
 def q_doc_jaccard_pairs(sf_dir: str):
     return text.ngram_jaccard_pairs(_docs(sf_dir))
 
@@ -845,6 +849,7 @@ _TABLE_ORACLES = {
     "doc_quality": lambda _p: text.quality_stats_sql(),
     "doc_langid": lambda _p: text.langid_sql(),
     "doc_fingerprint": lambda _p: text.fingerprints_sql(),
+    "doc_tfidf_top": lambda _p: text.doc_tfidf_top_sql(),
     "doc_jaccard_pairs": lambda _p: text.ngram_jaccard_sql(),
     "doc_exact_dedup": _oracle_doc_exact_dedup,
     "doc_filter": lambda _p: text.doc_filter_sql(),
@@ -944,6 +949,7 @@ def queries() -> dict[str, Callable]:
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_tfidf_top": q_doc_tfidf_top,          # tf/df ranking (exact oracle)
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash_pairs": q_doc_minhash_pairs,  # approximate — rows-only

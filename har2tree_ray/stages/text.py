@@ -599,3 +599,113 @@ SELECT doc_id, len(rs) = 0 AS keep,
        COALESCE(array_to_string(rs, ','), '') AS reasons
 FROM r
 """
+
+
+# ------------------------------------------------------------------ tf-idf
+
+
+TFIDF_K = 3
+
+
+def doc_tfidf_top(ds, k: int = TFIDF_K, n_parts: int | None = None):
+    """Top-k terms per document by tf/df ratio (a tf-idf ranking whose
+    ORDER is float-division-exact, so the DuckDB oracle reproduces it
+    bit-for-bit: IEEE double division is correctly rounded on both sides,
+    and only INTEGER columns cross the compare boundary).
+
+    Two coarse hash-range shuffles, zero unbounded-key aggregates:
+
+    1. batch-local per-doc term frequencies (whitespace tokens, matching
+       the ``\\S+`` SQL tokenizer) shuffle on ``crc32(word) % n_parts`` —
+       every word's rows land in ONE range, so document frequency AND the
+       df join both resolve inside the range with one vectorized pandas
+       pass (no separate df table, no gram-keyed join shuffle);
+    2. the scored rows shuffle on ``crc32(doc_id) % n_parts`` and each
+       range emits its docs' top-k (score desc, word asc — deterministic).
+
+    Output: (doc_id, word, tf, df, rank), rank 1..k.
+    """
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..util import pre_shuffle_coalesce
+
+    if n_parts is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        n_parts = max(8, cpus)
+
+    def doc_tf(batch: pa.Table) -> pa.Table:
+        ids, words, tfs = [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            counts: dict[str, int] = {}
+            for w in (text or "").split():
+                counts[w] = counts.get(w, 0) + 1
+            ids.extend([did] * len(counts))
+            words.extend(counts.keys())
+            tfs.extend(counts.values())
+        gp = np.fromiter((zlib.crc32(w.encode("utf-8")) for w in words),
+                         dtype=np.int64, count=len(words)) % n_parts
+        return pa.table({
+            "doc_id": pa.array(ids, type=batch["doc_id"].type),
+            "word": pa.array(words, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+            "wpart": pa.array(gp.astype(np.int32)),
+        })
+
+    def df_in_range(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        # rows are (doc, word)-distinct by construction ⇒ df = row count
+        counts = df.groupby("word", as_index=False).size().rename(
+            columns={"size": "df"})
+        out = df.merge(counts, on="word")
+        dp = np.fromiter(
+            (zlib.crc32(str(d).encode("utf-8")) for d in out["doc_id"]),
+            dtype=np.int64, count=len(out)) % n_parts
+        out["dpart"] = dp.astype(np.int32)
+        return pa.Table.from_pandas(
+            out[["doc_id", "word", "tf", "df", "dpart"]], preserve_index=False)
+
+    def topk_in_range(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["score"] = df["tf"].astype("float64") / df["df"].astype("float64")
+        df = df.sort_values(["doc_id", "score", "word"],
+                            ascending=[True, False, True], kind="mergesort")
+        df["rank"] = df.groupby("doc_id").cumcount() + 1
+        df = df[df["rank"] <= k]
+        out = df[["doc_id", "word", "tf", "df", "rank"]].copy()
+        out["rank"] = out["rank"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    tf_rows = pre_shuffle_coalesce(ds.map_batches(doc_tf, batch_format="pyarrow"))
+    scored = tf_rows.groupby("wpart").map_groups(df_in_range,
+                                                 batch_format="pyarrow")
+    return scored.groupby("dpart").map_groups(topk_in_range,
+                                              batch_format="pyarrow")
+
+
+def doc_tfidf_top_sql(rel: str = "documents", k: int = TFIDF_K) -> str:
+    return f"""
+WITH w AS (
+    SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS word FROM {rel}
+), tf AS (
+    SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM w GROUP BY doc_id, word
+), df AS (
+    SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM w GROUP BY word
+), s AS (
+    SELECT tf.doc_id, tf.word, tf.tf, df.df,
+           ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.word
+           ) AS rank
+    FROM tf JOIN df USING (word)
+)
+SELECT doc_id, word, tf, df, CAST(rank AS BIGINT) AS rank
+FROM s WHERE rank <= {k}
+"""

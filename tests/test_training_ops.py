@@ -251,3 +251,11 @@ def test_semdedup_prune_rule_bit_exact():
     slow = np.array([not any(sims[i, j] >= tau for j in range(i))
                      for i in range(len(m))])
     assert (fast == slow).all()
+
+
+def test_doc_tfidf_top_matches_oracle():
+    """tf/df ranking with integer-only output columns is hash-exact against
+    the window-function oracle (float division ordering is IEEE-identical)."""
+    from tests.oracle_utils import assert_matches_oracle
+
+    assert_matches_oracle("doc_tfidf_top", "/root/testdata/sf0.001")
