@@ -25,32 +25,40 @@ WINDOW = "1h"
 # ------------------------------------------------------------ sessionization
 
 
-def sessionize(events_ds, gap_min: int = SESSION_GAP_MIN):
+def sessionize(events_ds, gap_min: int = SESSION_GAP_MIN,
+               n_parts: int | None = None):
     """Per-user session windows: a new session starts when the gap from the
     previous event exceeds ``gap_min`` minutes.
 
-    One shuffle: groupby(user_id); within a group the sort is per-user
-    (bounded), never global."""
+    One shuffle — but keyed on ``crc32(user_id) % n_parts`` rather than
+    user_id itself: user keys are numerous (one Ray group per user would
+    pay Python dispatch per user), while a coarse range keeps every user's
+    rows in ONE group and the whole range resolves with a single vectorized
+    pandas pass (sort by (user, ts, event_id); session break = user change
+    or gap; grouped cumsum; one hash group-by for the window aggregates)."""
+    from ..util import user_range_groupby
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+    def per_range(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         # exact-integer money (values carry 2 decimals) — float summation
         # order would otherwise differ between engines
         df["cents"] = (df["value"] * 100).round().astype("int64")
+        new_user = df["user_id"].ne(df["user_id"].shift())
         gap = df["ts"].diff() > pd.Timedelta(minutes=gap_min)
-        sid = gap.cumsum().astype("int64") + 1
-        g = df.groupby(sid)
-        out = pd.DataFrame({
-            "user_id": df["user_id"].iloc[0],
-            "session_id": g.size().index,
-            "n_events": g.size().to_numpy().astype("int64"),
-            "start_ts": g["ts"].min().to_numpy(),
-            "end_ts": g["ts"].max().to_numpy(),
-            "total_cents": g["cents"].sum().to_numpy().astype("int64"),
-        })
-        return out.reset_index(drop=True)
+        brk = (gap & ~new_user).astype("int64")
+        df["session_id"] = brk.groupby(df["user_id"].to_numpy()).cumsum() + 1
+        g = df.groupby(["user_id", "session_id"], as_index=False, sort=False).agg(
+            n_events=("cents", "size"),
+            start_ts=("ts", "min"),
+            end_ts=("ts", "max"),
+            total_cents=("cents", "sum"),
+        )
+        g["n_events"] = g["n_events"].astype("int64")
+        g["total_cents"] = g["total_cents"].astype("int64")
+        return g[["user_id", "session_id", "n_events", "start_ts", "end_ts",
+                  "total_cents"]]
 
-    return events_ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return user_range_groupby(events_ds, per_range, n_parts=n_parts)
 
 
 def sessionize_sql(gap_min: int = SESSION_GAP_MIN) -> str:
@@ -126,29 +134,42 @@ def asof_error_click(events_ds):
     are dropped).  Generalizes the reference's cookie as-of
     (har2tree/har2tree.py:372-385) to a timestamped table."""
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+    from ..util import user_range_groupby
+
+    empty = {"user_id": "int64", "error_id": "int64",
+             "click_id": "int64", "lag_us": "int64"}
+
+    def per_range(df: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized merge_asof over ALL the range's users (by=user_id);
+        # strict c.ts < e.ts via allow_exact_matches=False, ties among
+        # same-ts clicks resolve to the highest event_id (frame sorted by
+        # (ts, event_id), merge_asof takes the last preceding row) — the
+        # same tie the SQL's ROW_NUMBER ... ORDER BY c.ts, c.event_id DESC
+        # picks.
         df = df.sort_values(["ts", "event_id"], kind="mergesort")
-        clicks = df[df["event_type"] == "click"]
-        errors = df[df["event_type"] == "error"]
+        clicks = df.loc[df["event_type"] == "click",
+                        ["user_id", "ts", "event_id"]].rename(
+            columns={"event_id": "click_id"})
+        clicks["click_ts"] = clicks["ts"]
+        errors = df.loc[df["event_type"] == "error",
+                        ["user_id", "ts", "event_id"]].rename(
+            columns={"event_id": "error_id"})
         if clicks.empty or errors.empty:
-            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
-                                 "error_id": pd.Series([], dtype="int64"),
-                                 "click_id": pd.Series([], dtype="int64"),
-                                 "lag_us": pd.Series([], dtype="int64")})
-        idx = np.searchsorted(clicks["ts"].to_numpy(), errors["ts"].to_numpy(),
-                              side="left") - 1
-        keep = idx >= 0
-        e = errors[keep]
-        c = clicks.iloc[idx[keep]]
-        lag_us = (e["ts"].to_numpy() - c["ts"].to_numpy()) // np.timedelta64(1, "us")
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in empty.items()})
+        m = pd.merge_asof(errors, clicks, on="ts", by="user_id",
+                          direction="backward", allow_exact_matches=False)
+        m = m.dropna(subset=["click_id"])
+        lag = (m["ts"].to_numpy() - m["click_ts"].to_numpy()) \
+            // np.timedelta64(1, "us")
         return pd.DataFrame({
-            "user_id": e["user_id"].to_numpy(),
-            "error_id": e["event_id"].to_numpy(),
-            "click_id": c["event_id"].to_numpy(),
-            "lag_us": lag_us.astype("int64"),
+            "user_id": m["user_id"].to_numpy(),
+            "error_id": m["error_id"].to_numpy(),
+            "click_id": m["click_id"].to_numpy().astype("int64"),
+            "lag_us": lag.astype("int64"),
         })
 
-    return events_ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return user_range_groupby(events_ds, per_range)
 
 
 def asof_error_click_sql() -> str:
@@ -183,22 +204,32 @@ def funnel(events_ds, steps: tuple[str, ...] = FUNNEL_STEPS):
 
     from ..util import pre_shuffle_coalesce
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        reached = 0
-        t_prev = None
-        for s in steps:
+    from ..util import user_range_groupby
+
+    def per_range(df: pd.DataFrame) -> pd.DataFrame:
+        # loop over the (constant-count) STEPS, never over users: step k's
+        # per-user min-ts is one hash group-by filtered to users whose
+        # reached == k and whose events fall strictly after their step-k-1
+        # time — identical semantics to the sequential per-user walk.
+        users = pd.Index(df["user_id"].unique())
+        reached = pd.Series(0, index=users, dtype="int64")
+        t_prev = pd.Series(pd.NaT, index=users)
+        for k, s in enumerate(steps):
             sel = df[df["event_type"] == s]
-            if t_prev is not None:
-                sel = sel[sel["ts"] > t_prev]
+            if k > 0:
+                lim = sel["user_id"].map(t_prev)
+                sel = sel[sel["ts"] > lim]  # NaT compares False → drops
             if sel.empty:
                 break
-            t_prev = sel["ts"].min()
-            reached += 1
-        return pd.DataFrame([{"user_id": df["user_id"].iloc[0],
-                              "reached": reached}])
+            m = sel.groupby("user_id")["ts"].min()
+            m = m[reached.reindex(m.index).to_numpy() == k]
+            reached.loc[m.index] += 1
+            t_prev = m
+        return pd.DataFrame({"user_id": users.to_numpy(),
+                             "reached": reached.to_numpy()})
 
-    per = events_ds.select_columns(["user_id", "ts", "event_type"]).groupby(
-        "user_id").map_groups(per_user, batch_format="pandas")
+    per = user_range_groupby(
+        events_ds.select_columns(["user_id", "ts", "event_type"]), per_range)
 
     def partial(t: pa.Table) -> pa.Table:
         r = t["reached"].to_numpy(zero_copy_only=False)
@@ -262,17 +293,23 @@ def retention(events_ds, max_days: int = RETENTION_MAX_DAYS):
 
     from ..util import pre_shuffle_coalesce
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        days = df["ts"].dt.normalize()
-        d0 = days.min()
-        offs = sorted({int(x) for x in (days - d0).dt.days if x <= max_days})
-        return pd.DataFrame({
-            "cohort_day": str(d0.date()),
-            "day_offset": pd.array(offs, dtype="int64"),
-        })
+    from ..util import user_range_groupby
 
-    per = events_ds.select_columns(["user_id", "ts"]).groupby(
-        "user_id").map_groups(per_user, batch_format="pandas")
+    def per_range(df: pd.DataFrame) -> pd.DataFrame:
+        # all users of the range in one pass: cohort day via grouped
+        # transform-min, offsets deduped with one drop_duplicates
+        day = df["ts"].dt.normalize()
+        d0 = day.groupby(df["user_id"].to_numpy()).transform("min")
+        out = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "cohort_day": d0.dt.strftime("%Y-%m-%d").to_numpy(),
+            "day_offset": (day - d0).dt.days.astype("int64").to_numpy(),
+        })
+        out = out[out["day_offset"] <= max_days].drop_duplicates()
+        return out[["cohort_day", "day_offset"]]
+
+    per = user_range_groupby(
+        events_ds.select_columns(["user_id", "ts"]), per_range)
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by(["cohort_day", "day_offset"]).aggregate(

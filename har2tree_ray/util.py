@@ -60,6 +60,44 @@ def worker_cached_stage(cls, *args, cache_key=None, **kwargs):
     return stage
 
 
+def user_range_groupby(ds, per_range, key: str = "user_id",
+                       n_parts: int | None = None,
+                       batch_format: str = "pandas"):
+    """One coarse hash-range shuffle for per-KEY logic over NUMEROUS keys.
+
+    ``groupby(key).map_groups(fn)`` dispatches one Python call per key —
+    fine for dozens of keys, hostile for user-scale cardinality.  This
+    shuffles ONCE on ``crc32(str(key)) % n_parts`` (every key's rows land
+    in exactly one range) and calls ``per_range`` once per range with ALL
+    its keys' rows; ``per_range`` must therefore handle multiple keys in a
+    vectorized pass (grouped cumsum / hash group-by, never a per-key
+    loop).  n_parts defaults to cluster width — scale with the cluster."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    if n_parts is None:
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        n_parts = max(8, cpus)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        vals = t[key].to_pylist()
+        gp = np.fromiter((zlib.crc32(str(v).encode()) for v in vals),
+                         dtype=np.int64, count=len(vals)) % n_parts
+        return t.append_column("_kpart", pa.array(gp.astype(np.int32)))
+
+    def run(chunk):
+        out = per_range(chunk.drop(columns=["_kpart"])
+                        if hasattr(chunk, "drop") else chunk.drop_columns(["_kpart"]))
+        return out
+
+    parts = pre_shuffle_coalesce(ds.map_batches(add_part, batch_format="pyarrow"))
+    return parts.groupby("_kpart").map_groups(run, batch_format=batch_format)
+
+
 def hash_join(left_ds, right_ds, left_on: str, right_on: str,
               n_parts: int | None = None):
     """Distributed equi-join of two LARGE tables on int64 keys — the shuffle
