@@ -78,11 +78,16 @@ def sniff_charset(raw: bytes, declared: str = "") -> str:
     for bom, codec in _BOMS:
         if raw.startswith(bom):
             return codec
-    try:
-        raw.decode("utf-8")
-        return "utf-8"
-    except (UnicodeDecodeError, ValueError):
-        pass
+    # NUL bytes are VALID UTF-8 (U+0000) but never appear in legitimate web
+    # text — they are the signature of BOM-less UTF-16/32.  Without this
+    # guard a declared charset=utf-16 body would be "successfully" decoded
+    # as UTF-8 into NUL-interleaved garbage and never reach steps 3-4.
+    if b"\x00" not in raw:
+        try:
+            raw.decode("utf-8")
+            return "utf-8"
+        except (UnicodeDecodeError, ValueError):
+            pass
     head = raw[:_SNIFF_WINDOW]
     m = _RE_META.search(head) or _RE_XML.search(head)
     if m:

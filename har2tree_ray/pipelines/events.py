@@ -213,7 +213,7 @@ def funnel(events_ds, steps: tuple[str, ...] = FUNNEL_STEPS):
         # time — identical semantics to the sequential per-user walk.
         users = pd.Index(df["user_id"].unique())
         reached = pd.Series(0, index=users, dtype="int64")
-        t_prev = pd.Series(pd.NaT, index=users)
+        t_prev = pd.Series(dtype="datetime64[us]")  # set by the k=0 pass
         for k, s in enumerate(steps):
             sel = df[df["event_type"] == s]
             if k > 0:

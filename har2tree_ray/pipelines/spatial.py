@@ -246,7 +246,7 @@ def pip_media_in_host(flat_ds, concurrency: int | tuple[int, int] | None = None)
     per hostname, ever gathers).  The index stage runs as plain tasks with
     a per-worker compiled-index memo keyed on the boxes ObjectRef — same
     compile-once contract as the actor pool (ST5) without its spin-up."""
-    from ..util import worker_cached_stage
+    from ..util import task_concurrency, worker_cached_stage
 
     boxes = host_boxes(flat_ds)
     ref = ray.put(boxes)
@@ -256,5 +256,5 @@ def pip_media_in_host(flat_ds, concurrency: int | tuple[int, int] | None = None)
         batch_format="pyarrow",
         batch_size=4096,  # numeric columns are narrow; bigger batches cut
         # per-batch sort/group overhead (measured 3.3s -> 2.5s at sf0.1)
-        **(dict(concurrency=concurrency) if concurrency else {}),
+        **task_concurrency(concurrency),
     )

@@ -110,6 +110,13 @@ def exact_dedup(ds, id_col: str, text_col: str, hex_chars: int = 2):
         part = pc.cast(pc.index_in(
             pc.utf8_slice_codeunits(g["content_hash"], 0, 2),
             value_set=_HEX_PAIRS), pa.int32())
+        if hex_chars > 2:  # extra nibbles — same extension as span_hash_groups
+            hi = pc.cast(pc.index_in(
+                pc.utf8_slice_codeunits(g["content_hash"], 2, hex_chars),
+                value_set=pa.array(
+                    [f"{i:0{hex_chars - 2}x}" for i in range(16 ** (hex_chars - 2))],
+                    pa.string())), pa.int32())
+            part = pc.add(pc.multiply(part, 16 ** (hex_chars - 2)), hi)
         return g.append_column("hpart", part)
 
     def per_range(t: pa.Table) -> pa.Table:
@@ -245,7 +252,7 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     """
     import logging
 
-    from ..util import worker_cached_stage
+    from ..util import task_concurrency, worker_cached_stage
 
     # plain tasks + per-worker memo: MinHasher setup is microseconds, the
     # gram memo accumulates per worker exactly as it did per actor, and the
@@ -256,7 +263,7 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                             num_perm=num_perm, bands=bands, k=k,
                             n_parts=n_parts),
         batch_format="pyarrow",
-        **(dict(concurrency=concurrency) if concurrency else {}),
+        **task_concurrency(concurrency),
     )
 
     def bucket_pairs(t: pa.Table) -> pa.Table:

@@ -242,16 +242,25 @@ class HyperplaneHasher:
 
     def __init__(self, bits: int = LSH_BITS, tables: int = LSH_TABLES,
                  dim: int = 64, seed: int = LSH_SEED):
-        self.bits, self.tables = bits, tables
-        rs = np.random.RandomState(seed)
-        self.planes = rs.standard_normal((dim, tables * bits))
+        self.bits, self.tables, self.seed = bits, tables, seed
+        # planes memoized PER DIM: a worker-cached instance is shared by
+        # every dataset with the same (bits, tables), and mutating a single
+        # planes matrix would regenerate it on every batch when datasets of
+        # different dims interleave on one worker
+        self._planes: dict[int, np.ndarray] = {}
+        self._planes[dim] = np.random.RandomState(seed).standard_normal(
+            (dim, tables * bits))
+
+    def _planes_for(self, dim: int) -> np.ndarray:
+        p = self._planes.get(dim)
+        if p is None:
+            p = self._planes[dim] = np.random.RandomState(
+                self.seed).standard_normal((dim, self.tables * self.bits))
+        return p
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _to_matrix(batch["embedding"])
-        if m.shape[1] != self.planes.shape[0]:  # tolerate other dims
-            rs = np.random.RandomState(LSH_SEED)
-            self.planes = rs.standard_normal((m.shape[1], self.tables * self.bits))
-        signs = (m @ self.planes) > 0  # (n, tables*bits)
+        signs = (m @ self._planes_for(m.shape[1])) > 0  # (n, tables*bits)
         n = signs.shape[0]
         signs = signs.reshape(n, self.tables, self.bits)
         weights = 1 << np.arange(self.bits, dtype=np.int64)
@@ -462,6 +471,31 @@ def semdedup_keep(ds, k: int = SEMDEDUP_K, tau: float = SEMDEDUP_TAU):
     return assigned.groupby("cluster").map_groups(prune, batch_format="pyarrow")
 
 
+_ORACLE_CENTROID_MEMO: dict = {}
+
+
+def _semdedup_oracle_centroids(parquet_path: str, k: int) -> "np.ndarray":
+    """Centroids for the SQL oracle, memoized per (path, k): reads only the
+    vec_id column to pick the sample, then only the sample's embedding rows
+    get normalized — the driver never pays an O(N·d) normalize (or a full
+    re-train) for every unrelated oracle_sql() call."""
+    key = (parquet_path, k)
+    if key in _ORACLE_CENTROID_MEMO:
+        return _ORACLE_CENTROID_MEMO[key]
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(parquet_path, columns=["vec_id"])["vec_id"] \
+        .to_numpy(zero_copy_only=False)
+    pos = np.sort(np.argsort(ids, kind="stable")[:SEMDEDUP_SAMPLE])
+    emb = pq.read_table(parquet_path, columns=["embedding"])["embedding"]
+    sub = _normalize(_to_matrix(emb.take(pa.array(pos))))
+    # engine sample order is ascending vec_id — reorder the position-ordered
+    # rows to match regardless of the table's physical order
+    cent = _train_centroids(sub[np.argsort(ids[pos], kind="stable")], k)
+    _ORACLE_CENTROID_MEMO[key] = cent
+    return cent
+
+
 def semdedup_keep_sql(parquet_path: str, k: int = SEMDEDUP_K,
                       tau: float = SEMDEDUP_TAU) -> str:
     """Exact oracle: trains the SAME centroids (same sample, same numpy
@@ -471,12 +505,7 @@ def semdedup_keep_sql(parquet_path: str, k: int = SEMDEDUP_K,
     Float contract as for embed_neardup: only memberships cross the
     compare boundary, and the synth similarity gaps dwarf the engine-vs-
     DuckDB op-order noise."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(parquet_path, columns=["vec_id", "embedding"])
-    ids = t["vec_id"].to_numpy(zero_copy_only=False)
-    mat = _normalize(_to_matrix(t["embedding"]))
-    cent = _train_centroids(semdedup_sample_matrix(ids, mat, SEMDEDUP_SAMPLE), k)
+    cent = _semdedup_oracle_centroids(parquet_path, k)
     rows = ",\n        ".join(
         "(%d, [%s]::DOUBLE[])" % (i, ", ".join(repr(x) for x in c))
         for i, c in enumerate(cent))

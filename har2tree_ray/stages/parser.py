@@ -87,13 +87,13 @@ def parse_spans(flat_ds, concurrency: int | tuple[int, int] | None = None,
     (3-6 s per Dataset execution, once per QUERY) for nothing.  Tasks run
     on Ray's long-lived workers and parallelize across every core instead
     of a fixed half-CPU pool."""
-    from ..util import worker_cached_stage
+    from ..util import task_concurrency, worker_cached_stage
 
     return flat_ds.map_batches(
         worker_cached_stage(SpanParser),
         batch_format="pyarrow",
         batch_size=batch_size,
-        **(dict(concurrency=concurrency) if concurrency else {}),
+        **task_concurrency(concurrency),
     )
 
 

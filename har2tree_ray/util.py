@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 
 def pre_shuffle_coalesce(ds, blocks: int | None = None):
     """Coalesce a pre-aggregated partials Dataset to ~cluster-width blocks
@@ -25,8 +27,26 @@ def pre_shuffle_coalesce(ds, blocks: int | None = None):
 
 #: per-worker-process instance memo for ``worker_cached_stage`` — Ray reuses
 #: worker processes across tasks and datasets, so an entry built for one
-#: query execution is warm for the next.
-_WORKER_STAGE_CACHE: dict = {}
+#: query execution is warm for the next.  Bounded LRU: stages keyed on a
+#: per-execution ObjectRef (e.g. CoveringIndex's broadcast boxes) mint a NEW
+#: key every execution, and without eviction a long-lived worker would
+#: accumulate one dead compiled index per past query until OOM.
+_WORKER_STAGE_CACHE = OrderedDict()
+_WORKER_STAGE_CACHE_MAX = 32
+
+
+def task_concurrency(concurrency) -> dict:
+    """``concurrency`` kwargs for a map_batches over a PLAIN FUNCTION stage.
+
+    Ray Data rejects the actor-pool tuple form ``(min, max)`` for non-class
+    callables; callers that held a tuple from the actor-pool era get its
+    upper bound as the task cap.  None → no kwarg (Ray sizes to the
+    cluster)."""
+    if concurrency is None:
+        return {}
+    if isinstance(concurrency, tuple):
+        concurrency = concurrency[1]
+    return {"concurrency": concurrency}
 
 
 def worker_cached_stage(cls, *args, cache_key=None, **kwargs):
@@ -55,6 +75,10 @@ def worker_cached_stage(cls, *args, cache_key=None, **kwargs):
         inst = _WORKER_STAGE_CACHE.get(key)
         if inst is None:
             inst = _WORKER_STAGE_CACHE[key] = cls(*args, **kwargs)
+            while len(_WORKER_STAGE_CACHE) > _WORKER_STAGE_CACHE_MAX:
+                _WORKER_STAGE_CACHE.popitem(last=False)
+        else:
+            _WORKER_STAGE_CACHE.move_to_end(key)
         return inst(batch)
 
     return stage

@@ -77,3 +77,14 @@ def test_har_ingest_recovers_latin1_url_evidence():
     spans = har_entries_to_spans([e])
     f = parse_span_features(spans[0]["text"])
     assert "https://cdn.example/sécurité.png" in f["ext_src"]
+
+
+def test_bomless_utf16_with_declaration():
+    """NUL bytes are valid UTF-8, so a BOM-less UTF-16 body must NOT be
+    claimed by the strict-utf-8 step — the declared charset wins (review
+    finding: evidence was destroyed into NUL-interleaved text)."""
+    body = '<img src="https://x.example/a.png">'.encode("utf-16-le")
+    assert sniff_charset(body, declared="utf-16-le") == "utf-16-le"
+    assert decode_body(body, "utf-16-le") == '<img src="https://x.example/a.png">'
+    # undeclared BOM-less utf-16 falls to latin-1 (bytes preserved, not lost)
+    assert "\x00" in decode_body(body, "")

@@ -17,3 +17,32 @@ def test_salted_groupby_sum_matches_direct():
     df = pd.DataFrame(rows)
     want = canon(df.groupby("k", as_index=False)["v"].sum())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_task_concurrency_coerces_tuple():
+    """Actor-pool-era (min, max) tuples become the task cap; None → no kwarg
+    (plain-function map_batches rejects tuple concurrency)."""
+    from har2tree_ray.util import task_concurrency
+
+    assert task_concurrency(None) == {}
+    assert task_concurrency(4) == {"concurrency": 4}
+    assert task_concurrency((2, 8)) == {"concurrency": 8}
+
+
+def test_worker_stage_cache_bounded():
+    """Per-execution ObjectRef keys must not grow the memo unboundedly."""
+    from har2tree_ray import util
+
+    class Stage:
+        def __init__(self, tag):
+            self.tag = tag
+
+        def __call__(self, batch):
+            return batch
+
+    before = len(util._WORKER_STAGE_CACHE)
+    for i in range(util._WORKER_STAGE_CACHE_MAX * 2):
+        util.worker_cached_stage(Stage, i, cache_key=f"k{i}")({"x": [1]})
+    assert len(util._WORKER_STAGE_CACHE) <= util._WORKER_STAGE_CACHE_MAX
+    assert len(util._WORKER_STAGE_CACHE) >= min(
+        util._WORKER_STAGE_CACHE_MAX, before + 1)
