@@ -82,3 +82,29 @@ def test_full_sanitize_chain_matches_reference_shape():
 def test_no_netloc_dropped():
     for href in ("mailto:x@y.example", "javascript:void(0)", "about:blank"):
         assert not urlsplit(canonicalize_url(href, keep_fragments=True)).netloc
+
+
+def test_canonicalize_idempotent_property():
+    """canonicalize ∘ canonicalize == canonicalize — a canonical form must be
+    a fixed point, else dedup keys differ between one-pass and re-canonicalized
+    pipelines (hypothesis over messy URL fragments)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    frag = st.text(
+        alphabet="abcXYZ019%/?&=#:@ ~.+-_'()!*éф\x00",
+        max_size=40,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(scheme=st.sampled_from(["http", "HTTPS", "ftp"]),
+           host=st.sampled_from(["Host.EX", "a.b.example:8080",
+                                 "x.example:443", "plain"]),
+           path=frag, query=frag, fragment=frag)
+    def run(scheme, host, path, query, fragment):
+        url = f"{scheme}://{host}/{path}?{query}#{fragment}"
+        once = canonicalize_url(url, keep_fragments=True)
+        twice = canonicalize_url(once, keep_fragments=True)
+        assert twice == once
+
+    run()
