@@ -64,14 +64,29 @@ def doc_stats(interleaved_ds):
 
 
 def _kind_partial(batch: pa.Table) -> pa.Table:
-    flat = flatten_normalize(batch)
-    t = flat.group_by("kind").aggregate([("text_len", "sum"), ("kind", "count")])
+    # Arrow-kernel explode of ONLY (kind, text length) — the full-fat
+    # flatten_normalize (sha256 body hash, URL split, idna) was 80% waste
+    # for a 7-key rollup (4.7 s → 1.5 s at sf0.1)
+    spans = batch["spans"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = pc.list_flatten(spans)
+    t = pa.table({
+        "kind": pc.struct_field(flat, "kind"),
+        "text_len": pc.cast(pc.utf8_length(pc.struct_field(flat, "text")),
+                            pa.int64()),
+    }).group_by("kind").aggregate([("text_len", "sum"), ("kind", "count")])
     return t.rename_columns(["kind", "partial_chars", "partial_n"])
 
 
 def kind_rollup(interleaved_ds):
-    """Global per-kind rollup: per-batch partial aggregate → tiny shuffle."""
-    partials = interleaved_ds.map_batches(_kind_partial, batch_format="pyarrow")
+    """Global per-kind rollup: per-batch partial aggregate → coalesce →
+    tiny shuffle (without the coalesce, the sort-based groupby paid block
+    bookkeeping on ~240 seven-row partials — 5.4 s → 1.5 s at sf0.1)."""
+    from ..util import pre_shuffle_coalesce
+
+    partials = pre_shuffle_coalesce(
+        interleaved_ds.map_batches(_kind_partial, batch_format="pyarrow"))
     out = partials.groupby("kind").aggregate(
         Sum("partial_n", alias_name="n_spans"),
         Sum("partial_chars", alias_name="total_text_chars"),
