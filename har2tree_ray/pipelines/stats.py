@@ -286,15 +286,22 @@ def top_hosts(interleaved_ds, k: int = 10):
     from ..stages.normalize import _HOST_RE, _flat_base
 
     def partial(batch: pa.Table) -> pa.Table:
-        base = _flat_base(batch)
-        m = pc2.extract_regex(base["media_ref"], _HOST_RE)
+        # media_ref straight off the list column — no doc_id take, no text
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        refs = pc2.struct_field(pc2.list_flatten(spans), "media_ref")
+        m = pc2.extract_regex(refs, _HOST_RE)
         host = pc2.fill_null(pc2.struct_field(m, "host"), "")
         t = pa.table({"hostname": host})
         t = t.filter(pc2.not_equal(t["hostname"], ""))
         g = t.group_by("hostname").aggregate([("hostname", "count")])
         return g.rename_columns(["hostname", "part_n"])
 
-    agg = (interleaved_ds.map_batches(partial, batch_format="pyarrow")
+    from ..util import pre_shuffle_coalesce
+
+    agg = (pre_shuffle_coalesce(
+               interleaved_ds.map_batches(partial, batch_format="pyarrow"))
            .groupby("hostname").aggregate(Sum("part_n", alias_name="n_spans")))
     df = agg.to_pandas()  # bounded: one row per distinct hostname
     df = df.sort_values(["n_spans", "hostname"], ascending=[False, True],
