@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "host_tree_d3",
     "span_resource_hashes",
     "doc_tfidf_top",
+    "tile_host_kmv",
 ]
 
 

