@@ -5,7 +5,7 @@ function here (or in har2tree_ray) calls ``ray.init``/``ray.shutdown``.
 
 ``entry()`` runs the flagship pipeline (interleaved docs → flatten/normalize
 → tile rollup) at sf0.001.  ``queries()``/``oracle_sql()`` expose every
-implemented operator per SURVEY.md §2 — 69 queries, 58 with exact DuckDB
+implemented operator per SURVEY.md §2 — 78 queries, 65 with exact DuckDB
 oracles; the oracle is omitted only for the genuinely non-SQL-expressible
 ones (the consume-once tree cascade family, approximate/scale-path variants,
 binary payload plumbing), each of which is pytest-verified against an
