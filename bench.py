@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "span_resource_hashes",
     "doc_tfidf_top",
     "tile_host_kmv",
+    "doc_normalize",
 ]
 
 

@@ -246,6 +246,10 @@ def q_doc_tfidf_top(sf_dir: str):
     return text.doc_tfidf_top(_docs(sf_dir))
 
 
+def q_doc_normalize(sf_dir: str):
+    return text.doc_normalize(_docs(sf_dir))
+
+
 def q_doc_jaccard_pairs(sf_dir: str):
     return text.ngram_jaccard_pairs(_docs(sf_dir))
 
@@ -871,6 +875,7 @@ _TABLE_ORACLES = {
     "doc_langid": lambda _p: text.langid_sql(),
     "doc_fingerprint": lambda _p: text.fingerprints_sql(),
     "doc_tfidf_top": lambda _p: text.doc_tfidf_top_sql(),
+    "doc_normalize": lambda _p: text.doc_normalize_sql(),
     "doc_jaccard_pairs": lambda _p: text.ngram_jaccard_sql(),
     "doc_exact_dedup": _oracle_doc_exact_dedup,
     "doc_filter": lambda _p: text.doc_filter_sql(),
@@ -973,6 +978,7 @@ def queries() -> dict[str, Callable]:
         "doc_langid": q_doc_langid,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_tfidf_top": q_doc_tfidf_top,          # tf/df ranking (exact oracle)
+        "doc_normalize": q_doc_normalize,          # NFC/case/ws canonical form
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash_pairs": q_doc_minhash_pairs,  # approximate — rows-only

@@ -709,3 +709,49 @@ WITH w AS (
 SELECT doc_id, word, tf, df, CAST(rank AS BIGINT) AS rank
 FROM s WHERE rank <= {k}
 """
+
+
+# ------------------------------------------------------------ normalization
+
+
+def doc_normalize(ds):
+    """Canonical text form for downstream dedup/tokenization: Unicode NFC →
+    lowercase → whitespace runs collapsed to single spaces → strip.  The
+    standard pre-pass of large-scale corpus pipelines (identical content
+    with different Unicode spellings or spacing must hash equal before
+    exact dedup).  Map-only; DuckDB oracle = nfc_normalize + lower +
+    regexp_replace, and Python's casefold-free str.lower() matches DuckDB
+    lower() on the full-case-mapping-free subset the synth vocabulary uses
+    (non-trivial case mappings are pytest-covered, not oracle-covered).
+
+    Output: (doc_id, norm_text, n_chars, n_chars_norm) — the char deltas
+    let a curation pass flag heavy-normalization docs cheaply."""
+    import unicodedata
+
+    _ws = re.compile(r"\s+")
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        norm = [_ws.sub(" ", unicodedata.normalize("NFC", t).lower()).strip()
+                for t in texts]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "norm_text": pa.array(norm, pa.string()),
+            "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            "n_chars_norm": pa.array([len(n) for n in norm], pa.int64()),
+        })
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def doc_normalize_sql(rel: str = "documents") -> str:
+    return f"""
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))
+           AS norm_text,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(trim(regexp_replace(lower(nfc_normalize(text)),
+                                       '\\s+', ' ', 'g'))) AS BIGINT)
+           AS n_chars_norm
+FROM {rel}
+"""

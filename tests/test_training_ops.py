@@ -259,3 +259,35 @@ def test_doc_tfidf_top_matches_oracle():
     from tests.oracle_utils import assert_matches_oracle
 
     assert_matches_oracle("doc_tfidf_top", "/root/testdata/sf0.001")
+
+
+def test_doc_normalize_matches_oracle():
+    from tests.oracle_utils import assert_matches_oracle
+
+    assert_matches_oracle("doc_normalize", "/root/testdata/sf0.001")
+
+
+def test_doc_normalize_unicode_semantics():
+    """NFC + lowercase + whitespace collapse on inputs the ASCII synth
+    vocabulary never exercises (the oracle covers the synth subset; these
+    pin the full Python semantics)."""
+    import pyarrow as pa
+
+    from har2tree_ray.stages.text import doc_normalize
+
+    import ray.data as rd
+
+    rows = [
+        {"doc_id": 1, "text": "Café  LATTE"},     # NFC combines e+◌́ → é
+        {"doc_id": 2, "text": " A\tB\n\nC "},
+        {"doc_id": 3, "text": "ΣΟΦΟΣ"},                 # greek lowercase
+    ]
+    out = {r["doc_id"]: r for r in
+           doc_normalize(rd.from_items(rows)).take_all()}
+    assert out[1]["norm_text"] == "café latte"
+    assert out[1]["n_chars"] == 12 and out[1]["n_chars_norm"] == 10
+    assert out[2]["norm_text"] == "a b c"
+    # Python str.lower applies the SpecialCasing final-sigma rule
+    # (DuckDB lower maps Σ→σ uniformly — Greek is outside the
+    # oracle-covered synth vocabulary, documented contract)
+    assert out[3]["norm_text"] == "σοφος"
