@@ -943,6 +943,21 @@ _INTERLEAVED_ORACLES = {
 
 
 def queries() -> dict[str, Callable]:
+    """Registry of every implemented pipeline.
+
+    Ordered oracled-first: the driver's correctness snapshot covers the
+    first 50 entries, so queries with a DuckDB oracle (exact rows+schema+
+    hash compare) are listed before rows-only ones.  The partition is
+    computed from the oracle tables so it can never drift as queries are
+    added."""
+    reg = _queries_registry()
+    oracled = set(_INTERLEAVED_ORACLES) | set(_TABLE_ORACLES) | {"semdedup_keep"}
+    out = {k: v for k, v in reg.items() if k in oracled}
+    out.update({k: v for k, v in reg.items() if k not in oracled})
+    return out
+
+
+def _queries_registry() -> dict[str, Callable]:
     return {
         "flatten_spans": q_flatten_spans,
         "doc_stats": q_doc_stats,
