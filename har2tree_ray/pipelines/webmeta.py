@@ -9,6 +9,8 @@ does its per-doc anti-join batch-locally on the interleaved rows.
 
 from __future__ import annotations
 
+import json
+
 import pandas as pd
 import pyarrow as pa
 
@@ -280,14 +282,18 @@ def cookies_never_sent_sql(flat_path: str) -> str:
 WITH ex AS (
     SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
 ), st AS (
-    SELECT doc_id, CAST(s."offset" AS INTEGER) AS "offset",
-           regexp_extract(s.text, '@setcookie=([^=\\s]+)=(\\S+)@(\\S+)', 1) AS name,
-           regexp_extract(s.text, '@setcookie=([^=\\s]+)=(\\S+)@(\\S+)', 3) AS domain
-    FROM ex WHERE regexp_matches(s.text, '@setcookie=')
+    SELECT doc_id, "offset",
+           regexp_extract(m, '@setcookie=([^=\\s]+)=(\\S+)@(\\S+)', 1) AS name,
+           regexp_extract(m, '@setcookie=([^=\\s]+)=(\\S+)@(\\S+)', 3) AS domain
+    FROM (SELECT doc_id, CAST(s."offset" AS INTEGER) AS "offset",
+                 UNNEST(regexp_extract_all(s.text, '@setcookie=[^=\\s]+=\\S+@\\S+')) AS m
+          FROM ex WHERE contains(s.text, '@setcookie='))
 ), sd AS (
-    SELECT doc_id, CAST(s."offset" AS INTEGER) AS "offset",
-           regexp_extract(s.text, '@cookie=([^=\\s]+)=(\\S+)', 1) AS name
-    FROM ex WHERE regexp_matches(s.text, '@cookie=')
+    SELECT doc_id, "offset",
+           regexp_extract(m, '@cookie=([^=\\s]+)=(\\S+)', 1) AS name
+    FROM (SELECT doc_id, CAST(s."offset" AS INTEGER) AS "offset",
+                 UNNEST(regexp_extract_all(s.text, '@cookie=[^=\\s]+=\\S+')) AS m
+          FROM ex WHERE contains(s.text, '@cookie='))
 )
 SELECT st.doc_id, st."offset", st.name, st.domain
 FROM st
@@ -295,6 +301,136 @@ WHERE NOT EXISTS (
     SELECT 1 FROM sd
     WHERE sd.doc_id = st.doc_id AND sd.name = st.name AND sd."offset" > st."offset"
 )
+"""
+
+
+# ------------------------------------------------ cookies locally created
+
+
+def cookies_locally_created(interleaved_ds, batch_size: int = 64):
+    """D4 reference set algebra over the ``cookies_json`` sidecar column
+    (the browser's final cookie jar, ``<stem>.cookies.json`` —
+    har2tree.py:142-148):
+
+    * ``locally_created`` = jar − received − initial, where *received* is
+      every ``@setcookie`` identifier and *initial* is the ROOT span's
+      ``@cookie`` identifiers (``_nodes_list[0].cookies_sent`` —
+      har2tree.py:344-346,362-369);
+    * ``never_sent`` flags the subset never seen in any ``@cookie``
+      directive (``locally_created_not_sent`` — har2tree.py:371-377).
+
+    Identifier = ``name=value``; jar entries dedup dict-style (last wins,
+    har2tree.py:366-368).  Zero-shuffle: interleaved rows hold whole
+    documents, so the set algebra is batch-local."""
+    from ..functions import parse
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        spans_col = batch["spans"].to_pylist()
+        jars = batch["cookies_json"].to_pylist()
+        o_doc, o_name, o_val, o_dom, o_ns = [], [], [], [], []
+        for did, spans, jar_raw in zip(ids, spans_col, jars):
+            if not jar_raw:
+                continue
+            try:
+                jar = json.loads(jar_raw)
+            except (ValueError, TypeError):
+                continue
+            if not isinstance(jar, list) or not jar:
+                continue
+            received: set[str] = set()
+            sent: set[str] = set()
+            initial: set[str] = set()
+            root_off = min((s["offset"] for s in spans), default=0)
+            for s in spans:
+                t = s["text"]
+                if "@setcookie=" in t:
+                    for n, v, _d in parse.RE_SETCOOKIE.findall(t):
+                        received.add(f"{n}={v}")
+                if "@cookie=" in t:
+                    for n, v in parse.RE_COOKIE.findall(t):
+                        sent.add(f"{n}={v}")
+                        if s["offset"] == root_off:
+                            initial.add(f"{n}={v}")
+            local: dict[str, dict] = {}
+            for c in jar:
+                if not isinstance(c, dict) or "name" not in c:
+                    continue
+                ident = f'{c["name"]}={c.get("value", "")}'
+                if ident not in received and ident not in initial:
+                    local[ident] = c  # last jar entry wins (dict semantics)
+            for ident, c in local.items():
+                o_doc.append(did)
+                o_name.append(str(c["name"]))
+                o_val.append(str(c.get("value", "")))
+                o_dom.append(str(c.get("domain", "")))
+                o_ns.append(ident not in sent)
+        return pa.table({
+            "doc_id": pa.array(o_doc, pa.string()),
+            "name": pa.array(o_name, pa.string()),
+            "value": pa.array(o_val, pa.string()),
+            "domain": pa.array(o_dom, pa.string()),
+            "never_sent": pa.array(o_ns, pa.bool_()),
+        })
+
+    return interleaved_ds.map_batches(per_batch, batch_format="pyarrow",
+                                      batch_size=batch_size)
+
+
+def cookies_locally_created_sql(flat_path: str) -> str:
+    return f"""
+WITH t AS (
+    SELECT doc_id, spans, cookies_json FROM read_parquet('{flat_path}/*.parquet')
+), jarl AS (
+    SELECT doc_id,
+           unnest(from_json(cookies_json,
+               '[{{"name":"VARCHAR","value":"VARCHAR","domain":"VARCHAR"}}]')) AS c,
+           generate_subscripts(from_json(cookies_json,
+               '[{{"name":"VARCHAR","value":"VARCHAR","domain":"VARCHAR"}}]'), 1) AS idx
+    FROM t WHERE cookies_json IS NOT NULL
+), jar0 AS (
+    SELECT doc_id, idx, c.name AS name,
+           coalesce(c.value, '') AS value,
+           coalesce(c.domain, '') AS domain
+    FROM jarl WHERE c.name IS NOT NULL
+), jar AS (
+    SELECT doc_id, name, value, domain
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY doc_id, name, value ORDER BY idx DESC) AS rn
+          FROM jar0)
+    WHERE rn = 1
+), ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM t
+), sc AS (
+    SELECT doc_id, CAST(s."offset" AS INTEGER) AS off,
+           UNNEST(regexp_extract_all(s.text, '@cookie=[^=\\s]+=\\S+')) AS m
+    FROM ex WHERE contains(s.text, '@cookie=')
+), sent AS (
+    SELECT DISTINCT doc_id, substr(m, 9) AS ident FROM sc
+), rootoff AS (
+    SELECT doc_id, min(CAST(s."offset" AS INTEGER)) AS o FROM ex GROUP BY doc_id
+), initial AS (
+    SELECT DISTINCT sc.doc_id, substr(sc.m, 9) AS ident
+    FROM sc JOIN rootoff r ON sc.doc_id = r.doc_id AND sc.off = r.o
+), recv AS (
+    SELECT DISTINCT doc_id,
+           regexp_extract(m, '@setcookie=([^=\\s]+)=(\\S+)@(\\S+)', 1) || '=' ||
+           regexp_extract(m, '@setcookie=([^=\\s]+)=(\\S+)@(\\S+)', 2) AS ident
+    FROM (SELECT doc_id,
+                 UNNEST(regexp_extract_all(s.text, '@setcookie=[^=\\s]+=\\S+@\\S+')) AS m
+          FROM ex WHERE contains(s.text, '@setcookie='))
+)
+SELECT j.doc_id, j.name, j.value, j.domain,
+       NOT EXISTS (SELECT 1 FROM sent s
+                   WHERE s.doc_id = j.doc_id
+                     AND s.ident = j.name || '=' || j.value) AS never_sent
+FROM jar j
+WHERE NOT EXISTS (SELECT 1 FROM recv r
+                  WHERE r.doc_id = j.doc_id
+                    AND r.ident = j.name || '=' || j.value)
+  AND NOT EXISTS (SELECT 1 FROM initial i
+                  WHERE i.doc_id = j.doc_id
+                    AND i.ident = j.name || '=' || j.value)
 """
 
 

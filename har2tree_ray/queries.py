@@ -332,6 +332,11 @@ def q_cookies_never_sent(sf_dir: str):
     return webmeta.cookies_never_sent_interleaved(read_interleaved(sf_dir))
 
 
+def q_cookies_locally_created(sf_dir: str):
+    return webmeta.cookies_locally_created(read_interleaved(
+        sf_dir, columns=["doc_id", "spans", "cookies_json"]))
+
+
 def q_posted_data(sf_dir: str):
     return webmeta.posted_data(explode_spans(
         read_interleaved(sf_dir), ["doc_id", "offset", "text"]))
@@ -396,32 +401,37 @@ def q_revenue_by_month(sf_dir: str):
     return relational.revenue_by_month(sf_dir)
 
 
-def _events(sf_dir: str):
-    return read_table(sf_dir, "events")
+def _events(sf_dir: str, columns: list[str] | None = None):
+    # always pass columns= : the events table carries a JSON props string
+    # that must never cross a shuffle for queries that don't read it
+    return read_table(sf_dir, "events", columns=columns)
 
 
 def q_event_sessions(sf_dir: str):
-    return events.sessionize(_events(sf_dir))
+    return events.sessionize(
+        _events(sf_dir, ["user_id", "ts", "event_id", "value"]))
 
 
 def q_event_window_agg(sf_dir: str):
-    return events.window_agg(_events(sf_dir))
+    return events.window_agg(
+        _events(sf_dir, ["ts", "event_type", "value", "event_id"]))
 
 
 def q_event_asof(sf_dir: str):
-    return events.asof_error_click(_events(sf_dir))
+    return events.asof_error_click(
+        _events(sf_dir, ["user_id", "ts", "event_id", "event_type"]))
 
 
 def q_event_props_rollup(sf_dir: str):
-    return events.props_rollup(_events(sf_dir))
+    return events.props_rollup(_events(sf_dir, ["event_type", "props"]))
 
 
 def q_event_funnel(sf_dir: str):
-    return events.funnel(_events(sf_dir))
+    return events.funnel(_events(sf_dir, ["user_id", "ts", "event_type"]))
 
 
 def q_event_retention(sf_dir: str):
-    return events.retention(_events(sf_dir))
+    return events.retention(_events(sf_dir, ["user_id", "ts"]))
 
 
 def _media_slim(sf_dir: str):
@@ -467,6 +477,10 @@ def q_ann_topk_ivf(sf_dir: str):
 
 def q_knn_graph(sf_dir: str):
     return embed.knn_graph(_embeds(sf_dir))
+
+
+def q_knn_graph_ivf(sf_dir: str):
+    return embed.knn_graph_ivf(_embeds(sf_dir))
 
 
 def q_semdedup_keep(sf_dir: str):
@@ -762,19 +776,23 @@ GROUP BY doc_id, hostname
 _COOKIE_EVENTS_SQL = """
 , events AS (
     SELECT doc_id, "offset", 'set' AS side,
-           regexp_extract(text, '@setcookie=([^=\\s]+)=(\\S+)@(\\S+)', 1) AS name,
-           regexp_extract(text, '@setcookie=([^=\\s]+)=(\\S+)@(\\S+)', 2) AS value,
-           regexp_extract(text, '@setcookie=([^=\\s]+)=(\\S+)@(\\S+)', 3) AS domain,
+           regexp_extract(m, '@setcookie=([^=\\s]+)=(\\S+)@(\\S+)', 1) AS name,
+           regexp_extract(m, '@setcookie=([^=\\s]+)=(\\S+)@(\\S+)', 2) AS value,
+           regexp_extract(m, '@setcookie=([^=\\s]+)=(\\S+)@(\\S+)', 3) AS domain,
            hostname,
            NOT (regexp_replace(hostname, ':[0-9]+$', '') LIKE '%' ||
-                regexp_extract(text, '@setcookie=([^=\\s]+)=(\\S+)@(\\S+)', 3)) AS third_party
-    FROM flat WHERE regexp_matches(text, '@setcookie=')
+                regexp_extract(m, '@setcookie=([^=\\s]+)=(\\S+)@(\\S+)', 3)) AS third_party
+    FROM (SELECT doc_id, "offset", hostname,
+                 UNNEST(regexp_extract_all(text, '@setcookie=[^=\\s]+=\\S+@\\S+')) AS m
+          FROM flat WHERE contains(text, '@setcookie='))
     UNION ALL
     SELECT doc_id, "offset", 'sent' AS side,
-           regexp_extract(text, '@cookie=([^=\\s]+)=(\\S+)', 1) AS name,
-           regexp_extract(text, '@cookie=([^=\\s]+)=(\\S+)', 2) AS value,
+           regexp_extract(m, '@cookie=([^=\\s]+)=(\\S+)', 1) AS name,
+           regexp_extract(m, '@cookie=([^=\\s]+)=(\\S+)', 2) AS value,
            '' AS domain, hostname, FALSE AS third_party
-    FROM flat WHERE regexp_matches(text, '@cookie=')
+    FROM (SELECT doc_id, "offset", hostname,
+                 UNNEST(regexp_extract_all(text, '@cookie=[^=\\s]+=\\S+')) AS m
+          FROM flat WHERE contains(text, '@cookie='))
 )
 """
 
@@ -926,6 +944,7 @@ _INTERLEAVED_ORACLES = {
     "host_link_graph": webmeta.host_link_graph_sql,
     "span_identifiers": webmeta.span_identifiers_sql,
     "cookies_never_sent": webmeta.cookies_never_sent_sql,
+    "cookies_locally_created": webmeta.cookies_locally_created_sql,
     "posted_data": webmeta.posted_data_sql,
     "span_security": webmeta.span_security_sql,
     "doc_user_agent": webmeta.doc_user_agent_sql,
@@ -1009,6 +1028,7 @@ def _queries_registry() -> dict[str, Callable]:
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,            # approximate — rows-only
         "knn_graph": q_knn_graph,                  # float-rank ties — rows-only
+        "knn_graph_ivf": q_knn_graph_ivf,          # IVF scale path — rows-only
         "semdedup_keep": q_semdedup_keep,          # SemDeDup verdict (exact oracle)
         # web-artifact metadata (M13/M28/M29/M30/D4 parity ops)
         "span_hhhash": q_span_hhhash,
@@ -1017,6 +1037,7 @@ def _queries_registry() -> dict[str, Callable]:
         "host_link_graph": q_host_link_graph,
         "span_identifiers": q_span_identifiers,
         "cookies_never_sent": q_cookies_never_sent,
+        "cookies_locally_created": q_cookies_locally_created,  # D4 jar sidecar
         # M12 POST decode, M26 security details, M11 user agent, S2/M18 sidecars
         "posted_data": q_posted_data,
         "span_security": q_span_security,

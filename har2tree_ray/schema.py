@@ -44,6 +44,12 @@ INTERLEAVED_SCHEMA = pa.schema(
         # (har2tree.py:127-140); validated against span URLs by
         # pipelines.graft.landing_validated (J10, har2tree.py:198-222).
         pa.field("last_redirect", pa.string()),
+        # <stem>.cookies.json — the browser's final cookie jar at capture
+        # end (har2tree.py:142-148), kept as the raw JSON array string.
+        # Drives the reference's D4 set algebra (locally_created /
+        # locally_created_not_sent — har2tree.py:362-387) in
+        # pipelines.webmeta.cookies_locally_created.
+        pa.field("cookies_json", pa.string()),
     ]
 )
 

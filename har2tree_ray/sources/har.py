@@ -264,13 +264,24 @@ def load_sidecars(path: str) -> dict:
     * ``<stem>.last_redirect.txt`` → ``last_redirect`` (unquote_plus'd)
     * ``<stem>.html``              → ``rendered_html``
     * ``<stem>.data`` + ``.data.filename`` → downloaded blob columns
+    * ``<stem>.cookies.json``      → ``cookies_json`` raw JSON array
+      (the final browser cookie jar — har2tree.py:142-148)
     """
     from urllib.parse import unquote_plus
 
     stem = _sidecar_stem(path)
     out: dict = {"downloaded_filename": None, "downloaded_b64": None,
                  "rendered_html": None, "last_redirect": None,
-                 "frames_map": None}
+                 "cookies_json": None, "frames_map": None}
+    ck = stem + ".cookies.json"
+    if os.path.isfile(ck):
+        try:
+            with open(ck, encoding="utf-8", errors="replace") as f:
+                raw = f.read()
+            if isinstance(json.loads(raw), list):  # jar must be an array
+                out["cookies_json"] = raw
+        except (OSError, json.JSONDecodeError):
+            pass
     fp = stem + ".frames.json"
     if os.path.isfile(fp):
         try:

@@ -48,7 +48,7 @@ import pyarrow.parquet as pq
 
 from .schema import INTERLEAVED_SCHEMA
 
-SYNTH_VERSION = 14  # bump to invalidate /tmp caches when generation changes
+SYNTH_VERSION = 16  # bump to invalidate /tmp caches when generation changes
 
 _GTAG_ALPHABET = np.array(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"))
 
@@ -329,13 +329,48 @@ def _generate_doc(rs: np.random.RandomState, doc_id: str, root_referer: str | No
             u = f"https://{HOSTS[int(rs.randint(0, _N_HOSTS))]}/a%20b/c+d/e{rs.randint(0, 100)}.html%3Fx"
         add("media", u, root_host)
     # cookies (J7 as-of recast): setters on early spans, senders later
+    jar_recv: list[tuple[str, str, str]] = []  # @setcookie → received set
+    jar_initial: list[tuple[str, str]] = []    # root-span @cookie (initial set)
     if rs.random_sample() < 0.5 and len(spans) > 3:
         dom = HOSTS[spans[0]["host_idx"]].split(":")[0]
         name = f"ck{rs.randint(0, 5)}"
-        spans[rs.randint(0, len(spans) // 2)]["directives"].append(f"@setcookie={name}=v{rs.randint(0, 9)}@{dom}")
+        val = f"v{rs.randint(0, 9)}"
+        spans[rs.randint(0, len(spans) // 2)]["directives"].append(f"@setcookie={name}={val}@{dom}")
+        jar_recv.append((name, val, dom))
         # ~30% of set cookies are never sent (drives the D4 anti-join)
         if rs.random_sample() < 0.7:
             spans[rs.randint(len(spans) // 2, len(spans))]["directives"].append(f"@cookie={name}=sent")
+    # <stem>.cookies.json recast (D4 set algebra fixtures — reference
+    # har2tree.py:142-148,344-387): initial cookies are the ROOT span's
+    # @cookie directives (nodes_list[0].cookies_sent, har2tree.py:344-346);
+    # the final jar mixes received cookies, the initial set, and
+    # locally-created ones — some later sent, some never.
+    root_dom = HOSTS[spans[0]["host_idx"]].split(":")[0]
+    if rs.random_sample() < 0.3:
+        name, val = f"init{int(rs.randint(0, 9))}", f"i{int(rs.randint(0, 9))}"
+        spans[0]["directives"].append(f"@cookie={name}={val}")
+        jar_initial.append((name, val))
+    cookies_json: str | None = None
+    if rs.random_sample() < 0.6:
+        jar: list[dict] = []
+        for name, val, dom in jar_recv:
+            if rs.random_sample() < 0.8:  # received cookie survives to jar
+                jar.append({"name": name, "value": val, "domain": dom})
+        for name, val in jar_initial:
+            jar.append({"name": name, "value": val, "domain": root_dom})
+        for k in range(int(rs.randint(0, 3))):
+            # locally created: in the jar, never in a @setcookie; ~40%
+            # sent later anyway (drops out of locally_created_not_sent,
+            # har2tree.py:373-377); suffix k keeps identifiers distinct
+            name = f"loc{int(rs.randint(0, 9))}{k}"
+            val = f"w{int(rs.randint(0, 9))}"
+            jar.append({"name": name, "value": val, "domain": root_dom})
+            if rs.random_sample() < 0.4 and len(spans) > 2:
+                spans[int(rs.randint(1, len(spans)))]["directives"].append(
+                    f"@cookie={name}={val}")
+        if jar:
+            cookies_json = json.dumps(jar, sort_keys=True,
+                                      separators=(",", ":"))
 
     # boilerplate spans: identical text served from different URLs across
     # docs (same library on a CDN) — drives exact content dedup (A2/D3,
@@ -439,7 +474,8 @@ def _generate_doc(rs: np.random.RandomState, doc_id: str, root_referer: str | No
     # S2 sidecars: downloaded blob (magic-prefixed — M18 sniff fixture) and
     # rendered HTML, as nullable doc columns
     extra = {"downloaded_filename": None, "downloaded_b64": None,
-             "rendered_html": None, "last_redirect": None}
+             "rendered_html": None, "last_redirect": None,
+             "cookies_json": cookies_json}
     # <stem>.last_redirect.txt recast: the address-bar URL, exercising every
     # branch of the reference's progressive search (har2tree.py:198-222) —
     # exact, fragment-bearing (strip '#'), query-stripped ('?'-prefix
@@ -476,7 +512,10 @@ def _generate_doc(rs: np.random.RandomState, doc_id: str, root_referer: str | No
         n = int(rs.randint(0, 100))
         messy = [
             f"HTTPS://{host.upper()}/Mixed/Case{n}?b=2&a=1",  # case + query sort
-            f"{scheme}://{host}:{443 if scheme == 'https' else 80}/port{n}.html",
+            # default port (dropped by canonicalization) — on the BARE host:
+            # appending ':443' to a host that already carries a port would
+            # produce an invalid 'host:8080:443' authority
+            f"{scheme}://{host.split(':')[0]}:{443 if scheme == 'https' else 80}/port{n}.html",
             f"/rooted/asset{n}.css",            # root-relative → base origin
             f"//cdn-render.example/lib{n}.js",  # scheme-relative → base scheme
             f"img/banner{n}.png",               # relative → base directory

@@ -282,3 +282,64 @@ def test_directive_injection_structured_fields():
     f = parse_span_features(spans[0]["text"])
     assert f["initiator_url"] == ""
     assert f["redirect_url"] == "https://b.example/?next=%40initiator=x"
+
+
+def test_cookies_json_sidecar_locally_created(tmp_path):
+    """S2 <stem>.cookies.json + D4 set algebra on a real capture
+    (reference HarFile cookies load har2tree.py:142-148; locally_created /
+    locally_created_not_sent har2tree.py:344-346,362-387):
+
+    * ``init1=a``  — sent by the ROOT entry → initial set → excluded
+    * ``srv1=x``   — Set-Cookie response  → received set → excluded
+    * ``local1=z`` — in jar only, but sent by entry 2 → kept, never_sent=False
+    * ``ghost=g``  — in jar only, never sent          → kept, never_sent=True
+    """
+    from har2tree_ray.pipelines.webmeta import cookies_locally_created
+    from har2tree_ray.sources.har import read_har_dir
+
+    d = tmp_path / "cap"
+    d.mkdir()
+    e0 = _entry("https://site.example/", 0)
+    e0["request"]["headers"] = [{"name": "Cookie", "value": "init1=a"}]
+    e1 = _entry("https://site.example/app.js", 1, mime="text/javascript")
+    e1["response"]["headers"] = [
+        {"name": "Set-Cookie", "value": "srv1=x; Domain=site.example"}]
+    e2 = _entry("https://site.example/ping", 2)
+    e2["request"]["headers"] = [{"name": "Cookie", "value": "local1=z"}]
+    (d / "001.har").write_text(json.dumps(_mini_har([e0, e1, e2])))
+    jar = [
+        {"name": "srv1", "value": "x", "domain": "site.example"},
+        {"name": "init1", "value": "a", "domain": "site.example"},
+        {"name": "local1", "value": "z", "domain": "site.example"},
+        {"name": "ghost", "value": "g", "domain": "site.example"},
+    ]
+    (d / "001.cookies.json").write_text(json.dumps(jar))
+
+    ds = read_har_dir(str(d))
+    row = ds.to_pandas().iloc[0]
+    assert json.loads(row["cookies_json"]) == jar
+
+    out = cookies_locally_created(ds).to_pandas()
+    got = {(r["name"], r["value"], r["domain"], bool(r["never_sent"]))
+           for _, r in out.iterrows()}
+    assert got == {
+        ("local1", "z", "site.example", False),
+        ("ghost", "g", "site.example", True),
+    }
+
+
+def test_cookies_json_sidecar_broken_or_absent(tmp_path):
+    """A malformed or non-array cookies.json loads as NULL (the reference
+    logs + defaults to [], har2tree.py:146-148)."""
+    from har2tree_ray.sources.har import read_har_dir
+
+    d = tmp_path / "cap"
+    d.mkdir()
+    (d / "001.har").write_text(json.dumps(_mini_har(
+        [_entry("https://a.example/", 0)])))
+    (d / "001.cookies.json").write_text("{not json")
+    (d / "002.har").write_text(json.dumps(_mini_har(
+        [_entry("https://b.example/", 0)])))
+    (d / "002.cookies.json").write_text('{"name": "dict-not-array"}')
+    df = read_har_dir(str(d)).to_pandas().sort_values("doc_id")
+    assert df["cookies_json"].isna().all()

@@ -20,6 +20,8 @@ SQL_CHECKED = [
     "host_rollup",
     "cookie_events",
     "cookie_asof",
+    "cookies_never_sent",
+    "cookies_locally_created",
     "knn_referrer",
     "pip_media_in_host",
     "host_boxes",
