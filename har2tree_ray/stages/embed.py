@@ -189,6 +189,13 @@ FROM ranked WHERE rank <= {k}
 
 KNN_GRAPH_K = 3
 
+# IVF coarse-quantizer knobs (shared by ann_topk_ivf / knn_graph_ivf):
+# nlist scales with the corpus so inverted lists stay bounded.
+IVF_NLIST = 16
+IVF_NPROBE = 4
+IVF_SAMPLE = 1024
+IVF_ITERS = 10
+
 
 def knn_graph(ds, k: int = KNN_GRAPH_K):
     """Exact k-NN graph: the top-k cosine neighbors of EVERY vector — the
@@ -228,6 +235,105 @@ def knn_graph(ds, k: int = KNN_GRAPH_K):
         })
 
     return ds.map_batches(per_batch, batch_format="pyarrow", batch_size=1024)
+
+
+def knn_graph_ivf(ds, k: int = KNN_GRAPH_K, nlist: int = IVF_NLIST,
+                  nprobe: int = IVF_NPROBE, n_parts: int | None = None):
+    """IVF-bucketed approximate k-NN graph — the 100 TB path for
+    ``knn_graph``: the corpus is NEVER broadcast or materialized.
+
+    Plan (mirrors ``ann_topk_ivf``'s quantizer, but with every vector as a
+    query, so the probe is a SHUFFLE instead of a broadcast query set):
+
+    1. a small sample trains the coarse quantizer (broadcast, tiny);
+    2. each vector emits ``nprobe`` rows keyed by probed bucket —
+       ``is_member`` marks the one bucket it is inverted-listed in (its
+       argmax centroid, always the first probe);
+    3. ``groupby(bucket)`` scores queries × members per bucket (one
+       matmul, group size ≈ corpus/nlist × nprobe — bounded by the nlist
+       knob, which scales with the corpus);
+    4. per-(query,bucket) partial top-k merge on a hash range of vec_id
+       (vectorized pandas — no per-key dispatch).
+
+    Recall < 1 by construction; verified ≥ threshold against the exact
+    broadcast baseline in tests."""
+    import pandas as pd
+
+    from ..util import pre_shuffle_coalesce
+
+    if n_parts is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        n_parts = max(8, cpus)
+    sample_rows = ds.limit(IVF_SAMPLE).to_pandas()
+    sample = _normalize(np.array(sample_rows["embedding"].tolist(),
+                                 dtype=np.float64))
+    cent = _train_centroids(sample, nlist)
+    ref = ray.put(cent)
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        m = _normalize(_to_matrix(batch["embedding"]))
+        probes = np.argsort(-(m @ c.T), axis=1)[:, :nprobe]  # col 0 = argmax
+        n, p = len(vids), probes.shape[1]
+        emb = batch["embedding"]
+        rep = np.repeat(np.arange(n), p)
+        return pa.table({
+            "bucket": pa.array(probes.reshape(-1).astype(np.int32)),
+            "vec_id": pa.array(vids[rep], pa.int64()),
+            "is_member": pa.array(np.tile(
+                np.arange(p) == 0, n)),  # member of argmax bucket only
+            "embedding": emb.take(pa.array(rep)),
+        })
+
+    fanned = pre_shuffle_coalesce(
+        ds.map_batches(fanout, batch_format="pyarrow", batch_size=2048))
+
+    def bucket_topk(t: pa.Table) -> pa.Table:
+        vids = t["vec_id"].to_numpy(zero_copy_only=False)
+        member = t["is_member"].to_numpy(zero_copy_only=False)
+        m = _normalize(_to_matrix(t["embedding"]))
+        mem_ids, mem_m = vids[member], m[member]
+        if len(mem_ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "nbr_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        sims = m @ mem_m.T
+        sims[vids[:, None] == mem_ids[None, :]] = -np.inf  # exclude self
+        top = min(k, sims.shape[1])
+        part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+        rows = np.repeat(np.arange(len(vids)), top)
+        cols = part.reshape(-1)
+        s = sims[rows, cols]
+        keep = s > -np.inf
+        return pa.table({
+            "vec_id": pa.array(vids[rows][keep], pa.int64()),
+            "nbr_id": pa.array(mem_ids[cols][keep], pa.int64()),
+            "sim": pa.array(s[keep], pa.float64()),
+        })
+
+    partials = fanned.groupby("bucket").map_groups(
+        bucket_topk, batch_format="pyarrow")
+
+    def add_part(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((v * np.uint64(2654435761)) % np.uint64(1 << 32)) \
+            % np.uint64(n_parts)
+        return t.append_column("_part", pa.array(part.astype(np.int32)))
+
+    def merge_range(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["vec_id", "sim", "nbr_id"],
+                            ascending=[True, False, True])
+        df["rank"] = df.groupby("vec_id").cumcount() + 1
+        out = df[df["rank"] <= k][["vec_id", "rank", "nbr_id"]]
+        return out.astype({"vec_id": "int64", "rank": "int64",
+                           "nbr_id": "int64"})
+
+    ranged = pre_shuffle_coalesce(
+        partials.map_batches(add_part, batch_format="pyarrow"))
+    return ranged.groupby("_part").map_groups(
+        lambda df: merge_range(df.drop(columns=["_part"])),
+        batch_format="pandas")
 
 
 # ------------------------------------------------- LSH near-dup (scale path)
@@ -325,11 +431,6 @@ def embed_neardup_lsh(ds, tau: float = NEARDUP_TAU, bits: int = LSH_BITS,
 
 # ----------------------------------------------------- IVF ANN (scale path)
 
-IVF_NLIST = 16
-IVF_NPROBE = 4
-IVF_SAMPLE = 1024
-IVF_ITERS = 10
-
 
 def _train_centroids(sample: np.ndarray, nlist: int = IVF_NLIST,
                      iters: int = IVF_ITERS, seed: int = 99) -> np.ndarray:
@@ -413,6 +514,34 @@ def ann_topk_ivf(ds, k: int = ANN_K, num_queries: int = ANN_NUM_QUERIES,
 SEMDEDUP_K = 16
 SEMDEDUP_TAU = NEARDUP_TAU
 SEMDEDUP_SAMPLE = 1024
+# Hard per-group row budget for the within-cluster prune: a cluster whose
+# row count exceeds this is hash-split into ceil(size/(budget/2)) sub-buckets
+# (expected sub-group = budget/2, so the budget holds with huge margin), and
+# k itself scales as corpus/CLUSTER_TARGET — no O((N/k)^2) group ever forms.
+SEMDEDUP_GROUP_BUDGET = 4096
+SEMDEDUP_CLUSTER_TARGET = 2048
+
+
+def semdedup_k(n_rows: int, base: int = SEMDEDUP_K,
+               target: int = SEMDEDUP_CLUSTER_TARGET) -> int:
+    """Derive the cluster count from the corpus size so the EXPECTED
+    cluster is ``target`` rows (the docstring promise 'scale k with the
+    corpus', now enforced in code; shared by engine and oracle builder)."""
+    return max(base, -(-n_rows // target))
+
+
+def _semdedup_nsub(size: int, budget: int = SEMDEDUP_GROUP_BUDGET) -> int:
+    """Sub-buckets for one cluster: 1 (no split — exact semantics) while the
+    cluster fits the budget, else ceil(size / (budget/2))."""
+    return 1 if size <= budget else -(-size // (budget // 2))
+
+
+def _semdedup_sub(vec_ids: np.ndarray, nsub: np.ndarray) -> np.ndarray:
+    """Deterministic sub-bucket of each vec_id: multiplicative hash mod the
+    cluster's nsub — exactly ``((vec_id * 2654435761) % 2^32) % nsub``,
+    reproduced verbatim in the oracle SQL via HUGEINT arithmetic."""
+    h = (vec_ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    return (h % nsub.astype(np.uint64)).astype(np.int32)
 
 
 def semdedup_sample_matrix(ids: np.ndarray, mat: np.ndarray,
@@ -426,20 +555,27 @@ def semdedup_sample_matrix(ids: np.ndarray, mat: np.ndarray,
     return mat[order]
 
 
-def semdedup_keep(ds, k: int = SEMDEDUP_K, tau: float = SEMDEDUP_TAU):
+def semdedup_keep(ds, k: int | None = None, tau: float = SEMDEDUP_TAU,
+                  budget: int = SEMDEDUP_GROUP_BUDGET):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) over the embedding
     column: cluster with a sample-trained spherical k-means, then within
     each cluster drop every vector that has a LOWER-id cluster-mate with
     cosine ≥ tau.  Output: (vec_id, cluster, keep).
 
     Scale shape: the corpus streams through centroid assignment
-    (broadcast centroids, one matmul per batch — never materialized);
-    the only exchange is the cluster-keyed groupby, whose group COUNT is
-    the k knob (scale k with the corpus so groups stay bounded) and whose
-    per-group work is one vectorized lower-triangle cosine pass.  The
-    greedy lower-id rule is deliberately order-free (no sequential scan
-    state), so any partition of a cluster's pair work would compose; the
-    oracle expresses the same rule as NOT EXISTS."""
+    (broadcast centroids, one matmul per batch — never materialized).
+    Group size is BOUNDED two ways: ``k`` scales with the corpus
+    (``semdedup_k``), and any cluster still exceeding ``budget`` rows
+    (skew) is hash-split into sub-buckets sized ``budget/2`` in
+    expectation — the prune then runs within (cluster, sub), trading a
+    sliver of recall on split clusters for a hard memory bound.  Cluster
+    sizes come from one cheap pre-pass (a projected int32 groupby-count —
+    the embeddings never enter that shuffle).  The greedy lower-id rule
+    is order-free, so the sub-partition composes; the oracle expresses
+    the identical split with window COUNT + HUGEINT hash."""
+    n_rows = ds.count()
+    if k is None:
+        k = semdedup_k(n_rows)
     samp_ids, samp_mat = query_rows(ds, SEMDEDUP_SAMPLE)
     cent = _train_centroids(semdedup_sample_matrix(samp_ids, samp_mat), k)
     ref = ray.put(cent)
@@ -455,6 +591,25 @@ def semdedup_keep(ds, k: int = SEMDEDUP_K, tau: float = SEMDEDUP_TAU):
 
     assigned = ds.map_batches(assign, batch_format="pyarrow", batch_size=2048)
 
+    # pre-pass: per-cluster row counts (≤ k rows; int32-only shuffle)
+    counts = (assigned.select_columns(["cluster"])
+              .groupby("cluster").count().take_all())
+    nsub_map = np.ones(k, dtype=np.int64)
+    for r in counts:
+        nsub_map[int(r["cluster"])] = _semdedup_nsub(int(r["count()"]), budget)
+    nsub_ref = ray.put(nsub_map)
+
+    def add_sub(t: pa.Table) -> pa.Table:
+        nm = ray.get(nsub_ref)
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        vids = t["vec_id"].to_numpy(zero_copy_only=False)
+        sub = _semdedup_sub(vids, nm[cl])
+        # single int64 group key so the shuffle stays one-column
+        return t.append_column(
+            "gkey", pa.array(cl.astype(np.int64) * (1 << 20) + sub))
+
+    keyed = assigned.map_batches(add_sub, batch_format="pyarrow")
+
     def prune(t: pa.Table) -> pa.Table:
         vids = t["vec_id"].to_numpy(zero_copy_only=False)
         order = np.argsort(vids, kind="stable")
@@ -468,7 +623,7 @@ def semdedup_keep(ds, k: int = SEMDEDUP_K, tau: float = SEMDEDUP_TAU):
             "keep": pa.array(~dup, pa.bool_()),
         })
 
-    return assigned.groupby("cluster").map_groups(prune, batch_format="pyarrow")
+    return keyed.groupby("gkey").map_groups(prune, batch_format="pyarrow")
 
 
 _ORACLE_CENTROID_MEMO: dict = {}
@@ -496,34 +651,52 @@ def _semdedup_oracle_centroids(parquet_path: str, k: int) -> "np.ndarray":
     return cent
 
 
-def semdedup_keep_sql(parquet_path: str, k: int = SEMDEDUP_K,
-                      tau: float = SEMDEDUP_TAU) -> str:
+def semdedup_keep_sql(parquet_path: str, k: int | None = None,
+                      tau: float = SEMDEDUP_TAU,
+                      budget: int = SEMDEDUP_GROUP_BUDGET) -> str:
     """Exact oracle: trains the SAME centroids (same sample, same numpy
-    code) and inlines them as DOUBLE[] literals; assignment is arg-max
-    cosine (ties broken by lowest cluster id, matching np.argmax), the
-    prune rule is the NOT EXISTS form of the lower-id greedy rule.
+    code, same corpus-derived k) and inlines them as DOUBLE[] literals;
+    assignment is arg-max cosine (ties broken by lowest cluster id,
+    matching np.argmax); the prune rule is the NOT EXISTS form of the
+    lower-id greedy rule scoped to the SAME (cluster, sub) hash split the
+    engine uses (window COUNT → nsub → HUGEINT multiplicative hash).
     Float contract as for embed_neardup: only memberships cross the
     compare boundary, and the synth similarity gaps dwarf the engine-vs-
     DuckDB op-order noise."""
+    import pyarrow.parquet as pq
+
+    if k is None:
+        k = semdedup_k(pq.ParquetFile(parquet_path).metadata.num_rows)
     cent = _semdedup_oracle_centroids(parquet_path, k)
     rows = ",\n        ".join(
         "(%d, [%s]::DOUBLE[])" % (i, ", ".join(repr(x) for x in c))
         for i, c in enumerate(cent))
+    half = budget // 2
     return f"""
 WITH cent(cid, v) AS (
     VALUES {rows}
-), a AS (
+), a0 AS (
     SELECT e.vec_id, e.embedding,
            (SELECT cid FROM cent
             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cent.v) DESC,
                      cid ASC
             LIMIT 1) AS cluster
     FROM embeddings e
+), a1 AS (
+    SELECT *, COUNT(*) OVER (PARTITION BY cluster) AS csize FROM a0
+), a AS (
+    SELECT vec_id, embedding, cluster,
+           CASE WHEN csize <= {budget} THEN 0
+                ELSE ((CAST(vec_id AS HUGEINT) * 2654435761) % 4294967296)
+                     % CAST(ceil(csize / {half}.0) AS BIGINT)
+           END AS sub
+    FROM a1
 )
 SELECT a.vec_id, CAST(a.cluster AS INTEGER) AS cluster,
        NOT EXISTS (
            SELECT 1 FROM a o
-           WHERE o.cluster = a.cluster AND o.vec_id < a.vec_id
+           WHERE o.cluster = a.cluster AND o.sub = a.sub
+             AND o.vec_id < a.vec_id
              AND list_cosine_similarity(o.embedding::DOUBLE[],
                                         a.embedding::DOUBLE[]) >= {tau}
        ) AS keep

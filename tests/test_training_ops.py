@@ -291,3 +291,53 @@ def test_doc_normalize_unicode_semantics():
     # (DuckDB lower maps Σ→σ uniformly — Greek is outside the
     # oracle-covered synth vocabulary, documented contract)
     assert out[3]["norm_text"] == "σοφος"
+
+
+def test_knn_graph_ivf_recall():
+    """The IVF-bucketed kNN graph (no broadcast corpus — the 100 TB path)
+    must recover most of the exact graph's neighbor sets, cover every
+    vector, and never pair a vector with itself."""
+    from har2tree_ray import queries as q
+
+    exact = to_pandas(q.q_knn_graph(SF))
+    approx = to_pandas(q.q_knn_graph_ivf(SF))
+    assert (approx["vec_id"] != approx["nbr_id"]).all()
+    assert set(approx["vec_id"]) == set(exact["vec_id"])
+    e = exact.groupby("vec_id")["nbr_id"].apply(set)
+    a = approx.groupby("vec_id")["nbr_id"].apply(set)
+    recalls = [len(e[v] & a.get(v, set())) / len(e[v]) for v in e.index]
+    assert sum(recalls) / len(recalls) >= 0.5, sum(recalls) / len(recalls)
+
+
+def test_semdedup_group_budget_on_skew():
+    """A pathologically skewed corpus (every vector near-identical → one
+    k-means cluster) must still never form a prune group larger than the
+    budget: the cluster is hash-split into sub-buckets, and the greedy
+    lower-id rule runs per sub-bucket (one keeper each)."""
+    import ray.data as rd
+
+    from har2tree_ray.stages import embed
+
+    rs = np.random.RandomState(7)
+    base = rs.randn(8)
+    vecs = base[None, :] + rs.randn(500, 8) * 1e-3
+    ds = rd.from_items([{"vec_id": i, "embedding": vecs[i].tolist()}
+                        for i in range(500)])
+    budget = 64
+    out = to_pandas(embed.semdedup_keep(ds, k=4, budget=budget))
+    assert len(out) == 500
+
+    # recompute the engine's (cluster, sub) key from its own output and
+    # assert the hard bound
+    sizes = out.groupby("cluster").size()
+    nsub = {c: embed._semdedup_nsub(int(s), budget) for c, s in sizes.items()}
+    sub = embed._semdedup_sub(
+        out["vec_id"].to_numpy(),
+        np.array([nsub[c] for c in out["cluster"]], dtype=np.int64))
+    gsz = pd.DataFrame({"c": out["cluster"], "s": sub}).groupby(
+        ["c", "s"]).size()
+    assert gsz.max() <= budget, gsz.max()
+    assert len(gsz) > 1  # the skewed cluster really did split
+
+    # near-identical vectors: every sub-group keeps exactly its min vec_id
+    assert int(out["keep"].sum()) == len(gsz)
