@@ -317,9 +317,10 @@ def _graft_from_summaries(summaries, n_parts: int | None = None):
         n_parts = max(64, cpus * 8)
 
     def add_part(t: pa.Table) -> pa.Table:
-        part = [zlib.crc32(c.encode()) % n_parts
-                for c in t["capture_id"].to_pylist()]
-        return t.append_column("cap_part", pa.array(part, pa.int32()))
+        from ..util import key_partition_ids
+
+        return t.append_column(
+            "cap_part", pa.array(key_partition_ids(t["capture_id"], n_parts)))
 
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
         cands = pd.concat([

@@ -22,8 +22,24 @@ from ray.data.aggregate import Sum
 
 
 def host_edges(edges_ds):
-    """URL-edge Dataset → HOST_EDGE_SCHEMA Dataset."""
-    edges = edges_ds
+    """URL-edge Dataset → HOST_EDGE_SCHEMA Dataset.
+
+    (doc_id, hosts) composite keys are mostly UNIQUE (a handful of edges
+    per key), so a native 5-key aggregate pays sort/merge bookkeeping on
+    near-singleton groups (measured 17.6 s → ~3 s at sf0.1).  ONE fused
+    map_batches builds the in-batch partials AND their partition key
+    (vectorized — dictionary-encode + crc32-of-uniques via
+    ``util.key_partition_ids``, replacing the per-row Python crc32 loop
+    that dominated this query); the partials shuffle once on
+    ``dpart = hash(doc_id) % n_parts`` — every doc entirely inside one
+    range — and each range resolves with one Arrow group_by."""
+    from ..util import key_partition_ids, pre_shuffle_coalesce
+
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    n_parts = max(8, cpus)
+    keys = ["doc_id", "host_level", "hostname", "parent_level", "parent_hostname"]
 
     def project(t: pa.Table) -> pa.Table:
         lvl = pc.cast(t["depth"], pa.int32())
@@ -37,35 +53,10 @@ def host_edges(edges_ds):
                 "parent_hostname": t["parent_hostname"],
             }
         )
-        g = out.group_by(
-            ["doc_id", "host_level", "hostname", "parent_level", "parent_hostname"]
-        ).aggregate([("hostname", "count")])
-        return g.rename_columns(
-            ["doc_id", "host_level", "hostname", "parent_level", "parent_hostname", "partial_n"]
-        )
-
-    from ..util import pre_shuffle_coalesce
-
-    # (doc_id, hosts) composite keys are mostly UNIQUE (a handful of edges
-    # per key), so a native 5-key aggregate pays sort/merge bookkeeping on
-    # near-singleton groups (measured 17.6 s → ~3 s at sf0.1).  Shuffle the
-    # in-batch partials ONCE on crc32(doc_id) % n_parts — every doc entirely
-    # inside one range — and resolve each range with one Arrow group_by.
-    import zlib
-
-    import numpy as np
-    import ray as _ray
-
-    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-    n_parts = max(8, cpus)
-
-    def add_part(t: pa.Table) -> pa.Table:
-        gp = np.fromiter(
-            (zlib.crc32(d.encode("utf-8")) for d in t["doc_id"].to_pylist()),
-            dtype=np.int64, count=t.num_rows) % n_parts
-        return t.append_column("dpart", pa.array(gp.astype(np.int32)))
-
-    keys = ["doc_id", "host_level", "hostname", "parent_level", "parent_hostname"]
+        g = out.group_by(keys).aggregate([("hostname", "count")])
+        g = g.rename_columns(keys + ["partial_n"])
+        return g.append_column(
+            "dpart", pa.array(key_partition_ids(g["doc_id"], n_parts)))
 
     def per_range(t: pa.Table) -> pa.Table:
         g = t.group_by(keys).aggregate([("partial_n", "sum")])
@@ -73,8 +64,7 @@ def host_edges(edges_ds):
                          "n_urls": pc.cast(g["partial_n_sum"], pa.int64())})
 
     partials = pre_shuffle_coalesce(
-        edges.map_batches(project, batch_format="pyarrow")
-        .map_batches(add_part, batch_format="pyarrow"))
+        edges_ds.map_batches(project, batch_format="pyarrow"))
     return partials.groupby("dpart").map_groups(per_range, batch_format="pyarrow")
 
 

@@ -283,8 +283,10 @@ def tile_host_kmv(flat_ds, res: int = DEFAULT_RES, k: int = KMV_K):
         if not len(df):
             return pa.table({"cell_id": pa.array([], pa.int64()),
                              "h": pa.array([], pa.string())})
-        df["h"] = [hashlib.md5(s.encode("utf-8")).hexdigest()
-                   for s in df["hostname"]]
+        # hostnames repeat heavily across cells — md5 only the uniques
+        uniq = {s: hashlib.md5(s.encode("utf-8")).hexdigest()
+                for s in set(df["hostname"])}
+        df["h"] = df["hostname"].map(uniq)
         df = df.sort_values(["cell_id", "h"], kind="mergesort")
         df = df[df.groupby("cell_id").cumcount() < k]
         return pa.Table.from_pandas(df[["cell_id", "h"]], preserve_index=False)

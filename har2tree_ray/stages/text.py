@@ -306,10 +306,10 @@ def ngram_jaccard_pairs(ds, tau: float = JACCARD_TAU, df_cap: int = JACCARD_DF_C
 
     def explode(batch: pa.Table) -> pa.Table:
         t = _explode_grams(batch)
-        gp = np.fromiter(
-            (zlib.crc32(g.encode("utf-8")) for g in t["gram"].to_pylist()),
-            dtype=np.int64, count=t.num_rows) % n_parts
-        return t.append_column("gpart", pa.array(gp.astype(np.int32)))
+        from ..util import key_partition_ids
+
+        return t.append_column(
+            "gpart", pa.array(key_partition_ids(t["gram"], n_parts)))
 
     grams = pre_shuffle_coalesce(ds.map_batches(explode, batch_format="pyarrow"))
 
@@ -438,10 +438,10 @@ def ngram_topk(ds, k: int = NGRAM_TOPK, n_parts: int | None = None):
         g = _explode_grams(batch).select(["gram"]).group_by("gram").aggregate(
             [("gram", "count")])
         g = g.rename_columns(["gram", "part_n"])
-        gp = np.fromiter(
-            (zlib.crc32(s.encode("utf-8")) for s in g["gram"].to_pylist()),
-            dtype=np.int64, count=g.num_rows) % n_parts
-        return g.append_column("gpart", pa.array(gp.astype(np.int32)))
+        from ..util import key_partition_ids
+
+        return g.append_column(
+            "gpart", pa.array(key_partition_ids(g["gram"], n_parts)))
 
     def range_topk(t: pa.Table) -> pa.Table:
         df = (t.to_pandas().groupby("gram", as_index=False)["part_n"].sum()
@@ -648,13 +648,14 @@ def doc_tfidf_top(ds, k: int = TFIDF_K, n_parts: int | None = None):
             ids.extend([did] * len(counts))
             words.extend(counts.keys())
             tfs.extend(counts.values())
-        gp = np.fromiter((zlib.crc32(w.encode("utf-8")) for w in words),
-                         dtype=np.int64, count=len(words)) % n_parts
+        from ..util import key_partition_ids
+
+        wa = pa.array(words, pa.string())
         return pa.table({
             "doc_id": pa.array(ids, type=batch["doc_id"].type),
-            "word": pa.array(words, pa.string()),
+            "word": wa,
             "tf": pa.array(tfs, pa.int64()),
-            "wpart": pa.array(gp.astype(np.int32)),
+            "wpart": pa.array(key_partition_ids(wa, n_parts)),
         })
 
     def df_in_range(t: pa.Table) -> pa.Table:
@@ -663,10 +664,10 @@ def doc_tfidf_top(ds, k: int = TFIDF_K, n_parts: int | None = None):
         counts = df.groupby("word", as_index=False).size().rename(
             columns={"size": "df"})
         out = df.merge(counts, on="word")
-        dp = np.fromiter(
-            (zlib.crc32(str(d).encode("utf-8")) for d in out["doc_id"]),
-            dtype=np.int64, count=len(out)) % n_parts
-        out["dpart"] = dp.astype(np.int32)
+        from ..util import key_partition_ids
+
+        out["dpart"] = key_partition_ids(
+            pa.array(out["doc_id"].astype(str)), n_parts)
         return pa.Table.from_pandas(
             out[["doc_id", "word", "tf", "df", "dpart"]], preserve_index=False)
 

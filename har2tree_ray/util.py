@@ -84,6 +84,38 @@ def worker_cached_stage(cls, *args, cache_key=None, **kwargs):
     return stage
 
 
+def key_partition_ids(col, n_parts: int):
+    """Vectorized deterministic partition ids for a (non-null) key column.
+
+    Integers hash with one numpy multiplicative-hash pass; strings
+    dictionary-encode per chunk and crc32 ONLY the uniques (keys repeat
+    heavily in partial tables — the per-row Python crc32 loop this replaces
+    was the dominant cost of host_edges at sf0.1).  Partition choice only
+    affects co-location, never results, so the two families need not agree."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    if pa.types.is_integer(col.type):
+        v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return (((v * np.uint64(2654435761)) % np.uint64(1 << 32))
+                % np.uint64(n_parts)).astype(np.int32)
+    out = np.empty(len(col), dtype=np.int32)
+    pos = 0
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    for ch in chunks:
+        enc = ch.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        h = np.fromiter((zlib.crc32(str(u).encode("utf-8")) for u in uniq),
+                        dtype=np.int64, count=len(uniq)) % n_parts
+        if len(ch):
+            idx = enc.indices.to_numpy(zero_copy_only=False)
+            out[pos:pos + len(ch)] = h[idx]
+        pos += len(ch)
+    return out
+
+
 def user_range_groupby(ds, per_range, key: str = "user_id",
                        n_parts: int | None = None,
                        batch_format: str = "pandas"):
@@ -91,14 +123,11 @@ def user_range_groupby(ds, per_range, key: str = "user_id",
 
     ``groupby(key).map_groups(fn)`` dispatches one Python call per key —
     fine for dozens of keys, hostile for user-scale cardinality.  This
-    shuffles ONCE on ``crc32(str(key)) % n_parts`` (every key's rows land
-    in exactly one range) and calls ``per_range`` once per range with ALL
-    its keys' rows; ``per_range`` must therefore handle multiple keys in a
-    vectorized pass (grouped cumsum / hash group-by, never a per-key
+    shuffles ONCE on ``key_partition_ids(key) % n_parts`` (every key's rows
+    land in exactly one range) and calls ``per_range`` once per range with
+    ALL its keys' rows; ``per_range`` must therefore handle multiple keys
+    in a vectorized pass (grouped cumsum / hash group-by, never a per-key
     loop).  n_parts defaults to cluster width — scale with the cluster."""
-    import zlib
-
-    import numpy as np
     import pyarrow as pa
 
     if n_parts is None:
@@ -108,10 +137,8 @@ def user_range_groupby(ds, per_range, key: str = "user_id",
         n_parts = max(8, cpus)
 
     def add_part(t: pa.Table) -> pa.Table:
-        vals = t[key].to_pylist()
-        gp = np.fromiter((zlib.crc32(str(v).encode()) for v in vals),
-                         dtype=np.int64, count=len(vals)) % n_parts
-        return t.append_column("_kpart", pa.array(gp.astype(np.int32)))
+        gp = key_partition_ids(t[key], n_parts)
+        return t.append_column("_kpart", pa.array(gp))
 
     def run(chunk):
         out = per_range(chunk.drop(columns=["_kpart"])
