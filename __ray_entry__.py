@@ -5,11 +5,14 @@ function here (or in har2tree_ray) calls ``ray.init``/``ray.shutdown``.
 
 ``entry()`` runs the flagship pipeline (interleaved docs → flatten/normalize
 → tile rollup) at sf0.001.  ``queries()``/``oracle_sql()`` expose every
-implemented operator per SURVEY.md §2 — 78 queries, 65 with exact DuckDB
-oracles; the oracle is omitted only for the genuinely non-SQL-expressible
+implemented operator per SURVEY.md §2 — 81 queries, 67 with exact DuckDB
+oracles (counts asserted by ``tests/test_synth.py`` so they cannot go
+stale); the oracle is omitted only for the genuinely non-SQL-expressible
 ones (the consume-once tree cascade family, approximate/scale-path variants,
 binary payload plumbing), each of which is pytest-verified against an
 independent in-process implementation or its exact counterpart.
+``queries()`` lists oracled entries FIRST (the driver's correctness
+snapshot covers the first 50).
 """
 
 from __future__ import annotations

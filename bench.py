@@ -207,32 +207,39 @@ def _spawn_suite(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32, reps: int = 2) -> dict:
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32, reps: int = 4) -> dict:
     """Paired reps: this shared-host VM's deliverable CPU drifts by ±20%
     over minutes (see --cpu-baseline), so each rep runs BOTH levels
     back-to-back (lo then hi) — adjacent-in-time runs see the same host
     conditions, which an unpaired min-per-level estimate does not.
 
-    Reports the BEST pair as the headline (labelled best-of-N) **and** the
-    median pair plus every per-pair efficiency, so the recorded number can
-    be judged against the spread rather than standing alone."""
+    Headline = the MEDIAN pair (round-4 bar: median ≥ 0.8 raw across ≥ 4
+    pairs, or ≥ 0.95 of the machine ceiling measured CONCURRENTLY — one
+    Ray-free multiprocessing probe right after each pair, so the ceiling
+    sees the same co-tenant load the pair did).  Every per-pair efficiency
+    and ceiling is reported so the number can be judged against the
+    spread."""
     import statistics
 
-    pairs = []
+    pairs, ceilings = [], []
     for _ in range(reps):
         r_lo = _spawn_suite(sf_dir, lo, SCALING_QUERIES)
         r_hi = _spawn_suite(sf_dir, hi, SCALING_QUERIES)
         pairs.append((sum(r_lo["queries"].values()),
                       sum(r_hi["queries"].values()), r_hi["n_docs"]))
+        ceilings.append(cpu_baseline(lo, hi)["value"])
     factor = hi / lo
     effs = [round((p[0] / p[1]) / factor, 3) for p in pairs]
-    t_lo, t_hi, n_docs = max(pairs, key=lambda p: (p[0] / p[1]))
+    med_eff = statistics.median(effs)
+    med_ceiling = statistics.median(ceilings)
+    # median pair's absolute numbers (pair whose efficiency is the median)
+    med_pair = sorted(pairs, key=lambda p: p[0] / p[1])[len(pairs) // 2]
+    t_lo, t_hi, n_docs = med_pair
     thr_lo = round(n_docs / t_lo, 1)
     thr_hi = round(n_docs / t_hi, 1)
-    eff = round((thr_hi / thr_lo) / factor, 3) if thr_lo else None
     return {
         "metric": "pipeline throughput scaling efficiency (N -> 4N CPUs, fresh ray.init each)",
-        "value": eff,
+        "value": round(med_eff, 3),
         "unit": "efficiency",
         "sf": os.path.basename(os.path.normpath(sf_dir)),
         "queries": SCALING_QUERIES,
@@ -241,10 +248,15 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32, reps: int = 2) -> dict:
             f"cpus={hi}": {"sec": round(t_hi, 2), "docs_per_sec": thr_hi},
         },
         "scaling_factor": factor,
-        "efficiency": eff,
-        "efficiency_selection": f"best-of-{reps} paired reps",
+        "efficiency": round(med_eff, 3),
+        "efficiency_selection": f"median-of-{reps} paired reps",
         "efficiency_per_pair": effs,
-        "efficiency_median": round(statistics.median(effs), 3),
+        "efficiency_median": round(med_eff, 3),
+        "efficiency_best": round(max(effs), 3),
+        "ceiling_per_pair": ceilings,
+        "ceiling_median": round(med_ceiling, 3),
+        "efficiency_vs_ceiling_median": (
+            round(med_eff / med_ceiling, 3) if med_ceiling else None),
     }
 
 
@@ -295,10 +307,8 @@ def main() -> None:
         return
     if args.scaling:
         out = run_scaling(SCALING_SF)
-        out["machine_ceiling"] = cpu_baseline()["value"]
-        out["efficiency_vs_ceiling"] = (
-            round(out["efficiency"] / out["machine_ceiling"], 3)
-            if out["machine_ceiling"] else None)
+        out["machine_ceiling"] = out["ceiling_median"]
+        out["efficiency_vs_ceiling"] = out["efficiency_vs_ceiling_median"]
         print(json.dumps(out))
         return
     names = ([HEADLINE] if args.headline_only

@@ -206,15 +206,187 @@ def decode_multipart(mimetype: str, text: str) -> "list[dict] | None":
     return out
 
 
+def decode_protobuf_wire(data: bytes):
+    """Schema-less protobuf wire walk — a pure-stdlib recast of the
+    reference's blackboxprotobuf decode (M12, nodes.py:401-416).  Returns
+    ``(message, typedef)`` where message maps field-number strings to
+    values (varint → int, fixed64/fixed32 → little-endian float,
+    length-delimited → nested message if it re-walks cleanly, else utf-8
+    string, else base64) and typedef mirrors blackboxprotobuf's
+    ``{"<field>": {"type": ...}}`` shape.  Raises ValueError on any
+    malformed wire (callers fall back to the raw branch)."""
+    import struct
+
+    def read_varint(b: bytes, i: int) -> "tuple[int, int]":
+        shift = val = 0
+        while True:
+            if i >= len(b) or shift > 63:
+                raise ValueError("truncated varint")
+            byte = b[i]
+            i += 1
+            val |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                return val, i
+            shift += 7
+
+    def walk(b: bytes, depth: int = 0):
+        if depth > 16:
+            raise ValueError("nesting too deep")
+        msg: dict = {}
+        typedef: dict = {}
+        i = 0
+        while i < len(b):
+            tag, i = read_varint(b, i)
+            fnum, wt = tag >> 3, tag & 7
+            if fnum == 0:
+                raise ValueError("field number 0")
+            if wt == 0:
+                val, i = read_varint(b, i)
+                t: dict = {"type": "int"}
+            elif wt == 1:
+                if i + 8 > len(b):
+                    raise ValueError("truncated fixed64")
+                val = struct.unpack("<d", b[i:i + 8])[0]
+                i += 8
+                t = {"type": "fixed64"}
+            elif wt == 5:
+                if i + 4 > len(b):
+                    raise ValueError("truncated fixed32")
+                val = struct.unpack("<f", b[i:i + 4])[0]
+                i += 4
+                t = {"type": "fixed32"}
+            elif wt == 2:
+                ln, i = read_varint(b, i)
+                if i + ln > len(b):
+                    raise ValueError("truncated bytes field")
+                chunk = b[i:i + ln]
+                i += ln
+                if chunk:
+                    try:
+                        val, sub = walk(chunk, depth + 1)
+                        t = {"type": "message", "message_typedef": sub}
+                    except ValueError:
+                        try:
+                            val = chunk.decode("utf-8")
+                            t = {"type": "str"}
+                        except UnicodeDecodeError:
+                            val = base64.b64encode(chunk).decode()
+                            t = {"type": "bytes"}
+                else:
+                    val, t = "", {"type": "str"}
+            else:
+                raise ValueError(f"unsupported wire type {wt}")
+            key = str(fnum)
+            if key in msg:  # repeated field → list
+                if not isinstance(msg[key], list):
+                    msg[key] = [msg[key]]
+                msg[key].append(val)
+            else:
+                msg[key] = val
+            typedef[key] = t
+        return msg, typedef
+
+    if not data:
+        raise ValueError("empty payload")
+    return walk(bytes(data))
+
+
+_DNS_TYPES = {1: "A", 2: "NS", 5: "CNAME", 6: "SOA", 12: "PTR", 15: "MX",
+              16: "TXT", 28: "AAAA", 33: "SRV", 41: "OPT", 65: "HTTPS"}
+
+
+def decode_dns_wire(data: bytes) -> dict:
+    """Minimal RFC 1035 wire-format parse — the stdlib recast of the
+    reference's ``dns.message.from_wire(...).to_text()`` (M12,
+    nodes.py:433-441), emitted as a stable dict instead of dnspython's
+    text rendering: ``{"id", "flags", "questions": [{"name", "type"}],
+    "answers": [{"name", "type", "ttl", "rdata"}]}``.  Name compression
+    pointers are followed; A/AAAA rdata renders as the address string,
+    anything else as base64.  Raises ValueError on malformed wire."""
+    import ipaddress
+    import struct
+
+    if len(data) < 12:
+        raise ValueError("truncated header")
+    qid, flags, qd, an, ns_, ar = struct.unpack(">HHHHHH", data[:12])
+
+    def read_name(i: int, depth: int = 0) -> "tuple[str, int]":
+        if depth > 16:
+            raise ValueError("pointer loop")
+        labels = []
+        while True:
+            if i >= len(data):
+                raise ValueError("truncated name")
+            ln = data[i]
+            if ln == 0:
+                return (".".join(labels) + "." if labels else "."), i + 1
+            if ln & 0xC0 == 0xC0:  # compression pointer
+                if i + 1 >= len(data):
+                    raise ValueError("truncated pointer")
+                ptr = ((ln & 0x3F) << 8) | data[i + 1]
+                if ptr >= i:
+                    raise ValueError("forward pointer")
+                suffix, _ = read_name(ptr, depth + 1)
+                base = ".".join(labels)
+                return (base + "." + suffix if base else suffix), i + 2
+            if ln & 0xC0:
+                raise ValueError("reserved label type")
+            if i + 1 + ln > len(data):
+                raise ValueError("truncated label")
+            labels.append(data[i + 1:i + 1 + ln].decode("ascii", "replace"))
+            i += 1 + ln
+
+    i = 12
+    questions = []
+    for _ in range(qd):
+        name, i = read_name(i)
+        if i + 4 > len(data):
+            raise ValueError("truncated question")
+        qtype, _qclass = struct.unpack(">HH", data[i:i + 4])
+        i += 4
+        questions.append({"name": name,
+                          "type": _DNS_TYPES.get(qtype, str(qtype))})
+    answers = []
+    for _ in range(an + ns_ + ar):
+        name, i = read_name(i)
+        if i + 10 > len(data):
+            raise ValueError("truncated record")
+        rtype, _rclass, ttl, rdlen = struct.unpack(">HHIH", data[i:i + 10])
+        i += 10
+        if i + rdlen > len(data):
+            raise ValueError("truncated rdata")
+        rd = data[i:i + rdlen]
+        i += rdlen
+        if rtype == 1 and rdlen == 4:
+            rdata = str(ipaddress.IPv4Address(rd))
+        elif rtype == 28 and rdlen == 16:
+            rdata = str(ipaddress.IPv6Address(rd))
+        else:
+            rdata = base64.b64encode(rd).decode()
+        answers.append({"name": name, "type": _DNS_TYPES.get(rtype, str(rtype)),
+                        "ttl": ttl, "rdata": rdata})
+    return {"id": qid, "flags": flags, "questions": questions,
+            "answers": answers}
+
+
+_PROTOBUF_MIMES = ("application/grpc-web+proto", "application/x-protobuf",
+                   "application/proto", "application/x-protobuffer")
+
+
 def decode_posted_data(mimetype: str, payload: "str | bytes"):
     """Mime-routed POST-body decode dispatch — the recast of the reference's
     biggest per-record parser (M12, /root/reference/har2tree/nodes.py:260-498):
     base64 repair → form-urlencoded → NDJSON stream → multipart → JSON
     family → text → pass-through.
 
-    Formats whose parsers aren't in this container (amazon-ion, protobuf,
-    dns-wire — nodes.py:384-441) fall through to the raw-bytes branch, like
-    the reference's final fallback (nodes.py:470-498).  Returns a
+    Binary wire formats decode with pure-stdlib walkers: protobuf via
+    ``decode_protobuf_wire`` (blackboxprotobuf shape, nodes.py:401-416),
+    dns-message via ``decode_dns_wire`` (nodes.py:433-441); atom+xml and
+    amazon-ion text try the JSON tear the reference applies
+    (nodes.py:363-377,418-432 — ion TEXT is decoded for its
+    JSON-expressible subset; binary ion falls to raw, documented recast of
+    simpleion).  Undecodable wire falls to the raw branch like the
+    reference's final fallback (nodes.py:470-498).  Returns a
     JSON-serializable value (the engine stores it as a JSON string column —
     the dynamic ``posted_data`` union of SURVEY §2 hard-part (4))."""
     import json as _json
@@ -224,12 +396,25 @@ def decode_posted_data(mimetype: str, payload: "str | bytes"):
         raw = repair_b64(payload)
         if raw:
             payload = raw
+    mt = (mimetype or "").lower()
+    # binary-first mimes: decode from BYTES before any utf-8 pass
+    if mt.startswith(_PROTOBUF_MIMES):
+        raw = payload.encode() if isinstance(payload, str) else payload
+        try:
+            message, typedef = decode_protobuf_wire(raw)
+            return [{"protobuf_message": message, "typedef": typedef}]
+        except ValueError:
+            pass  # fall through to the generic branches
+    if mt.startswith("application/dns-message") and isinstance(payload, bytes):
+        try:
+            return decode_dns_wire(payload)
+        except ValueError:
+            pass
     if isinstance(payload, bytes):
         try:
             payload = payload.decode("utf-8")
         except UnicodeDecodeError:
             return {"_raw_b64": base64.b64encode(payload).decode()}
-    mt = (mimetype or "").lower()
     if "form-urlencoded" in mt:
         return dict(parse_qsl(payload, keep_blank_values=True))
     if mt.startswith("application/x-json-stream"):
@@ -244,6 +429,14 @@ def decode_posted_data(mimetype: str, payload: "str | bytes"):
         # boundary tokens are case-sensitive — extract from the raw mimetype
         parts = decode_multipart(mimetype or "", payload)
         return parts if parts is not None else payload
+    if (mt.startswith("application/atom+xml")
+            or mt.startswith("application/x-amzn-ion")):
+        # both observed carrying JSON blobs in the wild (nodes.py:363-377,
+        # 418-432) — tear as JSON, keep verbatim otherwise
+        try:
+            return _json.loads(payload)
+        except ValueError:
+            return payload
     if "json" in mt or mt.endswith("+json"):
         try:
             return _json.loads(payload)

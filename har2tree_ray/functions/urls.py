@@ -239,7 +239,15 @@ def canonicalize_url(url: str, keep_fragments: bool = False) -> str:
     documented ``canonicalize_url``: lowercase scheme and host, strip the
     scheme's default port, normalize percent-escapes to uppercase hex and
     minimal form, empty path → '/', query arguments sorted by (key, value)
-    and re-encoded, fragment dropped unless ``keep_fragments``."""
+    and re-encoded, fragment dropped unless ``keep_fragments``.
+
+    Documented deviations from w3lib (engine contract notes, like the
+    rebuild_url strategy list): (a) an empty path stays empty — not '/' —
+    when the URL has no netloc (every downstream consumer requires a
+    netloc, so the case is unreachable in pipelines; noted here because it
+    would matter if this were ever used as a bare dedup key); (b) on a
+    ``urlsplit`` ValueError (e.g. an invalid port) the input is returned
+    unchanged rather than raising."""
     try:
         parts = urlsplit(strip_html5_whitespace(url))
     except ValueError:

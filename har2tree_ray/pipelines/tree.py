@@ -93,8 +93,24 @@ def build_doc_tree(nodes: list[dict]) -> tuple[list[dict], int]:
 
     by_id = {i: n for i, n in enumerate(nodes)}
     url_index: dict[str, list[int]] = {}
+    # reverse evidence indexes: rules 3-5 would otherwise scan the whole
+    # unattached set per visited node — O(n²) on heavy-tail docs (the 1%
+    # with 100-616 spans).  Lists are built in ascending node order, so
+    # iterating them preserves the original sorted(unattached) visit order.
+    initiator_index: dict[str, list[int]] = {}
+    referer_index: dict[str, list[int]] = {}
+    nofrag_index: dict[str, list[int]] = {}
     for i, n in by_id.items():
         url_index.setdefault(n["media_ref"], []).append(i)
+        iu = n["initiator_url"]
+        if iu:
+            initiator_index.setdefault(iu, []).append(i)
+        r = n["referer"]
+        if r:
+            referer_index.setdefault(r, []).append(i)
+            nf = strip_fragment(r)
+            if nf != r:  # rule 5 requires referer != match target
+                nofrag_index.setdefault(nf, []).append(i)
     all_urls = set(url_index)
 
     root = 0
@@ -149,16 +165,16 @@ def build_doc_tree(nodes: list[dict]) -> tuple[list[dict], int]:
             for v in dict.fromkeys((fu, strip_fragment(fu))):
                 for c in [i for i in url_index.get(v, []) if i in unattached]:
                     take(c, "frame")
-        # 3. initiator / 4. referer / 5. referer_nofrag
-        for c in sorted(unattached):
-            if by_id[c]["initiator_url"] == url:
+        # 3. initiator / 4. referer / 5. referer_nofrag — index lookups in
+        # the same ascending order the sorted(unattached) scans used
+        for c in initiator_index.get(url, ()):
+            if c in unattached:
                 take(c, "initiator")
-        for c in sorted(unattached):
-            if by_id[c]["referer"] == url:
+        for c in referer_index.get(url, ()):
+            if c in unattached:
                 take(c, "referer")
-        for c in sorted(unattached):
-            r = by_id[c]["referer"]
-            if r and r != url and strip_fragment(r) == url:
+        for c in nofrag_index.get(url, ()):
+            if c in unattached:
                 take(c, "referer_nofrag")
         # 6. external resources by tag class (anti-join on resolvable
         # referer).  Channel order is part of the determinism contract:

@@ -541,6 +541,8 @@ SELECT doc_id, "offset", mime,
                list_filter((string_split({body}, '--' || {boundary}))[2:],
                            x -> NOT starts_with(x, '--')),
                x -> {part_json}), ',') || ']'
+         WHEN mime LIKE 'application/atom+xml%'
+              OR mime LIKE 'application/x-amzn-ion%' THEN {body}
          WHEN mime LIKE '%json%' THEN {body}
          WHEN mime LIKE 'text/%' THEN '"' || {body} || '"'
          ELSE '{{"_raw_b64":"' || b64 || '"}}'
@@ -651,6 +653,23 @@ MAGIC_SIGNATURES = [
     (0, b"GIF89a", "image/gif"),
     (0, b"GIF87a", "image/gif"),
     (0, b"%PDF-", "application/pdf"),
+    (0, b"SQLite format 3\x00", "application/vnd.sqlite3"),
+    (0, b"\x00\x00\x00\x0cJXL ", "image/jxl"),   # JXL container
+    (0, b"\x30\x26\xb2\x75\x8e\x66\xcf\x11", "video/x-ms-asf"),
+    (257, b"ustar", "application/x-tar"),
+    (32769, b"CD001", "application/x-iso9660-image"),
+    (128, b"DICM", "application/dicom"),
+    (0, b"!<arch>\n", "application/x-archive"),  # ar / deb / .lib
+    (0, b"ARROW1", "application/vnd.apache.arrow.file"),
+    (0, b"gimp xcf", "image/x-xcf"),
+    (0, b"#!AMR", "audio/amr"),
+    # ISO BMFF brand-specific sniffs MUST precede the generic ftyp entry
+    (4, b"ftypavif", "image/avif"),
+    (4, b"ftypheic", "image/heic"),
+    (4, b"ftypheix", "image/heic"),
+    (4, b"ftypmif1", "image/heif"),
+    (4, b"ftypM4A ", "audio/mp4"),
+    (4, b"ftypqt  ", "video/quicktime"),
     (4, b"ftyp", "video/mp4"),          # ISO BMFF (mp4/mov/heic family)
     (8, b"WEBP", "image/webp"),         # RIFF....WEBP
     (8, b"WAVE", "audio/wav"),          # RIFF....WAVE
@@ -671,8 +690,40 @@ MAGIC_SIGNATURES = [
     (0, b"\x28\xb5\x2f\xfd", "application/zstd"),
     (0, b"\x00asm", "application/wasm"),
     (0, b"\x7fELF", "application/x-executable"),
+    (0, b"\xd4\xc3\xb2\xa1", "application/vnd.tcpdump.pcap"),
+    (0, b"\xa1\xb2\xc3\xd4", "application/vnd.tcpdump.pcap"),
+    (0, b"\x0a\x0d\x0d\x0a", "application/x-pcapng"),
+    (0, b"\xca\xfe\xba\xbe", "application/java-vm"),  # .class (and Mach-O fat)
+    (0, b"\xfe\xed\xfa\xce", "application/x-mach-binary"),
+    (0, b"\xfe\xed\xfa\xcf", "application/x-mach-binary"),
+    (0, b"\xcf\xfa\xed\xfe", "application/x-mach-binary"),
+    (0, b"\xce\xfa\xed\xfe", "application/x-mach-binary"),
+    (0, b"MThd", "audio/midi"),
+    (8, b"AIFF", "audio/aiff"),
+    (8, b"AVI ", "video/x-msvideo"),
+    (0, b".snd", "audio/basic"),
+    (0, b"8BPS", "image/vnd.adobe.photoshop"),
+    (0, b"\xed\xab\xee\xdb", "application/x-rpm"),
+    (0, b"LZIP", "application/x-lzip"),
+    (0, b"\x04\x22\x4d\x18", "application/x-lz4"),
+    (0, b"MSCF", "application/vnd.ms-cab-compressed"),
+    (0, b"ITSF", "application/vnd.ms-htmlhelp"),
+    (0, b"Cr24", "application/x-chrome-extension"),
+    (0, b"dex\n", "application/x-dex"),
+    (0, b"qoif", "image/qoi"),
+    (0, b"\x76\x2f\x31\x01", "image/x-exr"),
+    (0, b"\x00\x00\x01\xba", "video/mpeg"),
+    (0, b"\x00\x00\x01\xb3", "video/mpeg"),
+    (0, b"PAR1", "application/vnd.apache.parquet"),
+    (0, b"Obj\x01", "application/avro"),
+    (0, b"%!PS", "application/postscript"),
+    (0, b"BPG\xfb", "image/bpg"),
+    (0, b"FWS", "application/x-shockwave-flash"),
+    (0, b"CWS", "application/x-shockwave-flash"),
+    (0, b"ZWS", "application/x-shockwave-flash"),
     (0, b"BZh", "application/x-bzip2"),
     (0, b"\x1f\x8b", "application/gzip"),
+    (0, b"\xff\x0a", "image/jxl"),      # bare JXL codestream (weak, 2-byte)
     (0, b"BM", "image/bmp"),
     (0, b"MZ", "application/x-msdownload"),
 ]
@@ -1024,7 +1075,20 @@ def rendered_urls_canonical_sql(flat_path: str) -> str:
     """The sanitize chain over the synth (escape-free) href vocabulary:
     trim → resolve against the offset-0 span URL → lowercase scheme/host →
     strip default port → empty path '/' → sort query args → keep fragment →
-    require netloc."""
+    require netloc.
+
+    SYNTH CONTRACT (parity holds only inside it — the generator's messy-URL
+    vocabulary stays within these bounds by construction):
+    * query keys are single-segment ``k=v`` pairs with no '=',
+      '&'-in-value, percent-escapes or valueless params — the SQL sorts raw
+      'k=v' strings while the engine sorts decoded (key, value) pairs via
+      parse_qsl/urlencode (which would emit ``flag=`` for a valueless
+      param), and raw-string sort differs from pair sort on prefix keys
+      ('a9=1' vs 'a10=1' style);
+    * relative hrefs contain no '../' dot segments — the SQL's
+      relative-href concat does not resolve them, urljoin does;
+    * hrefs are HTML-escape-free (percent-normalization and entity cases
+      are covered by the pure-function pytests instead)."""
     return f"""
 WITH d AS (
     SELECT doc_id, rendered_html,

@@ -337,21 +337,25 @@ def union_roots(pairs, col_a: str, col_b: str) -> dict:
 
 
 def dedup_clusters(docs_ds, pairs_ds, id_col: str = "doc_id",
-                   pair_cols: tuple[str, str] = ("doc_a", "doc_b")):
+                   pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+                   max_driver_pairs: int = 2_000_000):
     """Connected components over a near-dup pair graph →
     (doc_id, cluster_id) for EVERY document; cluster_id = min doc in the
     component (docs in no pair are their own cluster).
 
     Scale shape: the pair graph is the OUTPUT of candidate filtering
     (Jaccard/MinHash/embedding), orders of magnitude smaller than the corpus
-    by construction — so it is the broadcast small side: union-find runs
-    once on the driver, the root map is ``ray.put`` once, and the
-    full-corpus labeling stays a distributed ``map_batches``.  (For a pair
-    graph too big for one node, the same labeling becomes iterative
-    min-label propagation — broadcast labels per round — with this function
-    as its base case.)"""
+    by construction — so it is normally the broadcast small side:
+    union-find runs once on the driver, the root map is ``ray.put`` once,
+    and the full-corpus labeling stays a distributed ``map_batches``.
+    When the pair graph exceeds ``max_driver_pairs`` (boilerplate-heavy
+    corpora at 100 TB) the same contract is computed fully distributed by
+    ``label_propagation_clusters`` — identical clusters, proven by pytest."""
     import ray
 
+    if pairs_ds.count() > max_driver_pairs:
+        return label_propagation_clusters(docs_ds, pairs_ds, id_col,
+                                          pair_cols)
     pairs = pairs_ds.select_columns(list(pair_cols)).to_pandas()
     root_min = union_roots(pairs, *pair_cols)
     ref = ray.put(root_min)
@@ -366,6 +370,120 @@ def dedup_clusters(docs_ds, pairs_ds, id_col: str = "doc_id",
 
     return docs_ds.select_columns([id_col]).map_batches(
         per_batch, batch_format="pyarrow")
+
+
+def label_propagation_clusters(docs_ds, pairs_ds, id_col: str = "doc_id",
+                               pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+                               max_rounds: int = 64):
+    """Distributed min-label propagation — the escalation path of
+    ``dedup_clusters`` for pair graphs too large to gather to the driver.
+
+    Each round: (1) co-locate edges with current labels on a hash range of
+    the source node and emit ``(dst, label[src])`` messages; (2) co-locate
+    messages with labels on the destination node and take the min label,
+    counting changes.  Converges in ≤ graph-diameter rounds (≤ max_rounds
+    cap); every exchange is a coarse hash-range shuffle resolved with one
+    vectorized pandas pass (never per-node dispatch), and only the label
+    table — O(nodes-in-pairs), not O(corpus) — is rewritten per round.
+    Final labeling of the full corpus is one more range co-location (the
+    label table never gathers to the driver)."""
+    import pandas as pd
+
+    from ..util import user_range_groupby
+
+    a_col, b_col = pair_cols
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": pd.concat([df[a_col], df[b_col]], ignore_index=True),
+            "dst": pd.concat([df[b_col], df[a_col]], ignore_index=True)})
+
+    edges = pairs_ds.map_batches(sym, batch_format="pandas").materialize()
+    if edges.count() == 0:  # no pairs: every doc is its own cluster
+        def self_cluster(t: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": t[id_col], "cluster_id": t[id_col]})
+
+        return docs_ds.select_columns([id_col]).map_batches(
+            self_cluster, batch_format="pyarrow")
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.unique(df["node"])
+        return pd.DataFrame({"node": nodes, "label": nodes})
+
+    labels = edges.map_batches(init_labels, batch_format="pandas")
+
+    def tag_label(df: pd.DataFrame) -> pd.DataFrame:
+        # typed (string) nulls so the Arrow union schema matches both sides
+        return pd.DataFrame({"node": df["node"], "label": df["label"],
+                             "dst": pd.Series([None] * len(df),
+                                              dtype="string")})
+
+    def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"],
+                             "label": pd.Series([None] * len(df),
+                                                dtype="string"),
+                             "dst": df["dst"]})
+
+    def emit_msgs(df: pd.DataFrame) -> pd.DataFrame:
+        lmap = df.loc[df["label"].notna()].groupby("node")["label"].min()
+        e = df.loc[df["dst"].notna()]
+        lab = e["node"].map(lmap)
+        out = pd.DataFrame({"node": e["dst"].to_numpy(), "label": lab.to_numpy()})
+        return out.dropna(subset=["label"])
+
+    def min_merge(df: pd.DataFrame) -> pd.DataFrame:
+        new = df.groupby("node")["label"].min()
+        old = df.loc[df["is_old"] == 1].groupby("node")["label"].min()
+        changed = (new != old.reindex(new.index)).to_numpy().astype("int64")
+        return pd.DataFrame({"node": new.index.to_numpy(),
+                             "label": new.to_numpy(), "changed": changed})
+
+    for _ in range(max_rounds):
+        both = (labels.map_batches(tag_label, batch_format="pandas")
+                .union(edges.map_batches(tag_edge, batch_format="pandas")))
+        msgs = user_range_groupby(both, emit_msgs, key="node")
+
+        def tag_old(df: pd.DataFrame, old: int) -> pd.DataFrame:
+            out = df[["node", "label"]].copy()
+            out["is_old"] = old
+            return out
+
+        both2 = (labels.map_batches(lambda d: tag_old(d, 1),
+                                    batch_format="pandas")
+                 .union(msgs.map_batches(lambda d: tag_old(d, 0),
+                                         batch_format="pandas")))
+        merged = user_range_groupby(both2, min_merge,
+                                    key="node").materialize()
+        labels = merged.drop_columns(["changed"])
+        if merged.sum("changed") == 0:
+            break
+
+    # final corpus labeling: one more range co-location (docs without a
+    # pair keep themselves as cluster)
+    def tag_doc(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df[id_col],
+                             "label": pd.Series([None] * len(df),
+                                                dtype="string")})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        lmap = df.loc[df["is_doc"] == 0].groupby("node")["label"].min()
+        docs = df.loc[df["is_doc"] == 1, "node"]
+        lab = docs.map(lmap)
+        return pd.DataFrame({
+            "doc_id": docs.to_numpy(),
+            "cluster_id": lab.fillna(docs).to_numpy()})
+
+    def with_flag(df: pd.DataFrame, flag: int) -> pd.DataFrame:
+        out = df.copy()
+        out["is_doc"] = flag
+        return out
+
+    final = (docs_ds.select_columns([id_col])
+             .map_batches(lambda d: with_flag(tag_doc(d), 1),
+                          batch_format="pandas")
+             .union(labels.map_batches(lambda d: with_flag(d, 0),
+                                       batch_format="pandas")))
+    return user_range_groupby(final, resolve, key="node")
 
 
 # ------------------------------------------------------------------ SimHash

@@ -170,8 +170,15 @@ class MediaDecoder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self._real:
-            raise NotImplementedError(
-                "real PIL decode path not exercised in this container")
+            # same policy as MediaResizer: the synthetic payloads are not
+            # real image bytes, so warn and use the deterministic stub
+            # instead of hard-failing wherever Pillow is installed
+            import logging
+
+            logging.getLogger("har2tree_ray.media").warning(
+                "PIL importable but payloads are synthetic; using the "
+                "deterministic stub decoder")
+            self._real = False
         payloads = batch["payload"].to_pylist()
         dims = [self._decode_stub(p) for p in payloads]
         out = batch.drop_columns(["payload", "payload_sha256"])
@@ -263,8 +270,15 @@ class MediaResizer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self._real:
-            raise NotImplementedError(
-                "real PIL resize path not exercised in this container")
+            # a real PIL resample path is not implemented yet; warn once
+            # per actor and keep the deterministic stub so the registered
+            # query works wherever Pillow happens to be installed
+            import logging
+
+            logging.getLogger("har2tree_ray.media").warning(
+                "PIL importable but the real resize path is not "
+                "implemented; using the deterministic stub resampler")
+            self._real = False
         payloads = batch["payload"].to_pylist()
         resized = [self._resize_stub(p) for p in payloads]
         out = batch.drop_columns(["payload", "payload_sha256"])

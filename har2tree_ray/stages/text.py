@@ -726,7 +726,13 @@ def doc_normalize(ds):
     (non-trivial case mappings are pytest-covered, not oracle-covered).
 
     Output: (doc_id, norm_text, n_chars, n_chars_norm) — the char deltas
-    let a curation pass flag heavy-normalization docs cheaply."""
+    let a curation pass flag heavy-normalization docs cheaply.
+
+    WHITESPACE CONTRACT: Python's ``\\s``/``str.split()`` are
+    Unicode-aware while DuckDB's RE2 ``\\s``/``trim()`` are ASCII-only, so
+    oracle parity (here and in doc_tfidf_top) requires document text to
+    contain only ASCII whitespace — asserted against the driver corpus by
+    ``test_documents_ascii_whitespace_contract``."""
     import unicodedata
 
     _ws = re.compile(r"\s+")

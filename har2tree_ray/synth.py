@@ -48,7 +48,7 @@ import pyarrow.parquet as pq
 
 from .schema import INTERLEAVED_SCHEMA
 
-SYNTH_VERSION = 16  # bump to invalidate /tmp caches when generation changes
+SYNTH_VERSION = 18  # bump to invalidate /tmp caches when generation changes
 
 _GTAG_ALPHABET = np.array(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"))
 
@@ -145,6 +145,14 @@ _MAGIC_PREFIXES = [
     (b"II*\x00", "tif"),
     (b"\x1aE\xdf\xa3", "webm"),
     (b"BM", "bmp"),
+    (b"SQLite format 3\x00", "db"),
+    (b"MThd", "mid"),
+    (b"PAR1", "parquet"),
+    (b"\xca\xfe\xba\xbe", "class"),
+    (b"CWS", "swf"),
+    (b"\x00\x00\x00\x20ftypavif", "avif"),
+    (b"\x00" * 257 + b"ustar", "tar"),   # offset-257 signature
+    (b"\x00" * 128 + b"DICM", "dcm"),    # offset-128 signature
     (b"", "bin"),
 ]
 
@@ -198,6 +206,15 @@ def _gen_post(rs: np.random.RandomState) -> str:
                         f'name="f{i}"\r\n\r\nv{int(rs.randint(0, 99))}\r\n')
         raw = ("".join(segs) + "--bnd1--\r\n").encode()
         mime = "multipart/form-data;boundary=bnd1"
+    elif r < 0.95:
+        # atom+xml / amazon-ion carrying a JSON blob (M12 exotic branches,
+        # nodes.py:363-377,418-432) — canonical-form JSON so decode →
+        # re-encode round-trips byte-identical for the SQL oracle
+        obj = {f"a{i}": int(rs.randint(0, 99))
+               for i in range(int(rs.randint(1, 3)))}
+        raw = json.dumps(obj, sort_keys=True, separators=(",", ":")).encode()
+        mime = ("application/atom+xml" if rs.random_sample() < 0.5
+                else "application/x-amzn-ion")
     else:
         # \xff\xfe prefix guarantees invalid UTF-8 → the raw-bytes branch
         raw = b"\xff\xfe" + bytes(

@@ -78,3 +78,20 @@ def test_decode_posted_data_dispatch():
     assert decode_posted_data("text/plain", "[1,2]") == [1, 2]
     out = decode_posted_data("application/octet-stream", b"\xff\xfe")
     assert "_raw_b64" in out
+
+
+def test_registry_counts_and_ordering():
+    """Keep the documented registry counts honest (__ray_entry__ docstring,
+    README, SURVEY §2 close-out) and enforce the oracled-first ordering the
+    driver's 50-entry correctness snapshot depends on."""
+    import __ray_entry__ as m
+
+    q, o = m.queries(), m.oracle_sql()
+    assert len(q) == 81, len(q)
+    assert len(o) == 67, len(o)
+    assert set(o) <= set(q)
+    names = list(q)
+    first_oracled = [n in o for n in names]
+    # every oracled query precedes every rows-only query
+    assert first_oracled == sorted(first_oracled, reverse=True)
+    assert all(n in o for n in names[:50])

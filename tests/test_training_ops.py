@@ -341,3 +341,58 @@ def test_semdedup_group_budget_on_skew():
 
     # near-identical vectors: every sub-group keeps exactly its min vec_id
     assert int(out["keep"].sum()) == len(gsz)
+
+
+def test_label_propagation_matches_union_find():
+    """The distributed min-label-propagation escalation must produce
+    clusters identical to the driver union-find base case on a generated
+    graph with chains, stars, singletons and multi-component merges."""
+    import ray.data as rd
+
+    from har2tree_ray.stages.dedup import (dedup_clusters,
+                                           label_propagation_clusters)
+
+    rs = np.random.RandomState(11)
+    n = 60
+    docs = [f"d{i:03d}" for i in range(n)]
+    pairs = []
+    # chain (diameter stress), a star, random extra edges
+    for i in range(0, 9):
+        pairs.append((docs[i], docs[i + 1]))
+    for i in range(30, 37):
+        pairs.append((docs[30], docs[i]))
+    for _ in range(12):
+        a, b = rs.randint(0, n, size=2)
+        if a != b:
+            pairs.append((docs[a], docs[b]))
+    docs_ds = rd.from_items([{"doc_id": d} for d in docs])
+    pairs_ds = rd.from_items([{"doc_a": a, "doc_b": b} for a, b in pairs])
+
+    base = to_pandas(dedup_clusters(docs_ds, pairs_ds)).sort_values(
+        "doc_id").reset_index(drop=True)
+    lp = to_pandas(label_propagation_clusters(
+        docs_ds, pairs_ds)).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, lp)
+
+    # the escalation threshold routes through label propagation
+    esc = to_pandas(dedup_clusters(docs_ds, pairs_ds, max_driver_pairs=1)
+                    ).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, esc)
+
+
+def test_documents_ascii_whitespace_contract():
+    """doc_normalize / doc_tfidf_top parity relies on Python's
+    Unicode-aware whitespace handling agreeing with DuckDB's ASCII-only
+    RE2 \\s and trim(); that holds only while document text carries no
+    non-ASCII whitespace (NBSP, U+2028, ...).  Assert the contract on the
+    driver corpus the oracle gate actually runs against."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    bad = re.compile(r"[^\S \t\n\r\f\v]")  # whitespace outside the ASCII set
+    t = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                      columns=["text"])
+    for chunk in t["text"].chunks:
+        for s in chunk.to_pylist():
+            assert s is None or not bad.search(s)

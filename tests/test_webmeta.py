@@ -184,8 +184,10 @@ def test_sniff_mime_signature_table():
             raw = sig + b"tail"
         elif off == 4:
             raw = pad + sig + b"tail"
-        else:  # RIFF container members
+        elif off == 8:  # RIFF/IFF container members
             raw = b"RIFF\x24\x00\x00\x00" + sig + b"tail"
+        else:  # far-offset signatures (tar@257, DICM@128, CD001@32769)
+            raw = b"\x00" * off + sig + b"tail"
         assert sniff_mime(raw) == mime, (off, sig, mime)
     assert sniff_mime(b"plain text here") == ""
     assert sniff_mime(b"") == ""
@@ -194,3 +196,102 @@ def test_sniff_mime_signature_table():
     assert sniff_mime(b"\x89PNG\r\n\x1a\n....") == "image/png"
     # truncated payload shorter than an offset sig: no IndexError, no match
     assert sniff_mime(b"RIFF\x24\x00") == ""
+
+
+def test_posted_data_protobuf_wire():
+    """M12 protobuf branch (reference blackboxprotobuf, nodes.py:401-416):
+    hand-built wire bytes decode to the [{"protobuf_message", "typedef"}]
+    shape; malformed wire falls through to the raw branch."""
+    from har2tree_ray.functions.parse import (decode_posted_data,
+                                              decode_protobuf_wire)
+
+    # field1 varint 150 | field2 str "testing" | field3 nested {1: 1}
+    wire = b"\x08\x96\x01" + b"\x12\x07testing" + b"\x1a\x02\x08\x01"
+    msg, typedef = decode_protobuf_wire(wire)
+    assert msg == {"1": 150, "2": "testing", "3": {"1": 1}}
+    assert typedef["1"] == {"type": "int"}
+    assert typedef["2"] == {"type": "str"}
+    assert typedef["3"]["type"] == "message"
+
+    # repeated field → list
+    msg2, _ = decode_protobuf_wire(b"\x08\x01\x08\x02\x08\x03")
+    assert msg2 == {"1": [1, 2, 3]}
+
+    out = decode_posted_data("application/x-protobuf", wire)
+    assert out == [{"protobuf_message": msg, "typedef": typedef}]
+    # grpc-web alias routes the same way
+    out2 = decode_posted_data("application/grpc-web+proto", wire)
+    assert out2 == out
+    # garbage wire → falls through to raw (b64) like the reference's
+    # final fallback
+    bad = decode_posted_data("application/x-protobuf", b"\xff\xff\xff")
+    assert "_raw_b64" in bad
+
+
+def test_posted_data_dns_wire():
+    """M12 dns-message branch (reference dns.message.from_wire,
+    nodes.py:433-441): query + compressed-pointer answer parse."""
+    import struct
+
+    from har2tree_ray.functions.parse import (decode_dns_wire,
+                                              decode_posted_data)
+
+    name = b"\x07example\x03com\x00"
+    q = struct.pack(">HHHHHH", 0x1234, 0x0100, 1, 0, 0, 0) + name + \
+        struct.pack(">HH", 1, 1)
+    out = decode_dns_wire(q)
+    assert out["id"] == 0x1234
+    assert out["questions"] == [{"name": "example.com.", "type": "A"}]
+    assert out["answers"] == []
+
+    # response: same question + one A answer via compression pointer to
+    # offset 12 (0xC00C)
+    ans = b"\xc0\x0c" + struct.pack(">HHIH", 1, 1, 300, 4) + \
+        bytes([1, 2, 3, 4])
+    r = struct.pack(">HHHHHH", 7, 0x8180, 1, 1, 0, 0) + name + \
+        struct.pack(">HH", 1, 1) + ans
+    out = decode_dns_wire(r)
+    assert out["answers"] == [{"name": "example.com.", "type": "A",
+                               "ttl": 300, "rdata": "1.2.3.4"}]
+
+    routed = decode_posted_data("application/dns-message", q)
+    assert routed["questions"][0]["name"] == "example.com."
+    # truncated wire → raw fallback
+    assert "_raw_b64" in decode_posted_data("application/dns-message",
+                                            b"\x00\x01\x02\xff")
+
+
+def test_posted_data_atom_xml_and_ion():
+    """M12 atom+xml / amazon-ion branches (nodes.py:363-377,418-432): both
+    tear JSON blobs; non-JSON bodies stay verbatim strings."""
+    from har2tree_ray.functions.parse import decode_posted_data
+
+    assert decode_posted_data("application/atom+xml",
+                              b'{"feed": 3}') == {"feed": 3}
+    xml = "<feed><entry/></feed>"
+    assert decode_posted_data("application/atom+xml", xml.encode()) == xml
+    assert decode_posted_data("application/x-amzn-ion",
+                              b'{"k": [1, 2]}') == {"k": [1, 2]}
+    assert decode_posted_data("application/x-amzn-ion",
+                              b"not ion text") == "not ion text"
+
+
+def test_magic_signature_table():
+    """M18 magic table: ≥60 public signatures with offset support; brand
+    sniffs beat the generic ISO-BMFF entry; offset signatures match only
+    at their offset; weak 2-byte entries never shadow longer ones."""
+    from har2tree_ray.pipelines.webmeta import MAGIC_SIGNATURES, sniff_mime
+
+    assert len(MAGIC_SIGNATURES) >= 60
+    assert sniff_mime(b"\x00\x00\x00\x20ftypavif" + b"x" * 8) == "image/avif"
+    assert sniff_mime(b"\x00\x00\x00\x20ftypisom" + b"x" * 8) == "video/mp4"
+    assert sniff_mime(b"\x00" * 257 + b"ustar" + b"\x00" * 200) == "application/x-tar"
+    assert sniff_mime(b"ustar") == ""                     # offset matters
+    assert sniff_mime(b"\x00" * 128 + b"DICM") == "application/dicom"
+    assert sniff_mime(b"SQLite format 3\x00" + b"\x00" * 50) == "application/vnd.sqlite3"
+    assert sniff_mime(b"MZ\x90\x00") == "application/x-msdownload"
+    assert sniff_mime(b"\x89PNG\r\n\x1a\nrest") == "image/png"
+    assert sniff_mime(b"\xff\x0a\x00") == "image/jxl"
+    assert sniff_mime(b"\xff\xd8\xff\xe0") == "image/jpeg"  # jpeg beats jxl
+    assert sniff_mime(b"PAR1xxxx") == "application/vnd.apache.parquet"
+    assert sniff_mime(b"") == "" and sniff_mime(b"\x00") == ""
