@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "embedded_blobs",
     "ann_topk_ivf",
     "knn_graph",
+    "knn_graph_ivf",
     "semdedup_keep",
     "rendered_urls_canonical",
     "host_boxes",
@@ -94,6 +95,7 @@ BENCH_QUERIES = [
     "landing",
     "cookie_events",
     "cookies_never_sent",
+    "cookies_locally_created",
     "span_identifiers",
     "doc_domhash",
     "doc_fingerprint",

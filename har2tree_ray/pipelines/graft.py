@@ -306,8 +306,6 @@ def _graft_from_summaries(summaries, n_parts: int | None = None):
     capture (≠ child) whose landing OR root URL equals the child's root
     referer (the reference scans candidates in sorted order and takes the
     first match — parser.py:43-72)."""
-    import zlib
-
     import numpy as np
 
     if n_parts is None:

@@ -291,8 +291,6 @@ def ngram_jaccard_pairs(ds, tau: float = JACCARD_TAU, df_cap: int = JACCARD_DF_C
     Range-group size is O(rows / n_parts) with n_parts scaling with
     cluster width; per-gram fan-out stays bounded by df_cap² regardless.
     """
-    import zlib
-
     import numpy as np
     import pandas as pd
 
@@ -421,8 +419,6 @@ def ngram_topk(ds, k: int = NGRAM_TOPK, n_parts: int | None = None):
     per-range top-ks.  The driver merges n_parts × k rows; the full gram
     table never reaches it.  Ties break by gram ascending (deterministic,
     mirrored in SQL)."""
-    import zlib
-
     import numpy as np
     import pandas as pd
 
@@ -625,8 +621,6 @@ def doc_tfidf_top(ds, k: int = TFIDF_K, n_parts: int | None = None):
 
     Output: (doc_id, word, tf, df, rank), rank 1..k.
     """
-    import zlib
-
     import numpy as np
     import pandas as pd
 
