@@ -223,12 +223,16 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32, reps: int = 4) -> dict:
     spread."""
     import statistics
 
-    pairs, ceilings = [], []
+    pairs, ceilings, per_query = [], [], []
     for _ in range(reps):
         r_lo = _spawn_suite(sf_dir, lo, SCALING_QUERIES)
         r_hi = _spawn_suite(sf_dir, hi, SCALING_QUERIES)
         pairs.append((sum(r_lo["queries"].values()),
                       sum(r_hi["queries"].values()), r_hi["n_docs"]))
+        per_query.append({q: {"lo": r_lo["queries"][q], "hi": r_hi["queries"][q],
+                              "eff": round(r_lo["queries"][q]
+                                           / r_hi["queries"][q] / (hi / lo), 3)}
+                          for q in SCALING_QUERIES})
         ceilings.append(cpu_baseline(lo, hi)["value"])
     factor = hi / lo
     effs = [round((p[0] / p[1]) / factor, 3) for p in pairs]
@@ -259,6 +263,7 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32, reps: int = 4) -> dict:
         "ceiling_median": round(med_ceiling, 3),
         "efficiency_vs_ceiling_median": (
             round(med_eff / med_ceiling, 3) if med_ceiling else None),
+        "per_query_per_pair": per_query,
     }
 
 

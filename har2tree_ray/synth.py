@@ -566,7 +566,7 @@ def capture_batch_table(cap_indices: np.ndarray, seed: int = 42) -> pa.Table:
 # sf0.3 is a synthetic-only tier (no driver tables) used by the scaling
 # benchmark: big enough that per-pipeline fixed costs amortize away.
 SF_CAPTURES = {"sf0.001": 120, "sf0.01": 800, "sf0.1": 8000, "sf0.3": 24000,
-               "sf0.5": 40000}
+               "sf0.5": 40000, "sf1.0": 80000}
 CACHE_ROOT = "/tmp/graft_interleaved"
 
 
