@@ -250,6 +250,23 @@ def q_doc_normalize(sf_dir: str):
     return text.doc_normalize(_docs(sf_dir))
 
 
+def q_doc_decontam(sf_dir: str):
+    return text.decontaminate(_docs(sf_dir))
+
+
+def q_doc_pii(sf_dir: str):
+    return text.pii_stats(_docs(sf_dir))
+
+
+def q_doc_repetition(sf_dir: str):
+    return text.repetition_stats(_docs(sf_dir))
+
+
+def q_doc_mix(sf_dir: str):
+    return text.doc_mix(
+        read_table(sf_dir, "documents", columns=["doc_id", "source"]))
+
+
 def q_doc_jaccard_pairs(sf_dir: str):
     return text.ngram_jaccard_pairs(_docs(sf_dir))
 
@@ -895,6 +912,10 @@ _TABLE_ORACLES = {
     "doc_tfidf_top": lambda _p: text.doc_tfidf_top_sql(),
     "doc_normalize": lambda _p: text.doc_normalize_sql(),
     "doc_jaccard_pairs": lambda _p: text.ngram_jaccard_sql(),
+    "doc_decontam": lambda _p: text.decontaminate_sql(),
+    "doc_pii": lambda _p: text.pii_stats_sql(),
+    "doc_repetition": lambda _p: text.repetition_stats_sql(),
+    "doc_mix": lambda _p: text.doc_mix_sql(),
     "doc_exact_dedup": _oracle_doc_exact_dedup,
     "doc_filter": lambda _p: text.doc_filter_sql(),
     "doc_len_histogram": lambda _p: text.doc_len_histogram_sql(),
@@ -1013,6 +1034,10 @@ def _queries_registry() -> dict[str, Callable]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_tfidf_top": q_doc_tfidf_top,          # tf/df ranking (exact oracle)
         "doc_normalize": q_doc_normalize,          # NFC/case/ws canonical form
+        "doc_decontam": q_doc_decontam,          # eval-leakage n-gram guard
+        "doc_pii": q_doc_pii,                    # PII scan counts
+        "doc_repetition": q_doc_repetition,      # Gopher repetition signals
+        "doc_mix": q_doc_mix,                    # weighted per-source mixing
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash_pairs": q_doc_minhash_pairs,  # approximate — rows-only

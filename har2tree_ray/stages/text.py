@@ -756,3 +756,288 @@ SELECT doc_id,
            AS n_chars_norm
 FROM {rel}
 """
+
+
+# ----------------------------------------------------------- decontamination
+
+DECONTAM_GRAM = 8       # words per shingle (published decontam practice)
+DECONTAM_BENCH_MOD = 29 # doc_id % MOD == 0 -> benchmark side (synthetic stand-in)
+
+
+def _distinct_gram_hashes(text: str, k: int) -> set[str]:
+    """Distinct md5-hex hashes of the doc's k-word shingles.  Docs shorter
+    than k words contribute their single whole-text shingle (same edge rule
+    as ``fingerprints`` / its SQL ``GREATEST(len-k+1, 1)`` window)."""
+    words = _WS_TOKEN.findall(text)
+    if len(words) <= k:
+        grams = {" ".join(words)}
+    else:
+        grams = {" ".join(words[j:j + k]) for j in range(len(words) - k + 1)}
+    return {hashlib.md5(g.encode("utf-8")).hexdigest() for g in grams}
+
+
+def decontaminate(ds, bench_mod: int = DECONTAM_BENCH_MOD,
+                  k: int = DECONTAM_GRAM):
+    """Benchmark decontamination: flag corpus docs sharing any k-word
+    shingle with the benchmark set (the standard eval-leakage guard in
+    training-data pipelines; no har2tree counterpart).
+
+    Benchmark side here is the deterministic subset ``doc_id % bench_mod
+    == 0`` — a stand-in for real eval sets, which are small (MBs) by
+    nature.  100 TB shape: the benchmark gram-hash set is collected once
+    (small side BY CONTRACT — eval suites, not corpus-sized), broadcast
+    via ``ray.put``, and the corpus streams through one map-only pass; no
+    shuffle.  If a benchmark side ever outgrew broadcast, the escalation
+    is the ``ngram_jaccard_pairs`` plan: explode both sides to gram rows
+    and hash-partition on gram.
+
+    Output per doc: (doc_id, is_bench, n_grams, n_hit, contaminated) —
+    integer/bool columns only, exact-oracle-safe.
+    """
+    import ray
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hashes: set[str] = set()
+        for t in batch.filter(pa.array(ids % bench_mod == 0))["text"].to_pylist():
+            hashes |= _distinct_gram_hashes(t, k)
+        return pa.table({"h": pa.array(sorted(hashes), pa.string())})
+
+    # gram hashing runs distributed; only the (small) hash rows reach the
+    # driver, which unions them into the broadcast set
+    bench_hashes: set[str] = set()
+    for b in (ds.map_batches(bench_grams, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")):
+        bench_hashes.update(b["h"].to_pylist())
+    ref = ray.put(frozenset(bench_hashes))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        bench = ray.get(ref)
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        n_grams, n_hit, is_bench = [], [], []
+        for d, t in zip(ids, texts):
+            hs = _distinct_gram_hashes(t, k)
+            n_grams.append(len(hs))
+            n_hit.append(sum(1 for h in hs if h in bench))
+            is_bench.append(d % bench_mod == 0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "is_bench": pa.array(is_bench, pa.bool_()),
+            "n_grams": pa.array(n_grams, pa.int64()),
+            "n_hit": pa.array(n_hit, pa.int64()),
+            "contaminated": pa.array([h > 0 for h in n_hit], pa.bool_()),
+        })
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def decontaminate_sql(rel: str = "documents",
+                      bench_mod: int = DECONTAM_BENCH_MOD,
+                      k: int = DECONTAM_GRAM) -> str:
+    return f"""
+WITH w AS (
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM {rel}
+), g AS (
+    SELECT DISTINCT doc_id,
+           md5(array_to_string(ws[i:i + {k - 1}], ' ')) AS h
+    FROM w, UNNEST(range(1, GREATEST(len(ws) - {k - 1}, 1) + 1)) AS t(i)
+), bench AS (
+    SELECT DISTINCT h FROM g WHERE doc_id % {bench_mod} = 0
+)
+SELECT g.doc_id,
+       (g.doc_id % {bench_mod} = 0) AS is_bench,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN b.h IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit,
+       BOOL_OR(b.h IS NOT NULL) AS contaminated
+FROM g LEFT JOIN bench b USING (h)
+GROUP BY g.doc_id
+"""
+
+
+# ------------------------------------------------------------- PII scanning
+
+# ASCII-only patterns chosen to parse identically under Python re and
+# DuckDB's RE2 (both support \b, \d, {m,n} here); the document corpus is
+# ASCII by contract (see doc_normalize WHITESPACE CONTRACT note).
+_PII_EMAIL = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b")
+_PII_IPV4_SQL = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_PHONE = re.compile(r"\b\d{3}[-.]\d{3}[-.]\d{4}\b")
+_PII_PHONE_SQL = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+
+def pii_stats(ds):
+    """Per-doc PII match counts (email / IPv4 / US-phone shapes) — the
+    redaction-pipeline scan stage (no har2tree counterpart).  Map-only,
+    module-level compiled patterns; at 100 TB this streams with zero
+    shuffle.  Counts (ints) rather than redacted text keep the oracle
+    compare exact; a redact step is `regexp_replace` over the same
+    patterns.  The synthetic corpus is PII-free, so the non-zero branch is
+    pytest-covered (fixture text), while the oracle proves scan parity."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        em = [len(_PII_EMAIL.findall(t)) for t in texts]
+        ip = [len(_PII_IPV4.findall(t)) for t in texts]
+        ph = [len(_PII_PHONE.findall(t)) for t in texts]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_emails": pa.array(em, pa.int64()),
+            "n_ipv4": pa.array(ip, pa.int64()),
+            "n_phones": pa.array(ph, pa.int64()),
+            "has_pii": pa.array([a + b + c > 0 for a, b, c in zip(em, ip, ph)],
+                                pa.bool_()),
+        })
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def pii_stats_sql(rel: str = "documents") -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL_SQL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_IPV4_SQL}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE_SQL}')) AS BIGINT) AS n_phones,
+       (len(regexp_extract_all(text, '{_PII_EMAIL_SQL}'))
+        + len(regexp_extract_all(text, '{_PII_IPV4_SQL}'))
+        + len(regexp_extract_all(text, '{_PII_PHONE_SQL}'))) > 0 AS has_pii
+FROM {rel}
+"""
+
+
+# ------------------------------------------------------ repetition signals
+
+
+def repetition_stats(ds):
+    """Gopher-style within-doc repetition signals: distinct-word ratio,
+    most-frequent word/bigram mass, duplicate 4-gram positions.  All
+    counts are integers (ratio math left to the consumer) so the oracle
+    compare is exact.  Map-only, no shuffle — each doc is scored alone."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        cols = {c: [] for c in ("n_words", "n_distinct_words", "top_word_count",
+                                "n_bigrams", "top_bigram_count",
+                                "n_4grams", "n_distinct_4grams")}
+        for t in texts:
+            words = _WS_TOKEN.findall(t)
+            nw = len(words)
+            cols["n_words"].append(nw)
+            cols["n_distinct_words"].append(len(set(words)))
+            wc: dict[str, int] = {}
+            for w in words:
+                wc[w] = wc.get(w, 0) + 1
+            cols["top_word_count"].append(max(wc.values()) if wc else 0)
+            bigrams = [" ".join(words[i:i + 2]) for i in range(nw - 1)]
+            bc: dict[str, int] = {}
+            for g in bigrams:
+                bc[g] = bc.get(g, 0) + 1
+            cols["n_bigrams"].append(len(bigrams))
+            cols["top_bigram_count"].append(max(bc.values()) if bc else 0)
+            fours = [" ".join(words[i:i + 4]) for i in range(max(nw - 3, 0))]
+            cols["n_4grams"].append(len(fours))
+            cols["n_distinct_4grams"].append(len(set(fours)))
+        out = {"doc_id": batch["doc_id"]}
+        out.update({c: pa.array(v, pa.int64()) for c, v in cols.items()})
+        return pa.table(out)
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def repetition_stats_sql(rel: str = "documents") -> str:
+    return f"""
+WITH w AS (
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM {rel}
+), base AS (
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+           CAST(GREATEST(len(ws) - 1, 0) AS BIGINT) AS n_bigrams,
+           CAST(GREATEST(len(ws) - 3, 0) AS BIGINT) AS n_4grams
+    FROM w
+), wcnt AS (
+    SELECT doc_id, MAX(c) AS top_word_count FROM (
+        SELECT doc_id, COUNT(*) AS c FROM w, UNNEST(ws) AS t(word)
+        GROUP BY doc_id, word
+    ) GROUP BY doc_id
+), bg AS (
+    SELECT doc_id, array_to_string(ws[i:i + 1], ' ') AS g
+    FROM w, UNNEST(range(1, GREATEST(len(ws) - 1, 0) + 1)) AS t(i)
+), bcnt AS (
+    SELECT doc_id, MAX(c) AS top_bigram_count FROM (
+        SELECT doc_id, COUNT(*) AS c FROM bg GROUP BY doc_id, g
+    ) GROUP BY doc_id
+), fg AS (
+    SELECT doc_id, COUNT(DISTINCT array_to_string(ws[i:i + 3], ' '))
+               AS n_distinct_4grams
+    FROM w, UNNEST(range(1, GREATEST(len(ws) - 3, 0) + 1)) AS t(i)
+    GROUP BY doc_id
+)
+SELECT base.doc_id, n_words, n_distinct_words,
+       CAST(COALESCE(wcnt.top_word_count, 0) AS BIGINT) AS top_word_count,
+       n_bigrams,
+       CAST(COALESCE(bcnt.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+       n_4grams,
+       CAST(COALESCE(fg.n_distinct_4grams, 0) AS BIGINT) AS n_distinct_4grams
+FROM base
+LEFT JOIN wcnt USING (doc_id)
+LEFT JOIN bcnt USING (doc_id)
+LEFT JOIN fg USING (doc_id)
+"""
+
+
+# ------------------------------------------------------- weighted mixing
+
+
+def _mix_threshold(source: str) -> str:
+    """Per-source keep threshold (4 hex digits, compare-as-string): sources
+    whose md5 leads with a low nibble keep 75% (c000/10000), the rest 25%
+    (4000/10000).  Derived purely from the source string so the engine and
+    the SQL oracle agree with no shared table."""
+    return "c000" if hashlib.md5(source.encode()).hexdigest()[0] < "8" else "4000"
+
+
+def doc_mix(ds):
+    """Deterministic per-source weighted mixing — the corpus-mixing step of
+    a training-data pipeline (sample each source at its own rate; cf. the
+    uniform `doc_sample`).  Keep rule: first 4 hex chars of md5(doc_id
+    as string) compare-less-than the source's threshold.  Content-
+    addressed ⇒ stable across runs/partitionings; map-only at 100 TB with
+    a per-process threshold memo (sources are few; no broadcast needed)."""
+
+    memo: dict[str, str] = {}
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        buckets = [hashlib.md5(str(d).encode()).hexdigest()[:4] for d in ids]
+        thr = []
+        for s in srcs:
+            t = memo.get(s)
+            if t is None:
+                t = memo[s] = _mix_threshold(s)
+            thr.append(t)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "bucket": pa.array(buckets, pa.string()),
+            "threshold": pa.array(thr, pa.string()),
+            "kept": pa.array([b < t for b, t in zip(buckets, thr)], pa.bool_()),
+        })
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def doc_mix_sql(rel: str = "documents") -> str:
+    return f"""
+SELECT doc_id, source,
+       substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket,
+       CASE WHEN substr(md5(source), 1, 1) < '8' THEN 'c000' ELSE '4000' END
+           AS threshold,
+       substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+           < CASE WHEN substr(md5(source), 1, 1) < '8'
+                  THEN 'c000' ELSE '4000' END AS kept
+FROM {rel}
+"""

@@ -17,7 +17,7 @@ SF = "/root/testdata/sf0.001"
     "doc_tokens", "doc_quality", "doc_langid", "doc_fingerprint",
     "doc_jaccard_pairs", "doc_exact_dedup", "embed_neardup", "ann_topk",
     "doc_filter", "dedup_clusters", "doc_len_histogram", "corpus_keep",
-    "ngram_topk",
+    "ngram_topk", "doc_decontam", "doc_pii", "doc_repetition", "doc_mix",
 ])
 def test_oracle_parity(name):
     assert_matches_oracle(name, SF)
@@ -396,3 +396,101 @@ def test_documents_ascii_whitespace_contract():
     for chunk in t["text"].chunks:
         for s in chunk.to_pylist():
             assert s is None or not bad.search(s)
+
+
+def test_pii_patterns_on_real_shapes():
+    """The synthetic corpus is PII-free (the oracle proves scan parity on
+    it); the positive branches are covered here with genuine shapes."""
+    import pyarrow as pa
+    import ray.data as rd
+    from har2tree_ray.stages import text
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "contact alice.smith+spam@example.co.uk or bob@x.io today",
+            "server at 10.0.255.3 and 192.168.1.1 responded",
+            "call 555-867-5309 or 555.123.4567 now",
+            "no pii here at all",
+        ]),
+    })
+    out = to_pandas(text.pii_stats(rd.from_arrow(docs))).set_index("doc_id")
+    assert out.loc[0, "n_emails"] == 2 and out.loc[0, "has_pii"]
+    assert out.loc[1, "n_ipv4"] == 2
+    assert out.loc[2, "n_phones"] == 2
+    assert out.loc[3, ["n_emails", "n_ipv4", "n_phones"]].sum() == 0
+    assert not out.loc[3, "has_pii"]
+
+
+def test_decontam_flags_shared_shingles():
+    """A doc sharing an 8-word window with a benchmark doc is contaminated;
+    one sharing none is clean; the benchmark doc itself is marked."""
+    import pyarrow as pa
+    import ray.data as rd
+    from har2tree_ray.stages import text
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    leaked = "prefix words then alpha beta gamma delta epsilon zeta eta theta trailer"
+    clean = "completely different vocabulary with no overlap whatsoever in windows"
+    docs = pa.table({
+        # bench_mod=29 -> doc_id 0 is benchmark, 1 and 2 are corpus
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([bench_text, leaked, clean]),
+    })
+    out = to_pandas(text.decontaminate(rd.from_arrow(docs))).set_index("doc_id")
+    assert out.loc[0, "is_bench"] and out.loc[0, "contaminated"]
+    assert out.loc[1, "contaminated"] and out.loc[1, "n_hit"] >= 1
+    assert not out.loc[1, "is_bench"]
+    assert not out.loc[2, "contaminated"] and out.loc[2, "n_hit"] == 0
+
+
+def test_repetition_signals():
+    import pyarrow as pa
+    import ray.data as rd
+    from har2tree_ray.stages import text
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "spam spam spam spam",          # one word repeated
+            "a b c d a b c d",              # repeated 4-gram "a b c d"
+            "",                              # empty edge case
+        ]),
+    })
+    out = to_pandas(text.repetition_stats(rd.from_arrow(docs))).set_index("doc_id")
+    assert out.loc[0, "n_words"] == 4 and out.loc[0, "n_distinct_words"] == 1
+    assert out.loc[0, "top_word_count"] == 4
+    assert out.loc[0, "top_bigram_count"] == 3  # "spam spam" x3
+    r1 = out.loc[1]
+    assert r1["n_4grams"] == 5 and r1["n_distinct_4grams"] == 4  # "a b c d" dup
+    r2 = out.loc[2]
+    assert (r2[["n_words", "n_distinct_words", "top_word_count", "n_bigrams",
+                "top_bigram_count", "n_4grams", "n_distinct_4grams"]] == 0).all()
+
+
+def test_doc_mix_rates_track_thresholds():
+    """Kept fraction per source approximates its threshold (c000 -> 75%,
+    4000 -> 25%) and the keep rule is the documented md5 compare."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+    from har2tree_ray.stages import text
+
+    n = 2000
+    docs = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array(["srcA" if i % 2 else "srcB" for i in range(n)]),
+    })
+    out = to_pandas(text.doc_mix(rd.from_arrow(docs)))
+    for src in ("srcA", "srcB"):
+        sub = out[out["source"] == src]
+        thr = text._mix_threshold(src)
+        assert (sub["threshold"] == thr).all()
+        want_rate = int(thr, 16) / 0x10000
+        got_rate = sub["kept"].mean()
+        assert abs(got_rate - want_rate) < 0.05, (src, thr, got_rate)
+        # spot-check the rule itself
+        row = sub.iloc[0]
+        assert row["kept"] == (
+            hashlib.md5(str(row["doc_id"]).encode()).hexdigest()[:4] < thr)
