@@ -114,6 +114,10 @@ BENCH_QUERIES = [
     "doc_tfidf_top",
     "tile_host_kmv",
     "doc_normalize",
+    "doc_decontam",
+    "doc_pii",
+    "doc_repetition",
+    "doc_mix",
 ]
 
 
