@@ -240,11 +240,16 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32, reps: int = 4) -> dict:
         ceilings.append(cpu_baseline(lo, hi)["value"])
     factor = hi / lo
     effs = [round((p[0] / p[1]) / factor, 3) for p in pairs]
-    med_eff = statistics.median(effs)
     med_ceiling = statistics.median(ceilings)
-    # median pair's absolute numbers (pair whose efficiency is the median)
-    med_pair = sorted(pairs, key=lambda p: p[0] / p[1])[len(pairs) // 2]
+    # Headline = the element-based median PAIR (lower-middle for even rep
+    # counts) so value/efficiency and the published per-cpu runtimes always
+    # come from the SAME rep — statistics.median would average the two
+    # middle efficiencies and disagree with any recomputation from the
+    # reported runs; the interpolated median is kept as a separate field.
+    med_idx = (len(pairs) - 1) // 2
+    med_pair = sorted(pairs, key=lambda p: p[0] / p[1])[med_idx]
     t_lo, t_hi, n_docs = med_pair
+    med_eff = (med_pair[0] / med_pair[1]) / factor
     thr_lo = round(n_docs / t_lo, 1)
     thr_hi = round(n_docs / t_hi, 1)
     return {
@@ -259,9 +264,10 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32, reps: int = 4) -> dict:
         },
         "scaling_factor": factor,
         "efficiency": round(med_eff, 3),
-        "efficiency_selection": f"median-of-{reps} paired reps",
+        "efficiency_selection": f"median-pair-of-{reps} paired reps",
         "efficiency_per_pair": effs,
         "efficiency_median": round(med_eff, 3),
+        "efficiency_median_interpolated": round(statistics.median(effs), 3),
         "efficiency_best": round(max(effs), 3),
         "ceiling_per_pair": ceilings,
         "ceiling_median": round(med_ceiling, 3),

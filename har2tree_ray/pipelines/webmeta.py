@@ -394,9 +394,13 @@ WITH t AS (
            coalesce(c.domain, '') AS domain
     FROM jarl WHERE c.name IS NOT NULL
 ), jar AS (
+    -- dedup on the JOINED ident (name || '=' || value), not the (name,
+    -- value) pair: the reference keys its dict on f'{{name}}={{value}}'
+    -- (har2tree.py:366-368), so names/values containing '=' collapse
+    -- last-wins exactly as the engine computes them
     SELECT doc_id, name, value, domain
     FROM (SELECT *, row_number() OVER (
-              PARTITION BY doc_id, name, value ORDER BY idx DESC) AS rn
+              PARTITION BY doc_id, name || '=' || value ORDER BY idx DESC) AS rn
           FROM jar0)
     WHERE rn = 1
 ), ex AS (

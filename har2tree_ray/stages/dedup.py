@@ -353,10 +353,15 @@ def dedup_clusters(docs_ds, pairs_ds, id_col: str = "doc_id",
     ``label_propagation_clusters`` — identical clusters, proven by pytest."""
     import ray
 
+    # Materialize the (narrow) pair projection ONCE: the streaming executor
+    # does not cache results across consumptions, so count() followed by
+    # to_pandas() / label-propagation on the lazy dataset would re-execute
+    # the expensive candidate-filtering shuffles from scratch.
+    pairs_ds = pairs_ds.select_columns(list(pair_cols)).materialize()
     if pairs_ds.count() > max_driver_pairs:
         return label_propagation_clusters(docs_ds, pairs_ds, id_col,
                                           pair_cols)
-    pairs = pairs_ds.select_columns(list(pair_cols)).to_pandas()
+    pairs = pairs_ds.to_pandas()
     root_min = union_roots(pairs, *pair_cols)
     ref = ray.put(root_min)
 
@@ -393,6 +398,13 @@ def label_propagation_clusters(docs_ds, pairs_ds, id_col: str = "doc_id",
 
     a_col, b_col = pair_cols
 
+    # No typed-null padding columns anywhere below: unioned sides always
+    # carry real values in every column (flag columns route the semantics),
+    # so the algorithm is dtype-exact for BOTH string and int64 doc ids —
+    # hardcoded `dtype="string"` nulls used to crash the int64 path with
+    # ArrowTypeError at the shuffle reduce, and NaN round-trips would
+    # silently upcast int64 labels to float64.
+
     def sym(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "node": pd.concat([df[a_col], df[b_col]], ignore_index=True),
@@ -412,31 +424,37 @@ def label_propagation_clusters(docs_ds, pairs_ds, id_col: str = "doc_id",
 
     labels = edges.map_batches(init_labels, batch_format="pandas")
 
+    # Round layout: (node, val, is_edge) — label rows carry val=label,
+    # edge rows carry val=dst.
     def tag_label(df: pd.DataFrame) -> pd.DataFrame:
-        # typed (string) nulls so the Arrow union schema matches both sides
-        return pd.DataFrame({"node": df["node"], "label": df["label"],
-                             "dst": pd.Series([None] * len(df),
-                                              dtype="string")})
+        return pd.DataFrame({"node": df["node"], "val": df["label"],
+                             "is_edge": np.zeros(len(df), dtype=np.int8)})
 
     def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": df["node"],
-                             "label": pd.Series([None] * len(df),
-                                                dtype="string"),
-                             "dst": df["dst"]})
+        return pd.DataFrame({"node": df["node"], "val": df["dst"],
+                             "is_edge": np.ones(len(df), dtype=np.int8)})
 
     def emit_msgs(df: pd.DataFrame) -> pd.DataFrame:
-        lmap = df.loc[df["label"].notna()].groupby("node")["label"].min()
-        e = df.loc[df["dst"].notna()]
-        lab = e["node"].map(lmap)
-        out = pd.DataFrame({"node": e["dst"].to_numpy(), "label": lab.to_numpy()})
-        return out.dropna(subset=["label"])
+        lmap = (df.loc[df["is_edge"] == 0, ["node", "val"]]
+                .groupby("node", as_index=False)["val"].min())
+        e = (df.loc[df["is_edge"] == 1, ["node", "val"]]
+             .rename(columns={"val": "dst"}))
+        # inner merge: misses dropped with dtypes preserved (no NaN upcast)
+        m = e.merge(lmap, on="node", how="inner")
+        return pd.DataFrame({"node": m["dst"].to_numpy(),
+                             "label": m["val"].to_numpy()})
 
     def min_merge(df: pd.DataFrame) -> pd.DataFrame:
-        new = df.groupby("node")["label"].min()
-        old = df.loc[df["is_old"] == 1].groupby("node")["label"].min()
-        changed = (new != old.reindex(new.index)).to_numpy().astype("int64")
-        return pd.DataFrame({"node": new.index.to_numpy(),
-                             "label": new.to_numpy(), "changed": changed})
+        # every message target is an edge endpoint and the label table
+        # covers all endpoints, so new's node set == old's node set
+        new = df.groupby("node", as_index=False)["label"].min()
+        old = (df.loc[df["is_old"] == 1]
+               .groupby("node", as_index=False)["label"].min()
+               .rename(columns={"label": "old"}))
+        m = new.merge(old, on="node", how="inner")
+        return pd.DataFrame({
+            "node": m["node"].to_numpy(), "label": m["label"].to_numpy(),
+            "changed": (m["label"] != m["old"]).to_numpy().astype("int64")})
 
     for _ in range(max_rounds):
         both = (labels.map_batches(tag_label, batch_format="pandas")
@@ -445,7 +463,7 @@ def label_propagation_clusters(docs_ds, pairs_ds, id_col: str = "doc_id",
 
         def tag_old(df: pd.DataFrame, old: int) -> pd.DataFrame:
             out = df[["node", "label"]].copy()
-            out["is_old"] = old
+            out["is_old"] = np.full(len(df), old, dtype=np.int8)
             return out
 
         both2 = (labels.map_batches(lambda d: tag_old(d, 1),
@@ -458,31 +476,30 @@ def label_propagation_clusters(docs_ds, pairs_ds, id_col: str = "doc_id",
         if merged.sum("changed") == 0:
             break
 
-    # final corpus labeling: one more range co-location (docs without a
-    # pair keep themselves as cluster)
+    # Final corpus labeling: one more range co-location.  Doc rows carry a
+    # SELF label (label = node); since every propagated label is the
+    # component min (≤ node), min(self, propagated) per node is the
+    # propagated label when one exists, else the node itself — nulls never
+    # enter the exchange.
     def tag_doc(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": df[id_col],
-                             "label": pd.Series([None] * len(df),
-                                                dtype="string")})
+        return pd.DataFrame({"node": df[id_col], "label": df[id_col],
+                             "is_doc": np.ones(len(df), dtype=np.int8)})
 
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
-        lmap = df.loc[df["is_doc"] == 0].groupby("node")["label"].min()
-        docs = df.loc[df["is_doc"] == 1, "node"]
-        lab = docs.map(lmap)
-        return pd.DataFrame({
-            "doc_id": docs.to_numpy(),
-            "cluster_id": lab.fillna(docs).to_numpy()})
+        new = df.groupby("node", as_index=False)["label"].min()
+        doc_nodes = df.loc[df["is_doc"] == 1, ["node"]].drop_duplicates()
+        m = doc_nodes.merge(new, on="node", how="inner")
+        return pd.DataFrame({"doc_id": m["node"].to_numpy(),
+                             "cluster_id": m["label"].to_numpy()})
 
-    def with_flag(df: pd.DataFrame, flag: int) -> pd.DataFrame:
-        out = df.copy()
-        out["is_doc"] = flag
+    def with_flag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["node", "label"]].copy()
+        out["is_doc"] = np.zeros(len(df), dtype=np.int8)
         return out
 
     final = (docs_ds.select_columns([id_col])
-             .map_batches(lambda d: with_flag(tag_doc(d), 1),
-                          batch_format="pandas")
-             .union(labels.map_batches(lambda d: with_flag(d, 0),
-                                       batch_format="pandas")))
+             .map_batches(tag_doc, batch_format="pandas")
+             .union(labels.map_batches(with_flag, batch_format="pandas")))
     return user_range_groupby(final, resolve, key="node")
 
 

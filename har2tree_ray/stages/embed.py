@@ -316,10 +316,9 @@ def knn_graph_ivf(ds, k: int = KNN_GRAPH_K, nlist: int = IVF_NLIST,
         bucket_topk, batch_format="pyarrow")
 
     def add_part(t: pa.Table) -> pa.Table:
-        v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        part = ((v * np.uint64(2654435761)) % np.uint64(1 << 32)) \
-            % np.uint64(n_parts)
-        return t.append_column("_part", pa.array(part.astype(np.int32)))
+        from ..util import key_partition_ids
+        return t.append_column(
+            "_part", pa.array(key_partition_ids(t["vec_id"], n_parts)))
 
     def merge_range(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["vec_id", "sim", "nbr_id"],
@@ -604,9 +603,12 @@ def semdedup_keep(ds, k: int | None = None, tau: float = SEMDEDUP_TAU,
         cl = t["cluster"].to_numpy(zero_copy_only=False)
         vids = t["vec_id"].to_numpy(zero_copy_only=False)
         sub = _semdedup_sub(vids, nm[cl])
-        # single int64 group key so the shuffle stays one-column
+        # single int64 group key so the shuffle stays one-column; 32-bit
+        # shift so a degenerate cluster with nsub > 2^20 sub-splits can
+        # never alias into the next cluster's key space (cluster is int32
+        # < 2^31, nsub = ceil(size/budget) < 2^32 at any realistic scale)
         return t.append_column(
-            "gkey", pa.array(cl.astype(np.int64) * (1 << 20) + sub))
+            "gkey", pa.array(cl.astype(np.int64) * (1 << 32) + sub))
 
     keyed = assigned.map_batches(add_sub, batch_format="pyarrow")
 

@@ -328,6 +328,47 @@ def test_cookies_json_sidecar_locally_created(tmp_path):
     }
 
 
+def test_cookies_locally_created_equals_sign_oracle_parity(tmp_path):
+    """Cookie values containing '=' (base64 payloads) are routine in real
+    jars.  The reference keys its locally_created dict on the JOINED ident
+    f'{name}={value}' (har2tree.py:366-368), so ('a', 'b=c') and ('a=b',
+    'c') collapse last-wins; the SQL oracle must dedup on the same joined
+    ident or it diverges from both engine and reference."""
+    import duckdb
+
+    from har2tree_ray.pipelines.webmeta import (cookies_locally_created,
+                                                cookies_locally_created_sql)
+    from har2tree_ray.sources.har import read_har_dir
+
+    d = tmp_path / "cap"
+    d.mkdir()
+    (d / "001.har").write_text(
+        json.dumps(_mini_har([_entry("https://site.example/", 0)])))
+    jar = [
+        {"name": "a", "value": "b=c", "domain": "site.example"},
+        {"name": "tok", "value": "xY9=", "domain": "site.example"},
+        {"name": "a=b", "value": "c", "domain": "site.example"},  # collides
+    ]
+    (d / "001.cookies.json").write_text(json.dumps(jar))
+
+    ds = read_har_dir(str(d))
+    eng = cookies_locally_created(ds).to_pandas()
+    # joined-ident last-wins: 'a=b=c' kept once, from the LAST jar entry
+    got = {(r["name"], r["value"], r["domain"], bool(r["never_sent"]))
+           for _, r in eng.iterrows()}
+    assert got == {
+        ("a=b", "c", "site.example", True),
+        ("tok", "xY9=", "site.example", True),
+    }
+
+    pq_dir = tmp_path / "pq"
+    ds.write_parquet(str(pq_dir))
+    ora = duckdb.sql(cookies_locally_created_sql(str(pq_dir))).df()
+    got_ora = {(r["name"], r["value"], r["domain"], bool(r["never_sent"]))
+               for _, r in ora.iterrows()}
+    assert got_ora == got
+
+
 def test_cookies_json_sidecar_broken_or_absent(tmp_path):
     """A malformed or non-array cookies.json loads as NULL (the reference
     logs + defaults to [], har2tree.py:146-148)."""

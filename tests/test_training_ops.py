@@ -380,6 +380,31 @@ def test_label_propagation_matches_union_find():
     pd.testing.assert_frame_equal(base, esc)
 
 
+def test_label_propagation_int_ids():
+    """Production documents.parquet carries int64 doc ids; the escalation
+    path must stay dtype-exact (the typed-null union layout it replaced
+    raised ArrowTypeError on int ids and would have NaN-upcast int64 labels
+    to float64)."""
+    import ray.data as rd
+
+    from har2tree_ray.stages.dedup import (dedup_clusters,
+                                           label_propagation_clusters)
+
+    n = 40
+    pairs = [(i, i + 1) for i in range(0, 9)]          # chain
+    pairs += [(20, j) for j in range(21, 26)]          # star
+    pairs += [(30, 35), (35, 31), (8, 20)]             # merges
+    docs_ds = rd.from_items([{"doc_id": i} for i in range(n)])
+    pairs_ds = rd.from_items([{"doc_a": a, "doc_b": b} for a, b in pairs])
+
+    base = to_pandas(dedup_clusters(docs_ds, pairs_ds)).sort_values(
+        "doc_id").reset_index(drop=True)
+    lp = to_pandas(label_propagation_clusters(
+        docs_ds, pairs_ds)).sort_values("doc_id").reset_index(drop=True)
+    assert str(lp["cluster_id"].dtype) == "int64"
+    pd.testing.assert_frame_equal(base, lp, check_dtype=False)
+
+
 def test_documents_ascii_whitespace_contract():
     """doc_normalize / doc_tfidf_top parity relies on Python's
     Unicode-aware whitespace handling agreeing with DuckDB's ASCII-only
