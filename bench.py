@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "doc_pii",
     "doc_repetition",
     "doc_mix",
+    "doc_dup_spans",
 ]
 
 

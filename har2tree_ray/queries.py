@@ -258,6 +258,10 @@ def q_doc_pii(sf_dir: str):
     return text.pii_stats(_docs(sf_dir))
 
 
+def q_doc_dup_spans(sf_dir: str):
+    return text.dup_spans(_docs(sf_dir))
+
+
 def q_doc_repetition(sf_dir: str):
     return text.repetition_stats(_docs(sf_dir))
 
@@ -914,6 +918,7 @@ _TABLE_ORACLES = {
     "doc_jaccard_pairs": lambda _p: text.ngram_jaccard_sql(),
     "doc_decontam": lambda _p: text.decontaminate_sql(),
     "doc_pii": lambda _p: text.pii_stats_sql(),
+    "doc_dup_spans": lambda _p: text.dup_spans_sql(),
     "doc_repetition": lambda _p: text.repetition_stats_sql(),
     "doc_mix": lambda _p: text.doc_mix_sql(),
     "doc_exact_dedup": _oracle_doc_exact_dedup,
@@ -1036,6 +1041,7 @@ def _queries_registry() -> dict[str, Callable]:
         "doc_normalize": q_doc_normalize,          # NFC/case/ws canonical form
         "doc_decontam": q_doc_decontam,          # eval-leakage n-gram guard
         "doc_pii": q_doc_pii,                    # PII scan counts
+        "doc_dup_spans": q_doc_dup_spans,        # duplicate n-gram spans (Lee et al.)
         "doc_repetition": q_doc_repetition,      # Gopher repetition signals
         "doc_mix": q_doc_mix,                    # weighted per-source mixing
         "doc_jaccard_pairs": q_doc_jaccard_pairs,

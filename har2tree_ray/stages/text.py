@@ -855,6 +855,107 @@ GROUP BY g.doc_id
 """
 
 
+# --------------------------------------------------- duplicate-span removal
+
+DUPSPAN_GRAM = 8  # words per shingle (Lee et al. 2021 use 50 BPE tokens;
+                  # 8 words fires on the synthetic corpus's planted near-dups)
+
+
+def dup_spans(ds, k: int = DUPSPAN_GRAM):
+    """Cross-document duplicate n-gram SPANS — the substring-level dedup
+    primitive ("Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2021; no har2tree counterpart).  A k-word shingle position is
+    *duplicated* when its gram text occurs in ≥ 2 DISTINCT documents;
+    overlapping/adjacent duplicated positions merge into maximal spans.
+    Output: (doc_id, span_start, span_end, n_grams) with 1-based word
+    indices — integers only, exact-oracle-safe.  A removal step is a
+    per-doc word-slice over these spans.
+
+    100 TB shape (the ngram_jaccard/tfidf architecture): explode to
+    (doc_id, pos, gram_hash) rows, then exactly TWO coarse hash-range
+    shuffles — (1) on gram hash: every hash's rows land in one range, a
+    vectorized nunique marks dup hashes and only the duplicated positions
+    survive (a small fraction of the corpus by construction); (2) on
+    doc_id: per-doc interval merge as one grouped-cumsum pandas pass.
+    Docs shorter than k words emit no gram (a dup SPAN needs a full
+    k-gram — deliberate deviation from the fingerprint whole-text edge
+    rule, mirrored in the SQL)."""
+    import pandas as pd
+
+    from ..util import user_range_groupby
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        o_doc, o_pos, o_h = [], [], []
+        for d, t in zip(ids, texts):
+            words = _WS_TOKEN.findall(t)
+            for j in range(len(words) - k + 1):
+                o_doc.append(d)
+                o_pos.append(j + 1)
+                o_h.append(hashlib.md5(
+                    " ".join(words[j:j + k]).encode("utf-8")).hexdigest())
+        return pa.table({"doc_id": pa.array(o_doc),
+                         "pos": pa.array(o_pos, pa.int64()),
+                         "h": pa.array(o_h, pa.string())})
+
+    grams = ds.map_batches(explode, batch_format="pyarrow")
+
+    def dup_positions(df: pd.DataFrame) -> pd.DataFrame:
+        ndocs = df.groupby("h")["doc_id"].nunique()
+        dup = ndocs[ndocs >= 2].index
+        return df.loc[df["h"].isin(dup), ["doc_id", "pos"]]
+
+    marked = user_range_groupby(grams, dup_positions, key="h")
+
+    def merge_spans(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "pos"], kind="mergesort")
+        prev = df.groupby("doc_id")["pos"].shift()
+        # equal-length intervals sorted by start: merge when the gap to the
+        # previous start is ≤ k (overlap or adjacency)
+        new = (prev.isna() | (df["pos"] > prev + k)).astype("int64")
+        isl = new.groupby(df["doc_id"].to_numpy()).cumsum()
+        g = df.assign(_isl=isl.to_numpy()).groupby(["doc_id", "_isl"])
+        out = g["pos"].agg(span_start="min", span_end="max",
+                           n_grams="count").reset_index()
+        out["span_end"] = out["span_end"] + (k - 1)
+        return out[["doc_id", "span_start", "span_end",
+                    "n_grams"]].astype({"span_start": "int64",
+                                        "span_end": "int64",
+                                        "n_grams": "int64"})
+
+    return user_range_groupby(marked, merge_spans, key="doc_id")
+
+
+def dup_spans_sql(rel: str = "documents", k: int = DUPSPAN_GRAM) -> str:
+    return f"""
+WITH w AS (
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM {rel}
+), g AS (
+    SELECT doc_id, i AS pos,
+           md5(array_to_string(ws[i:i + {k - 1}], ' ')) AS h
+    FROM w, UNNEST(range(1, len(ws) - {k - 1} + 1)) AS t(i)
+    WHERE len(ws) >= {k}
+), dup AS (
+    SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+), p AS (
+    SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)
+), isl AS (
+    SELECT doc_id, pos,
+           SUM(CASE WHEN prev IS NULL OR pos > prev + {k} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM (SELECT doc_id, pos,
+                 LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM p)
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {k - 1} AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, island
+"""
+
+
 # ------------------------------------------------------------- PII scanning
 
 # ASCII-only patterns chosen to parse identically under Python re and

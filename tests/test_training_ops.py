@@ -18,6 +18,7 @@ SF = "/root/testdata/sf0.001"
     "doc_jaccard_pairs", "doc_exact_dedup", "embed_neardup", "ann_topk",
     "doc_filter", "dedup_clusters", "doc_len_histogram", "corpus_keep",
     "ngram_topk", "doc_decontam", "doc_pii", "doc_repetition", "doc_mix",
+    "doc_dup_spans",
 ])
 def test_oracle_parity(name):
     assert_matches_oracle(name, SF)
@@ -467,6 +468,36 @@ def test_decontam_flags_shared_shingles():
     assert out.loc[1, "contaminated"] and out.loc[1, "n_hit"] >= 1
     assert not out.loc[1, "is_bench"]
     assert not out.loc[2, "contaminated"] and out.loc[2, "n_hit"] == 0
+
+
+def test_dup_spans_planted_duplicates():
+    """Two docs sharing a 10-word passage produce one merged span each
+    covering exactly that passage (three overlapping 8-gram positions merge
+    into one island); a doc with no shared gram and a short doc emit no
+    rows."""
+    import pyarrow as pa
+    import ray.data as rd
+    from har2tree_ray.stages import text
+
+    shared = "one two three four five six seven eight nine ten"  # 10 words
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            f"{shared} tail0 extra0 filler0",
+            f"lead1 pad1 {shared} tail1",
+            "entirely different words with zero gram overlap across corpus docs",
+            "short doc",   # < 8 words: no gram
+        ]),
+    })
+    out = to_pandas(text.dup_spans(rd.from_arrow(docs)))
+    by_doc = {int(r["doc_id"]): r for _, r in out.iterrows()}
+    assert set(by_doc) == {0, 1}
+    # doc 0: shared passage at words 1-10 -> positions 1,2,3 merge
+    assert (by_doc[0]["span_start"], by_doc[0]["span_end"],
+            by_doc[0]["n_grams"]) == (1, 10, 3)
+    # doc 1: shared passage starts at word 3 -> words 3-12
+    assert (by_doc[1]["span_start"], by_doc[1]["span_end"],
+            by_doc[1]["n_grams"]) == (3, 12, 3)
 
 
 def test_repetition_signals():
