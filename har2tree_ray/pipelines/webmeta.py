@@ -856,6 +856,76 @@ GROUP BY src_host, dst_host
 """
 
 
+def host_cooccur(interleaved_ds):
+    """Domain co-citation graph: ``(host_a, host_b, n_docs)`` counting the
+    documents in which BOTH hosts appear as span resources — the undirected
+    companion of ``host_link_graph`` (which needs an explicit ``@referer``
+    edge; co-citation needs only shared membership, the signal tracker-graph
+    studies use when referer headers are stripped).
+
+    Scale shape: per-doc pair fan-out is C(u,2) with u = unique hosts per
+    doc (bounded by span count), generated batch-locally by a vectorized
+    pandas self-merge — docs never straddle batches because the flatten
+    happens inside this same ``map_batches``.  Batch-local counts shrink
+    the stream before the ONE (host_a, host_b) shuffle; pair keys are
+    strictly finer than host keys, so a hot host alone cannot skew a
+    partition the way it would in a per-host groupby."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.normalize import _HOST_RE
+    from ..util import pre_shuffle_coalesce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = pc.list_parent_indices(spans)
+        media_ref = pc.struct_field(pc.list_flatten(spans), "media_ref")
+        host = pc.fill_null(pc.struct_field(
+            pc.extract_regex(media_ref, _HOST_RE), "host"), "")
+        df = pd.DataFrame({"d": parent.to_numpy(zero_copy_only=False),
+                           "h": host.to_pylist()})
+        df = df[df["h"] != ""].drop_duplicates()
+        m = df.merge(df, on="d")
+        m = m[m["h_x"] < m["h_y"]]
+        g = (m.groupby(["h_x", "h_y"], sort=False).size()
+              .reset_index(name="part_n"))
+        return pa.table({
+            "host_a": pa.array(g["h_x"], pa.string()),
+            "host_b": pa.array(g["h_y"], pa.string()),
+            "part_n": pa.array(g["part_n"], pa.int64()),
+        })
+
+    agg = pre_shuffle_coalesce(
+        interleaved_ds.map_batches(partial, batch_format="pyarrow")
+    ).groupby(["host_a", "host_b"]).aggregate(Sum("part_n", alias_name="n_docs"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "host_a": t["host_a"],
+            "host_b": t["host_b"],
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+        }),
+        batch_format="pyarrow")
+
+
+def host_cooccur_sql(flat_path: str) -> str:
+    return f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+), h AS (
+    SELECT DISTINCT doc_id,
+           regexp_extract(s.media_ref, '^https?://([^/?#]+)', 1) AS host
+    FROM ex WHERE regexp_matches(s.media_ref, '^https?://[^/?#]')
+)
+SELECT a.host AS host_a, b.host AS host_b,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM h a JOIN h b ON a.doc_id = b.doc_id AND a.host < b.host
+GROUP BY host_a, host_b
+"""
+
+
 # ------------------------------------------------------ embedded data-URIs
 
 

@@ -340,6 +340,10 @@ def q_host_link_graph(sf_dir: str):
         read_interleaved(sf_dir), ["text", "hostname"]))
 
 
+def q_host_cooccur(sf_dir: str):
+    return webmeta.host_cooccur(read_interleaved(sf_dir))
+
+
 def q_host_tld(sf_dir: str):
     return webmeta.host_tld(explode_spans(read_interleaved(sf_dir), ["hostname"]))
 
@@ -968,6 +972,7 @@ _INTERLEAVED_ORACLES = {
     "doc_domhash": webmeta.doc_domhash_sql,
     "host_tld": webmeta.host_tld_sql,
     "host_link_graph": webmeta.host_link_graph_sql,
+    "host_cooccur": webmeta.host_cooccur_sql,
     "span_identifiers": webmeta.span_identifiers_sql,
     "cookies_never_sent": webmeta.cookies_never_sent_sql,
     "cookies_locally_created": webmeta.cookies_locally_created_sql,
@@ -1066,6 +1071,7 @@ def _queries_registry() -> dict[str, Callable]:
         "doc_domhash": q_doc_domhash,
         "host_tld": q_host_tld,
         "host_link_graph": q_host_link_graph,
+        "host_cooccur": q_host_cooccur,       # domain co-citation graph
         "span_identifiers": q_span_identifiers,
         "cookies_never_sent": q_cookies_never_sent,
         "cookies_locally_created": q_cookies_locally_created,  # D4 jar sidecar

@@ -17,7 +17,7 @@ SF = "/root/testdata/sf0.001"
     "span_hhhash", "doc_domhash", "host_tld", "span_identifiers",
     "cookies_never_sent", "posted_data", "span_security", "doc_user_agent",
     "doc_sidecars", "span_resource_hashes", "rendered_urls",
-    "host_link_graph",
+    "host_link_graph", "host_cooccur",
 ])
 def test_oracle_parity(name):
     assert_matches_oracle(name, SF)
