@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "redirect_chain",
     "host_tld",
     "host_link_graph",
+    "host_cooccur",
     "host_tree_json",
     "orders_by_nation",
     "revenue_by_month",

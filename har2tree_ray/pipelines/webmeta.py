@@ -878,6 +878,11 @@ def host_cooccur(interleaved_ds):
     from ..util import pre_shuffle_coalesce
 
     def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        empty = pa.table({"host_a": pa.array([], pa.string()),
+                          "host_b": pa.array([], pa.string()),
+                          "part_n": pa.array([], pa.int64())})
         spans = batch.column("spans")
         if isinstance(spans, pa.ChunkedArray):
             spans = spans.combine_chunks()
@@ -885,17 +890,28 @@ def host_cooccur(interleaved_ds):
         media_ref = pc.struct_field(pc.list_flatten(spans), "media_ref")
         host = pc.fill_null(pc.struct_field(
             pc.extract_regex(media_ref, _HOST_RE), "host"), "")
-        df = pd.DataFrame({"d": parent.to_numpy(zero_copy_only=False),
-                           "h": host.to_pylist()})
-        df = df[df["h"] != ""].drop_duplicates()
-        m = df.merge(df, on="d")
-        m = m[m["h_x"] < m["h_y"]]
-        g = (m.groupby(["h_x", "h_y"], sort=False).size()
-              .reset_index(name="part_n"))
+        h = np.asarray(host.to_pylist(), dtype=object)
+        d = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = h != ""
+        if not keep.any():
+            return empty
+        # factorize hostnames; np.unique sorts, so int-code order IS the
+        # lexicographic host order and (code_a < code_b) == (host_a < host_b)
+        uniq, codes = np.unique(h[keep], return_inverse=True)
+        hn = np.int64(len(uniq))
+        # distinct (doc, host) membership as one composite int key
+        mem = np.unique(d[keep] * hn + codes)
+        df = pd.DataFrame({"d": mem // hn, "c": mem % hn})
+        m = df.merge(df, on="d")  # hash-join on int64 — no string compares
+        pk = m["c_x"].to_numpy() * hn + m["c_y"].to_numpy()
+        pk = pk[m["c_x"].to_numpy() < m["c_y"].to_numpy()]
+        if not len(pk):
+            return empty
+        pk_u, cnt = np.unique(pk, return_counts=True)
         return pa.table({
-            "host_a": pa.array(g["h_x"], pa.string()),
-            "host_b": pa.array(g["h_y"], pa.string()),
-            "part_n": pa.array(g["part_n"], pa.int64()),
+            "host_a": pa.array(uniq[pk_u // hn], pa.string()),
+            "host_b": pa.array(uniq[pk_u % hn], pa.string()),
+            "part_n": pa.array(cnt, pa.int64()),
         })
 
     agg = pre_shuffle_coalesce(
