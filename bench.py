@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "doc_repetition",
     "doc_mix",
     "doc_dup_spans",
+    "doc_sample_stratified",
+    "doc_pack",
 ]
 
 

@@ -271,6 +271,16 @@ def q_doc_mix(sf_dir: str):
         read_table(sf_dir, "documents", columns=["doc_id", "source"]))
 
 
+def q_doc_sample_stratified(sf_dir: str):
+    return text.stratified_sample(
+        read_table(sf_dir, "documents", columns=["doc_id", "source", "lang"]))
+
+
+def q_doc_pack(sf_dir: str):
+    return text.doc_pack(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def q_doc_jaccard_pairs(sf_dir: str):
     return text.ngram_jaccard_pairs(_docs(sf_dir))
 
@@ -925,6 +935,8 @@ _TABLE_ORACLES = {
     "doc_dup_spans": lambda _p: text.dup_spans_sql(),
     "doc_repetition": lambda _p: text.repetition_stats_sql(),
     "doc_mix": lambda _p: text.doc_mix_sql(),
+    "doc_sample_stratified": lambda _p: text.stratified_sample_sql(),
+    "doc_pack": lambda _p: text.doc_pack_sql(),
     "doc_exact_dedup": _oracle_doc_exact_dedup,
     "doc_filter": lambda _p: text.doc_filter_sql(),
     "doc_len_histogram": lambda _p: text.doc_len_histogram_sql(),
@@ -1049,6 +1061,8 @@ def _queries_registry() -> dict[str, Callable]:
         "doc_dup_spans": q_doc_dup_spans,        # duplicate n-gram spans (Lee et al.)
         "doc_repetition": q_doc_repetition,      # Gopher repetition signals
         "doc_mix": q_doc_mix,                    # weighted per-source mixing
+        "doc_sample_stratified": q_doc_sample_stratified,  # per-(source,lang) top-k
+        "doc_pack": q_doc_pack,                  # token-budget window packing
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash_pairs": q_doc_minhash_pairs,  # approximate — rows-only

@@ -1142,3 +1142,146 @@ SELECT doc_id, source,
                   THEN 'c000' ELSE '4000' END AS kept
 FROM {rel}
 """
+
+
+# --------------------------------------------------- stratified sampling
+
+
+def stratified_sample(ds, k: int = 4):
+    """Per-stratum deterministic top-k sample over (source, lang) — the
+    stratified-sampling step of a curation pipeline (cf. the uniform
+    ``doc_sample`` and the per-source-rate ``doc_mix``): every stratum
+    contributes its k docs with the smallest md5(doc_id), so rare
+    (source, lang) cells survive a corpus-wide downsample that one uniform
+    rate would wipe out.  Content-addressed ⇒ stable across runs and
+    partitionings; ties broken by doc_id (md5 collisions aside, unique).
+
+    100 TB shape: the stratum domain is BOUNDED (sources × languages —
+    dozens), so a per-block partial top-k inside ``map_batches`` shrinks
+    the corpus to ≤ blocks × strata × k rows before ONE tiny per-stratum
+    merge; the corpus itself is never shuffled (same partial-then-merge
+    plan as ``top_hosts``)."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — batch_format="pandas"
+
+    def partial(df):
+        df = df[["doc_id", "source", "lang"]].copy()
+        df["h"] = [hashlib.md5(str(d).encode()).hexdigest()
+                   for d in df["doc_id"]]
+        df["stratum"] = df["source"] + "|" + df["lang"]
+        df = df.sort_values(["stratum", "h", "doc_id"], kind="mergesort")
+        return df.groupby("stratum", sort=False).head(k)
+
+    def merge(df):
+        df = (df.sort_values(["h", "doc_id"], kind="mergesort")
+                .head(k).reset_index(drop=True))
+        out = df[["source", "lang", "doc_id"]].copy()
+        out["stratum_rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    part = ds.map_batches(partial, batch_format="pandas")
+    # dozens of strata — per-key map_groups dispatch is fine here
+    return part.groupby("stratum").map_groups(merge, batch_format="pandas")
+
+
+def stratified_sample_sql(rel: str = "documents", k: int = 4) -> str:
+    return f"""
+WITH d AS (
+    SELECT doc_id, source, lang,
+           md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM {rel}
+), r AS (
+    SELECT source, lang, doc_id,
+           row_number() OVER (PARTITION BY source, lang
+                              ORDER BY h, doc_id) AS stratum_rank
+    FROM d
+)
+SELECT source, lang, doc_id, CAST(stratum_rank AS BIGINT) AS stratum_rank
+FROM r WHERE stratum_rank <= {k}
+"""
+
+
+# ------------------------------------------------ token-budget packing
+
+
+def doc_pack(ds, budget: int = 256, shard_hex: int = 1):
+    """Greedy token-budget sequence packing — the context-window packing
+    step of a pre-training pipeline: concatenate whole documents into
+    fixed-budget windows so short docs don't waste sequence slots.  Each
+    doc lands in a shard (first ``shard_hex`` hex digits of md5(doc_id));
+    within a shard docs are taken in doc_id order and appended to the
+    current window until the NEXT doc would overflow ``budget`` whitespace
+    tokens, which starts a new window (an oversized doc still opens — and
+    overflows — its own window; it is never split).
+
+    100 TB shape: ONE shuffle on the shard key; the greedy fill is
+    inherently sequential WITHIN a shard (an accumulator with reset cannot
+    vectorize), so parallelism comes from the shard count — raise
+    ``shard_hex`` (16^n shards) with the corpus exactly like
+    ``exact_dedup``'s hex_chars knob.  Per-shard work is a single O(rows)
+    integer pass over one int column."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        toks = [len(_WS_TOKEN.findall(t)) for t in batch["text"].to_pylist()]
+        shards = [hashlib.md5(str(d).encode()).hexdigest()[:shard_hex]
+                  for d in ids]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "shard": pa.array(shards, pa.string()),
+            "tokens": pa.array(toks, pa.int64()),
+        })
+
+    def pack(df):
+        df = df.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        toks = df["tokens"].to_numpy()
+        win = np.empty(len(toks), dtype=np.int64)
+        acc = 0
+        w = 0
+        for i, t in enumerate(toks):
+            t = int(t)
+            if i == 0:
+                acc = t
+            elif acc + t > budget:
+                w += 1
+                acc = t
+            else:
+                acc += t
+            win[i] = w
+        df["window_id"] = win
+        return df[["shard", "doc_id", "tokens", "window_id"]]
+
+    part = ds.map_batches(project, batch_format="pyarrow")
+    # 16^shard_hex shards — bounded key domain, per-key dispatch fine
+    return part.groupby("shard").map_groups(pack, batch_format="pandas")
+
+
+def doc_pack_sql(rel: str = "documents", budget: int = 256,
+                 shard_hex: int = 1) -> str:
+    # the greedy accumulator-with-reset is a per-row recurrence → recursive
+    # CTE walking rn → rn+1 within each shard (small at oracle scale)
+    return f"""
+WITH RECURSIVE t AS (
+    SELECT doc_id,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, {shard_hex}) AS shard,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tokens
+    FROM {rel}
+), o AS (
+    SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+    FROM t
+), walk AS (
+    SELECT shard, rn, doc_id, tokens,
+           CAST(0 AS BIGINT) AS window_id, tokens AS acc
+    FROM o WHERE rn = 1
+    UNION ALL
+    SELECT o.shard, o.rn, o.doc_id, o.tokens,
+           CASE WHEN walk.acc + o.tokens > {budget}
+                THEN walk.window_id + 1 ELSE walk.window_id END,
+           CASE WHEN walk.acc + o.tokens > {budget}
+                THEN o.tokens ELSE walk.acc + o.tokens END
+    FROM walk JOIN o ON o.shard = walk.shard AND o.rn = walk.rn + 1
+)
+SELECT shard, doc_id, tokens, window_id FROM walk
+"""

@@ -18,7 +18,7 @@ SF = "/root/testdata/sf0.001"
     "doc_jaccard_pairs", "doc_exact_dedup", "embed_neardup", "ann_topk",
     "doc_filter", "dedup_clusters", "doc_len_histogram", "corpus_keep",
     "ngram_topk", "doc_decontam", "doc_pii", "doc_repetition", "doc_mix",
-    "doc_dup_spans",
+    "doc_dup_spans", "doc_sample_stratified", "doc_pack",
 ])
 def test_oracle_parity(name):
     assert_matches_oracle(name, SF)
@@ -550,3 +550,48 @@ def test_doc_mix_rates_track_thresholds():
         row = sub.iloc[0]
         assert row["kept"] == (
             hashlib.md5(str(row["doc_id"]).encode()).hexdigest()[:4] < thr)
+
+
+def test_doc_pack_window_invariants():
+    """Windows respect the budget (only a window's FIRST doc may overflow,
+    since docs are never split) and window ids are contiguous per shard."""
+    from har2tree_ray import queries as q
+
+    df = to_pandas(q.q_doc_pack(SF)).sort_values(["shard", "doc_id"])
+    assert len(df) > 0
+    for shard, g in df.groupby("shard"):
+        wins = g.groupby("window_id")["tokens"].agg(["sum", "count", "first"])
+        # contiguous 0..n window ids in doc_id order
+        assert list(wins.index) == list(range(len(wins)))
+        over = wins[wins["sum"] > 256]
+        # any overflowing window holds exactly one (oversized) doc
+        assert (over["count"] == 1).all(), (shard, over)
+        # greedy: a window closes only because the next doc would overflow
+        g2 = g.reset_index(drop=True)
+        for i in range(1, len(g2)):
+            if g2.loc[i, "window_id"] != g2.loc[i - 1, "window_id"]:
+                prev_win = g2.loc[i - 1, "window_id"]
+                prev_sum = g2[g2["window_id"] == prev_win]["tokens"].sum()
+                assert prev_sum + g2.loc[i, "tokens"] > 256
+
+
+def test_stratified_sample_covers_every_stratum():
+    """Each (source, lang) stratum keeps exactly min(k, stratum size) docs,
+    ranked 1..n with no gaps."""
+    import duckdb
+
+    from har2tree_ray import queries as q
+
+    out = to_pandas(q.q_doc_sample_stratified(SF))
+    sizes = duckdb.sql(
+        f"SELECT source, lang, count(*) AS n FROM "
+        f"read_parquet('{SF}/documents.parquet') GROUP BY 1, 2").df()
+    kept = out.groupby(["source", "lang"]).agg(
+        n=("doc_id", "size"), rmax=("stratum_rank", "max"),
+        rmin=("stratum_rank", "min"))
+    merged = sizes.merge(kept, on=["source", "lang"], how="left")
+    assert merged["n_y"].notna().all()  # every stratum represented
+    expect = merged["n_x"].clip(upper=4)
+    assert (merged["n_y"] == expect).all()
+    assert (merged["rmax"] == expect).all()
+    assert (merged["rmin"] == 1).all()
