@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "doc_dup_spans",
     "doc_sample_stratified",
     "doc_pack",
+    "doc_split",
 ]
 
 

@@ -271,6 +271,10 @@ def q_doc_mix(sf_dir: str):
         read_table(sf_dir, "documents", columns=["doc_id", "source"]))
 
 
+def q_doc_split(sf_dir: str):
+    return text.doc_split(read_table(sf_dir, "documents", columns=["doc_id"]))
+
+
 def q_doc_sample_stratified(sf_dir: str):
     return text.stratified_sample(
         read_table(sf_dir, "documents", columns=["doc_id", "source", "lang"]))
@@ -936,6 +940,7 @@ _TABLE_ORACLES = {
     "doc_repetition": lambda _p: text.repetition_stats_sql(),
     "doc_mix": lambda _p: text.doc_mix_sql(),
     "doc_sample_stratified": lambda _p: text.stratified_sample_sql(),
+    "doc_split": lambda _p: text.doc_split_sql(),
     "doc_pack": lambda _p: text.doc_pack_sql(),
     "doc_exact_dedup": _oracle_doc_exact_dedup,
     "doc_filter": lambda _p: text.doc_filter_sql(),
@@ -1062,6 +1067,7 @@ def _queries_registry() -> dict[str, Callable]:
         "doc_repetition": q_doc_repetition,      # Gopher repetition signals
         "doc_mix": q_doc_mix,                    # weighted per-source mixing
         "doc_sample_stratified": q_doc_sample_stratified,  # per-(source,lang) top-k
+        "doc_split": q_doc_split,                # train/val/test holdout split
         "doc_pack": q_doc_pack,                  # token-budget window packing
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_exact_dedup": q_doc_exact_dedup,

@@ -1285,3 +1285,45 @@ WITH RECURSIVE t AS (
 )
 SELECT shard, doc_id, tokens, window_id FROM walk
 """
+
+
+# ------------------------------------------------- train/val/test split
+
+# 4-hex-digit md5 prefix thresholds: 0xfae1/0x10000 ≈ 98.0%,
+# 0xfd71/0x10000 ≈ 99.0% — string compare, shared verbatim with the oracle
+SPLIT_TRAIN_LT = "fae1"
+SPLIT_VAL_LT = "fd71"
+
+
+def doc_split(ds):
+    """Deterministic train/val/test assignment — the holdout-split step of
+    a training-data pipeline.  Content-addressed on md5(doc_id) (same
+    bucket family as ``doc_mix``/``doc_sample``), so the split is stable
+    across runs, partitionings and corpus growth: a doc never migrates
+    between splits when new data arrives.  Map-only at 100 TB — no
+    shuffle, no state, no broadcast."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        buckets = [hashlib.md5(str(d).encode()).hexdigest()[:4] for d in ids]
+        split = ["train" if b < SPLIT_TRAIN_LT
+                 else ("val" if b < SPLIT_VAL_LT else "test")
+                 for b in buckets]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "bucket": pa.array(buckets, pa.string()),
+            "split": pa.array(split, pa.string()),
+        })
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def doc_split_sql(rel: str = "documents") -> str:
+    b = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
+    return f"""
+SELECT doc_id, {b} AS bucket,
+       CASE WHEN {b} < '{SPLIT_TRAIN_LT}' THEN 'train'
+            WHEN {b} < '{SPLIT_VAL_LT}' THEN 'val'
+            ELSE 'test' END AS split
+FROM {rel}
+"""

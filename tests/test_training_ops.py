@@ -18,7 +18,7 @@ SF = "/root/testdata/sf0.001"
     "doc_jaccard_pairs", "doc_exact_dedup", "embed_neardup", "ann_topk",
     "doc_filter", "dedup_clusters", "doc_len_histogram", "corpus_keep",
     "ngram_topk", "doc_decontam", "doc_pii", "doc_repetition", "doc_mix",
-    "doc_dup_spans", "doc_sample_stratified", "doc_pack",
+    "doc_dup_spans", "doc_sample_stratified", "doc_pack", "doc_split",
 ])
 def test_oracle_parity(name):
     assert_matches_oracle(name, SF)
@@ -595,3 +595,20 @@ def test_stratified_sample_covers_every_stratum():
     assert (merged["n_y"] == expect).all()
     assert (merged["rmax"] == expect).all()
     assert (merged["rmin"] == 1).all()
+
+
+def test_doc_split_rates_and_stability():
+    """Split rates land near 98/1/1 and the assignment is a pure function
+    of doc_id (row order / partitioning cannot move a doc between splits)."""
+    from har2tree_ray import queries as q
+
+    df = to_pandas(q.q_doc_split("/root/testdata/sf0.1"))
+    rates = df["split"].value_counts(normalize=True)
+    assert 0.96 <= rates.get("train", 0) <= 0.995
+    assert 0.002 <= rates.get("val", 0) <= 0.02
+    assert 0.002 <= rates.get("test", 0) <= 0.02
+    small = to_pandas(q.q_doc_split(SF)).set_index("doc_id")["split"]
+    big = df.set_index("doc_id")["split"]
+    shared = small.index.intersection(big.index)
+    assert len(shared) > 0
+    assert (small.loc[shared] == big.loc[shared]).all()
