@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "doc_sample_stratified",
     "doc_pack",
     "doc_split",
+    "tile_rasterize",
+    "range_join",
 ]
 
 

@@ -304,3 +304,77 @@ def tile_host_kmv(flat_ds, res: int = DEFAULT_RES, k: int = KMV_K):
     parts = pre_shuffle_coalesce(
         flat_ds.map_batches(partial, batch_format="pyarrow"))
     return parts.groupby("cell_id").map_groups(merge, batch_format="pyarrow")
+
+
+# ------------------------------------------------ vector -> raster
+
+
+def tile_rasterize(flat_ds, res: int = DEFAULT_RES, eps: float | None = None):
+    """Vector→raster materialization — the inverse of ``tile_vectorize``:
+    rasterize the per-host boundary boxes (ε-expanded bboxes of document
+    spans, the same vector side ``spatial.host_boxes`` broadcasts) onto the
+    resolution-``res`` grid, producing per-cell box-coverage counts.
+
+    Fully streaming (no driver gather, unlike the broadcast-side builder):
+    partial per-batch min/max per hostname → one bounded groupby (one row
+    per hostname) → map-only rasterize (vectorized repeat/arange cell
+    enumeration; per-box fan-out is bounded by the box area in cells, ~6
+    cells for the synth ε=0.25 boxes at res 8 and ≤ 4^res always) → one
+    Sum shuffle on cell_id (cells-touched cardinality).
+
+    Float parity: box edges are MIN/MAX of input doubles ± eps and the cell
+    math is the shared ``geo.cell_xy`` formula, both bit-identical to the
+    DuckDB oracle's expressions.
+    """
+    if eps is None:
+        from .spatial import PIP_EPS as eps
+
+    def partial(t: pa.Table) -> pa.Table:
+        sel = t.filter(
+            pc.and_(pc.equal(t["kind"], "document"), pc.not_equal(t["hostname"], ""))
+        )
+        g = sel.select(["hostname", "lat", "lng"]).group_by("hostname").aggregate(
+            [("lat", "min"), ("lat", "max"), ("lng", "min"), ("lng", "max")]
+        )
+        return g.rename_columns(["hostname", "lat_min", "lat_max", "lng_min", "lng_max"])
+
+    from ray.data.aggregate import Max, Min
+
+    boxes = pre_shuffle_coalesce(
+        flat_ds.map_batches(partial, batch_format="pyarrow")
+    ).groupby("hostname").aggregate(
+        Min("lat_min", alias_name="min_lat"),
+        Max("lat_max", alias_name="max_lat"),
+        Min("lng_min", alias_name="min_lng"),
+        Max("lng_max", alias_name="max_lng"),
+    )
+
+    def rasterize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"cell_id": pa.array([], pa.int64()),
+                             "partial_n": pa.array([], pa.int64())})
+        min_lat = t["min_lat"].to_numpy(zero_copy_only=False) - eps
+        max_lat = t["max_lat"].to_numpy(zero_copy_only=False) + eps
+        min_lng = t["min_lng"].to_numpy(zero_copy_only=False) - eps
+        max_lng = t["max_lng"].to_numpy(zero_copy_only=False) + eps
+        x0, y0 = geo.cell_xy(max_lat, min_lng, res)   # top-left cell
+        x1, y1 = geo.cell_xy(min_lat, max_lng, res)   # bottom-right cell
+        w = x1 - x0 + 1
+        h = y1 - y0 + 1
+        area = w * h
+        total = int(area.sum())
+        rep_x0 = np.repeat(x0, area)
+        rep_y0 = np.repeat(y0, area)
+        rep_w = np.repeat(w, area)
+        k = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(area) - area, area)
+        x = rep_x0 + k % rep_w
+        y = rep_y0 + k // rep_w
+        cells = pa.table({"cell_id": pa.array((y << res) + x)})
+        g = cells.group_by("cell_id").aggregate([("cell_id", "count")])
+        return g.rename_columns(["cell_id", "partial_n"])
+
+    rastered = pre_shuffle_coalesce(
+        boxes.map_batches(rasterize, batch_format="pyarrow"))
+    agg = rastered.groupby("cell_id").aggregate(Sum("partial_n", alias_name="n_boxes"))
+    return agg

@@ -181,6 +181,22 @@ def q_host_boxes(sf_dir: str):
         read_interleaved(sf_dir), ["kind", "hostname", "lat", "lng"]))
 
 
+def q_tile_rasterize(sf_dir: str):
+    """Vector→raster: per-host boundary boxes rasterized to per-cell
+    coverage counts (the inverse of tile_vectorize; fully streaming)."""
+    return tiling.tile_rasterize(explode_spans(
+        read_interleaved(sf_dir), ["kind", "hostname", "lat", "lng"]), RES)
+
+
+def q_range_join(sf_dir: str):
+    """Big×big spatial range join (no broadcast side): media spans ×
+    document spans within RJ_RADIUS degrees, aggregated to
+    (count, min squared distance) per media span."""
+    return spatial.range_join_media_doc(explode_spans(
+        read_interleaved(sf_dir),
+        ["doc_id", "offset", "kind", "lat", "lng"]))
+
+
 def _edges(sf_dir: str):
     # shuffle-free fast path: interleaved rows are already doc-grouped
     return tree.build_edges_interleaved(read_interleaved(sf_dir))
@@ -897,6 +913,56 @@ GROUP BY hostname
 """
 
 
+def _oracle_tile_rasterize(path: str, res: int = RES,
+                           eps: float = spatial.PIP_EPS) -> str:
+    n = 1 << res
+    return _FLAT_CTE.format(path=path) + f"""
+, boxes AS (
+    SELECT hostname,
+           MIN(lat) - {eps} AS min_lat, MAX(lat) + {eps} AS max_lat,
+           MIN(lng) - {eps} AS min_lng, MAX(lng) + {eps} AS max_lng
+    FROM flat WHERE kind = 'document' AND hostname <> ''
+    GROUP BY hostname
+), bx AS (
+    SELECT hostname,
+      LEAST(GREATEST(CAST(FLOOR((min_lng + 180.0) / 360.0 * {n}.0) AS BIGINT), 0), {n} - 1) AS x0,
+      LEAST(GREATEST(CAST(FLOOR((max_lng + 180.0) / 360.0 * {n}.0) AS BIGINT), 0), {n} - 1) AS x1,
+      LEAST(GREATEST(CAST(FLOOR((90.0 - max_lat) / 180.0 * {n}.0) AS BIGINT), 0), {n} - 1) AS y0,
+      LEAST(GREATEST(CAST(FLOOR((90.0 - min_lat) / 180.0 * {n}.0) AS BIGINT), 0), {n} - 1) AS y1
+    FROM boxes
+), gs AS (
+    SELECT CAST(g AS BIGINT) AS i FROM generate_series(0, {n} - 1) AS t(g)
+), cov AS (
+    SELECT gy.i * {n} + gx.i AS cell_id
+    FROM bx
+    JOIN gs gx ON gx.i BETWEEN bx.x0 AND bx.x1
+    JOIN gs gy ON gy.i BETWEEN bx.y0 AND bx.y1
+)
+SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_boxes
+FROM cov GROUP BY 1
+"""
+
+
+def _oracle_range_join(path: str, radius: float = spatial.RJ_RADIUS) -> str:
+    r2 = radius * radius
+    kinds = ", ".join(f"'{k}'" for k in spatial.QUERY_KINDS)
+    return _FLAT_CTE.format(path=path) + f"""
+, q AS (
+    SELECT doc_id, "offset", lat, lng FROM flat WHERE kind IN ({kinds})
+), c AS (
+    SELECT lat AS clat, lng AS clng FROM flat WHERE kind = 'document'
+)
+SELECT q.doc_id, q."offset",
+       CAST(COUNT(*) AS BIGINT) AS n_in_range,
+       MIN((q.lat - clat) * (q.lat - clat)
+           + (q.lng - clng) * (q.lng - clng)) AS d2_min
+FROM q JOIN c
+  ON (q.lat - clat) * (q.lat - clat)
+     + (q.lng - clng) * (q.lng - clng) <= {r2}
+GROUP BY 1, 2
+"""
+
+
 def _oracle_pip(path: str, eps: float = spatial.PIP_EPS) -> str:
     return _FLAT_CTE.format(path=path) + f"""
 , boxes AS (
@@ -972,6 +1038,8 @@ _INTERLEAVED_ORACLES = {
     "tile_vectorize": _oracle_tile_vectorize,
     "tile_pyramid": _oracle_tile_pyramid,
     "tile_neighbor_density": _oracle_tile_neighbors,
+    "tile_rasterize": _oracle_tile_rasterize,
+    "range_join": _oracle_range_join,
     "redirect_chain": _oracle_redirect_chain,
     "landing": _oracle_landing,
     "landing_validated": _oracle_landing_validated,
@@ -1036,6 +1104,8 @@ def _queries_registry() -> dict[str, Callable]:
         "tile_vectorize": q_tile_vectorize,
         "tile_pyramid": q_tile_pyramid,
         "tile_neighbor_density": q_tile_neighbor_density,
+        "tile_rasterize": q_tile_rasterize,     # vector→raster (exact oracle)
+        "range_join": q_range_join,             # big×big spatial range join
         "redirect_chain": q_redirect_chain,
         "landing": q_landing,
         "landing_validated": q_landing_validated,

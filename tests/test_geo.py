@@ -90,3 +90,57 @@ def test_kmv_estimator_accuracy():
     kth_frac = int(hs[k - 1], 16) / 16 ** 32
     est = (k - 1) / kth_frac
     assert abs(est - 5000) / 5000 < 3 / np.sqrt(k)
+
+
+def test_range_join_ring_cover_is_lossless():
+    """Geometric contract of range_join_media_doc: when radius <= the cell
+    extent at res, every candidate within radius of a query lies in the
+    query cell's 3x3 Chebyshev ring — so the bucketed plan misses nothing."""
+    import numpy as np
+
+    from har2tree_ray import geo
+
+    res, radius = 8, 180.0 / (1 << 8)  # the largest legal radius
+    rng = np.random.default_rng(42)
+    qlat = rng.uniform(-89, 89, 500)
+    qlng = rng.uniform(-180, 180, 500)
+    ang = rng.uniform(0, 2 * np.pi, 500)
+    rr = rng.uniform(0, radius, 500)
+    clat = np.clip(qlat + rr * np.sin(ang), -90, 90)
+    clng = qlng + rr * np.cos(ang)
+    clng = (clng + 180.0) % 360.0 - 180.0  # wrap like real coordinates
+    qx, qy = geo.cell_xy(qlat, qlng, res)
+    cx, cy = geo.cell_xy(clat, clng, res)
+    d = geo.chebyshev_cell_distance(qx, qy, cx, cy, res)
+    # candidates produced by wrapping stay within the ring via lng wrap;
+    # the pure-latitude cases are covered by the clip above
+    assert (d <= 1).all()
+
+
+def test_range_join_rejects_lossy_radius():
+    import pytest as _pytest
+
+    from har2tree_ray.pipelines import spatial
+
+    with _pytest.raises(ValueError):
+        spatial.range_join_media_doc(None, res=8, radius=1.0)
+
+
+def test_tile_rasterize_fanout_bound():
+    """Per-box fan-out equals the covered-cell count from the closed-form
+    bounds — no hidden blow-up beyond box area in cells."""
+    import numpy as np
+
+    from har2tree_ray import geo
+
+    res = 8
+    n = 1 << res
+    min_lng, max_lng = np.array([-1.0]), np.array([1.3])
+    min_lat, max_lat = np.array([40.0]), np.array([40.9])
+    x0, y0 = geo.cell_xy(max_lat, min_lng, res)
+    x1, y1 = geo.cell_xy(min_lat, max_lng, res)
+    w, h = x1 - x0 + 1, y1 - y0 + 1
+    # cell extents at res 8: 1.40625 lng x 0.703125 lat -> a 2.3 x 0.9 deg
+    # box covers at most ceil(2.3/1.40625)+1 = 3 x ceil(0.9/0.703)+1 = 3
+    assert 1 <= w[0] <= 3 and 1 <= h[0] <= 3
+    assert 0 <= x0[0] <= x1[0] < n and 0 <= y0[0] <= y1[0] < n

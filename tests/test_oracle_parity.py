@@ -15,6 +15,8 @@ SQL_CHECKED = [
     "tile_vectorize",
     "tile_pyramid",
     "tile_neighbor_density",
+    "tile_rasterize",
+    "range_join",
     "redirect_chain",
     "landing",
     "host_rollup",
