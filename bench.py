@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "doc_split",
     "tile_rasterize",
     "range_join",
+    "host_rank",
 ]
 
 

@@ -856,6 +856,134 @@ GROUP BY src_host, dst_host
 """
 
 
+
+def host_rank(flat_ds, iters: int = 3, mass: int = 1_000_000,
+              base: int = 150_000):
+    """Iterative damped link-mass propagation (PageRank-style) over the
+    cross-host referral graph — the canonical *iterative* distributed
+    algorithm over ``host_link_graph`` edges.
+
+    INTEGER semantics make it exactly oracle-checkable: every node starts
+    with ``mass``; each synchronous iteration a node sends
+    ``(m * 85) // (100 * outdeg)`` along each distinct out-edge and the
+    next mass is ``base + sum(incoming)``.  All quantities are int64 and
+    every reduce is a sum of ints, so the result is independent of
+    reduction order — no float-summation parity hazard — and the DuckDB
+    oracle is ``iters`` unrolled join+group CTEs.  (Dangling-node mass
+    drains by design; the teleport term is the uniform ``base``.)
+
+    Scale shape: the edge list (with outdeg) is the iterative working set —
+    outdeg computed via ONE coarse src-key range shuffle (a source's edges
+    all co-live in its range, so outdeg is a range-local
+    ``transform('size')``) and ``materialize()``d deliberately: re-deriving
+    it from spans every iteration would re-run the whole upstream pipeline
+    ``iters`` times (at 100 TB the equivalent is a per-iteration parquet
+    checkpoint via ``state/checkpoint.py``, not an object-store pin of raw
+    spans — the edge list is the host×host graph, orders of magnitude
+    smaller than the span stream).  The RANK vector is one row per host —
+    the same bounded small side the engine already broadcasts for the ST5
+    covering index (``host_boxes``) — so each iteration is a ``ray.put``
+    broadcast of the current ranks + one map-only pass over the
+    (materialized, never re-shuffled) edge partitions emitting batch-local
+    per-destination partial sums, gathered and summed on the driver
+    (partials are bounded by hosts × blocks).  If the host table ever
+    outgrew the broadcast contract, each iteration escalates to the
+    co-partition form: union(edges, ranks) → src-range shuffle → contribs
+    → dst-range shuffle — the documented ST5 escalation, at 2 exchanges
+    per iteration.
+    """
+    import numpy as np
+    import ray as _ray
+
+    from ..util import user_range_groupby, worker_cached_stage
+
+    edges = host_link_graph(flat_ds).select_columns(["src_host", "dst_host"])
+
+    def with_outdeg(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"src_host": pd.Series(dtype=object),
+                                 "dst_host": pd.Series(dtype=object),
+                                 "outdeg": pd.Series(dtype=np.int64)})
+        return df.assign(
+            outdeg=df.groupby("src_host")["dst_host"].transform("size")
+            .astype(np.int64))
+
+    edges_aug = user_range_groupby(edges, with_outdeg,
+                                   key="src_host").materialize()
+
+    # node set: host-cardinality driver gather (ST5 small-side contract)
+    nodes_df = edges_aug.map_batches(
+        lambda df: pd.DataFrame({"host": pd.unique(
+            pd.concat([df["src_host"], df["dst_host"]], ignore_index=True))}),
+        batch_format="pandas").to_pandas()
+    nodes = pd.unique(nodes_df["host"])
+
+    class ContribPartial:
+        """Per-worker: fetch the broadcast rank vector once, then emit
+        batch-local per-destination partial contribution sums."""
+
+        def __init__(self, ranks_ref) -> None:
+            self.ranks = _ray.get(ranks_ref)  # pd.Series host -> m
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = df["src_host"].map(self.ranks).to_numpy(dtype=np.int64)
+            c = (m * 85) // (100 * df["outdeg"].to_numpy())
+            g = (pd.DataFrame({"dst": df["dst_host"], "c": c})
+                 .groupby("dst", sort=False)["c"].sum().reset_index())
+            return g
+
+    ranks = pd.Series(np.full(len(nodes), mass, dtype=np.int64), index=nodes)
+    for _ in range(iters):
+        ref = _ray.put(ranks)
+        partials = edges_aug.map_batches(
+            worker_cached_stage(ContribPartial, ref, cache_key=ref.hex()),
+            batch_format="pandas").to_pandas()
+        sums = partials.groupby("dst", sort=False)["c"].sum()
+        ranks = pd.Series(np.full(len(nodes), base, dtype=np.int64),
+                          index=nodes)
+        ranks.loc[sums.index] += sums.astype(np.int64)
+
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(
+        {"hostname": ranks.index.to_numpy(dtype=object),
+         "rank": ranks.to_numpy(dtype=np.int64)}))
+
+
+def host_rank_sql(flat_path: str, iters: int = 3, mass: int = 1_000_000,
+                  base: int = 150_000) -> str:
+    head = f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+), r AS (
+    SELECT CASE WHEN regexp_matches(regexp_extract(s.text, '@referer=(\\S+)', 1), '^https?://')
+                THEN regexp_extract(regexp_extract(s.text, '@referer=(\\S+)', 1), '^https?://([^/?#]+)', 1)
+                ELSE '' END AS src_host,
+           CASE WHEN regexp_matches(s.media_ref, '^https?://')
+                THEN regexp_extract(s.media_ref, '^https?://([^/?#]+)', 1)
+                ELSE '' END AS dst_host
+    FROM ex WHERE regexp_matches(s.text, '@referer=')
+), e AS (
+    SELECT DISTINCT src_host AS s, dst_host AS t FROM r
+    WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+), od AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY s),
+nodes AS (SELECT s AS h FROM e UNION SELECT t FROM e),
+r0 AS (SELECT h, CAST({mass} AS BIGINT) AS m FROM nodes)"""
+    for k in range(1, iters + 1):
+        head += f""",
+r{k} AS (
+    SELECT n.h,
+           CAST({base} + COALESCE(SUM((p.m * 85) // (100 * od.d)), 0) AS BIGINT) AS m
+    FROM nodes n
+    LEFT JOIN e ON e.t = n.h
+    LEFT JOIN od ON od.s = e.s
+    LEFT JOIN r{k - 1} p ON p.h = e.s
+    GROUP BY n.h)"""
+    return head + f"""
+SELECT h AS hostname, m AS rank FROM r{iters}
+"""
+
+
 def host_cooccur(interleaved_ds):
     """Domain co-citation graph: ``(host_a, host_b, n_docs)`` counting the
     documents in which BOTH hosts appear as span resources — the undirected

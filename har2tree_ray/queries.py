@@ -365,6 +365,13 @@ def q_doc_domhash(sf_dir: str):
     return webmeta.doc_domhash(read_interleaved(sf_dir))
 
 
+def q_host_rank(sf_dir: str):
+    """Iterative integer-mass link propagation (PageRank-style, 3 unrolled
+    iterations) over the host_link_graph edges."""
+    return webmeta.host_rank(explode_spans(
+        read_interleaved(sf_dir), ["text", "hostname"]))
+
+
 def q_host_link_graph(sf_dir: str):
     return webmeta.host_link_graph(explode_spans(
         read_interleaved(sf_dir), ["text", "hostname"]))
@@ -1057,6 +1064,7 @@ _INTERLEAVED_ORACLES = {
     "doc_domhash": webmeta.doc_domhash_sql,
     "host_tld": webmeta.host_tld_sql,
     "host_link_graph": webmeta.host_link_graph_sql,
+    "host_rank": webmeta.host_rank_sql,
     "host_cooccur": webmeta.host_cooccur_sql,
     "span_identifiers": webmeta.span_identifiers_sql,
     "cookies_never_sent": webmeta.cookies_never_sent_sql,
@@ -1161,6 +1169,7 @@ def _queries_registry() -> dict[str, Callable]:
         "doc_domhash": q_doc_domhash,
         "host_tld": q_host_tld,
         "host_link_graph": q_host_link_graph,
+        "host_rank": q_host_rank,             # iterative link-mass (3 iters)
         "host_cooccur": q_host_cooccur,       # domain co-citation graph
         "span_identifiers": q_span_identifiers,
         "cookies_never_sent": q_cookies_never_sent,

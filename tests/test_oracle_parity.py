@@ -17,6 +17,7 @@ SQL_CHECKED = [
     "tile_neighbor_density",
     "tile_rasterize",
     "range_join",
+    "host_rank",
     "redirect_chain",
     "landing",
     "host_rollup",
