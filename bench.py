@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "tile_rasterize",
     "range_join",
     "host_rank",
+    "event_transitions",
 ]
 
 

@@ -83,6 +83,65 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+# ------------------------------------------------------ transition bigrams
+
+
+def transitions(events_ds, n_parts: int | None = None):
+    """Per-user event-type transition counts — the clickstream Markov
+    matrix: for every consecutive (prev, next) event pair of a user
+    (ordered by ts, event_id), count the (from_type, to_type) bigram.
+
+    Same shape as sessionize: ONE crc32 user-range shuffle, one vectorized
+    pandas pass per range (sort + shift — no per-user dispatch), partial
+    bigram counts per range, then a final native groupby over the bounded
+    type×type key space (|event_type|² rows)."""
+    from ray.data.aggregate import Sum
+
+    from ..util import user_range_groupby
+
+    def per_range(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = df["user_id"].eq(df["user_id"].shift())
+        sel = pd.DataFrame({"from_type": df["event_type"].shift()[same],
+                            "to_type": df["event_type"][same]})
+        if sel.empty:
+            return pd.DataFrame({"from_type": pd.Series(dtype=object),
+                                 "to_type": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        g = sel.groupby(["from_type", "to_type"], as_index=False,
+                        sort=False).size().rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    import pyarrow.compute as pc
+
+    partials = user_range_groupby(events_ds, per_range, n_parts=n_parts)
+    agg = partials.groupby(["from_type", "to_type"]).aggregate(
+        Sum("n", alias_name="n_transitions"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "from_type": t["from_type"],
+            "to_type": t["to_type"],
+            "n_transitions": pc.cast(t["n_transitions"], pa.int64()),
+        }),
+        batch_format="pyarrow")
+
+
+def transitions_sql() -> str:
+    return """
+WITH o AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+)
+SELECT prev_type AS from_type, event_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM o WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 # -------------------------------------------------------- tumbling window agg
 
 

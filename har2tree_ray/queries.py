@@ -474,6 +474,13 @@ def q_event_sessions(sf_dir: str):
         _events(sf_dir, ["user_id", "ts", "event_id", "value"]))
 
 
+def q_event_transitions(sf_dir: str):
+    """Per-user event-type transition bigram counts (clickstream Markov
+    matrix; one user-range shuffle + bounded type-pair merge)."""
+    return events.transitions(
+        _events(sf_dir, ["user_id", "ts", "event_id", "event_type"]))
+
+
 def q_event_window_agg(sf_dir: str):
     return events.window_agg(
         _events(sf_dir, ["ts", "event_type", "value", "event_id"]))
@@ -1024,6 +1031,7 @@ _TABLE_ORACLES = {
     "embed_neardup": lambda _p: embed.embed_neardup_sql(),
     "ann_topk": lambda _p: embed.ann_topk_sql(),
     "event_sessions": lambda _p: events.sessionize_sql(),
+    "event_transitions": lambda _p: events.transitions_sql(),
     "event_window_agg": lambda _p: events.window_agg_sql(),
     "event_asof": lambda _p: events.asof_error_click_sql(),
     "event_props_rollup": lambda _p: events.props_rollup_sql(),
@@ -1193,6 +1201,7 @@ def _queries_registry() -> dict[str, Callable]:
         "revenue_by_month": q_revenue_by_month,  # shuffle hash join (big x big)
         # event-stream operators (windowed / sessionize / as-of / JSON decode)
         "event_sessions": q_event_sessions,
+        "event_transitions": q_event_transitions,
         "event_window_agg": q_event_window_agg,
         "event_asof": q_event_asof,
         "event_props_rollup": q_event_props_rollup,
