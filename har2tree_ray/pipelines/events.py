@@ -108,8 +108,9 @@ def transitions(events_ds, n_parts: int | None = None):
             return pd.DataFrame({"from_type": pd.Series(dtype=object),
                                  "to_type": pd.Series(dtype=object),
                                  "n": pd.Series(dtype="int64")})
-        g = sel.groupby(["from_type", "to_type"], as_index=False,
-                        sort=False).size().rename(columns={"size": "n"})
+        # dropna=False: the oracle's GROUP BY keeps NULL to_type rows
+        g = sel.groupby(["from_type", "to_type"], as_index=False, sort=False,
+                        dropna=False).size().rename(columns={"size": "n"})
         g["n"] = g["n"].astype("int64")
         return g
 

@@ -306,6 +306,10 @@ def range_join_media_doc(flat_ds, res: int = RJ_RES, radius: float = RJ_RADIUS):
     """
     if radius > 180.0 / (1 << res):
         raise ValueError("3x3 ring cover is lossy: radius exceeds cell extent")
+    if res < 2:
+        # with n <= 2 the mod-n ring wraps distinct offsets onto the same
+        # cell, replicating a candidate into one cell twice (double count)
+        raise ValueError("3x3 ring cells must be distinct: res >= 2 required")
     from ..util import user_range_groupby
 
     n = np.int64(1) << res
@@ -333,8 +337,8 @@ def range_join_media_doc(flat_ds, res: int = RJ_RES, radius: float = RJ_RADIUS):
                 x = (cx[ok] + dx) % n
                 cells.append((y[ok] << res) + x)
                 rows.append(cidx[ok])
-        c_cell = np.concatenate(cells) if cells else np.empty(0, np.int64)
-        c_rows = np.concatenate(rows) if rows else np.empty(0, np.int64)
+        c_cell = np.concatenate(cells)   # always 9 arrays (possibly empty)
+        c_rows = np.concatenate(rows)
         nq, nc = len(q_cell), len(c_cell)
         return pa.table({
             "cell": pa.array(np.concatenate([q_cell, c_cell])),

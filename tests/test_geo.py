@@ -124,6 +124,9 @@ def test_range_join_rejects_lossy_radius():
 
     with _pytest.raises(ValueError):
         spatial.range_join_media_doc(None, res=8, radius=1.0)
+    with _pytest.raises(ValueError):
+        # ring cells must be distinct (mod-n wrap double-counts at res < 2)
+        spatial.range_join_media_doc(None, res=1, radius=0.5)
 
 
 def test_tile_rasterize_fanout_bound():
