@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "range_join",
     "host_rank",
     "event_transitions",
+    "event_window_sliding",
 ]
 
 

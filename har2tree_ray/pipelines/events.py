@@ -185,6 +185,88 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------- sliding (hopping) window
+
+
+def window_sliding(events_ds, width_min: int = 60, hop_min: int = 30):
+    """Sliding (hopping) window aggregate: ``width_min``-minute windows
+    advancing every ``hop_min`` minutes, so each event belongs to
+    ``width/hop`` overlapping windows — the streaming-window family's
+    second member next to the tumbling ``window_agg``.
+
+    Same scale shape: the per-event window REPLICATION (width/hop rows)
+    happens batch-locally and is immediately pre-aggregated to
+    (window_start, event_type) partials before the one bounded shuffle —
+    window×type cardinality, not event cardinality, crosses the exchange.
+    Window starts are integer epoch-microsecond floors, bit-exact vs the
+    oracle's ``make_timestamp((epoch_us(ts) // hop) * hop)`` arithmetic.
+    """
+    if width_min % hop_min:
+        raise ValueError("width must be a multiple of hop")
+    n_hops = width_min // hop_min
+    hop_us = hop_min * 60 * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        us = df["ts"].astype("int64").to_numpy()          # epoch micros
+        base = (us // hop_us) * hop_us
+        cents = (df["value"] * 100).round().astype("int64").to_numpy()
+        etype = df["event_type"].to_numpy()
+        frames = []
+        for k in range(n_hops):
+            frames.append(pd.DataFrame({
+                "window_start": base - k * hop_us,
+                "event_type": etype,
+                "cents": cents,
+            }))
+        rep = pd.concat(frames, ignore_index=True)
+        g = rep.groupby(["window_start", "event_type"], sort=False).agg(
+            part_n=("cents", "size"), part_cents=("cents", "sum")).reset_index()
+        g["window_start"] = g["window_start"].astype("datetime64[us]")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    from ..util import pre_shuffle_coalesce
+
+    partials = pre_shuffle_coalesce(
+        events_ds.map_batches(partial, batch_format="pyarrow"))
+    agg = partials.groupby(["window_start", "event_type"]).aggregate(
+        Sum("part_n", alias_name="n_events"),
+        Sum("part_cents", alias_name="total_cents"))
+    import pyarrow.compute as pc
+
+    return agg.map_batches(
+        lambda t: pa.table({
+            "window_start": t["window_start"],
+            "event_type": t["event_type"],
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "total_cents": pc.cast(t["total_cents"], pa.int64()),
+        }),
+        batch_format="pyarrow")
+
+
+def window_sliding_sql(width_min: int = 60, hop_min: int = 30) -> str:
+    n_hops = width_min // hop_min
+    hop_us = hop_min * 60 * 1_000_000
+    return f"""
+WITH h AS (
+    SELECT event_type, value,
+           (epoch_us(ts) // {hop_us}) * {hop_us} AS base_us
+    FROM events
+), rep AS (
+    SELECT event_type, value,
+           make_timestamp(base_us - k.k * {hop_us}) AS window_start
+    FROM h, (SELECT CAST(g AS BIGINT) AS k
+             FROM generate_series(0, {n_hops - 1}) AS t(g)) k
+)
+SELECT window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+FROM rep GROUP BY 1, 2
+"""
+
+
 # ----------------------------------------------------------------- as-of join
 
 

@@ -474,6 +474,13 @@ def q_event_sessions(sf_dir: str):
         _events(sf_dir, ["user_id", "ts", "event_id", "value"]))
 
 
+def q_event_window_sliding(sf_dir: str):
+    """Sliding 60-min windows hopping every 30 min (each event in 2
+    windows; batch-local replicate + partial agg, one bounded shuffle)."""
+    return events.window_sliding(
+        _events(sf_dir, ["ts", "event_type", "value"]))
+
+
 def q_event_transitions(sf_dir: str):
     """Per-user event-type transition bigram counts (clickstream Markov
     matrix; one user-range shuffle + bounded type-pair merge)."""
@@ -1032,6 +1039,7 @@ _TABLE_ORACLES = {
     "ann_topk": lambda _p: embed.ann_topk_sql(),
     "event_sessions": lambda _p: events.sessionize_sql(),
     "event_transitions": lambda _p: events.transitions_sql(),
+    "event_window_sliding": lambda _p: events.window_sliding_sql(),
     "event_window_agg": lambda _p: events.window_agg_sql(),
     "event_asof": lambda _p: events.asof_error_click_sql(),
     "event_props_rollup": lambda _p: events.props_rollup_sql(),
@@ -1202,6 +1210,7 @@ def _queries_registry() -> dict[str, Callable]:
         # event-stream operators (windowed / sessionize / as-of / JSON decode)
         "event_sessions": q_event_sessions,
         "event_transitions": q_event_transitions,
+        "event_window_sliding": q_event_window_sliding,
         "event_window_agg": q_event_window_agg,
         "event_asof": q_event_asof,
         "event_props_rollup": q_event_props_rollup,

@@ -14,6 +14,7 @@ SF = "/root/testdata/sf0.001"
 @pytest.mark.parametrize("name", [
     "event_sessions", "event_window_agg", "event_asof", "event_props_rollup",
     "event_funnel", "event_retention", "event_transitions",
+    "event_window_sliding",
 ])
 def test_oracle_parity(name):
     assert_matches_oracle(name, SF)
