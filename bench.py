@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "host_rank",
     "event_transitions",
     "event_window_sliding",
+    "doc_len_quantiles",
 ]
 
 

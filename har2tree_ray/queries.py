@@ -325,6 +325,13 @@ def q_doc_len_histogram(sf_dir: str):
     return text.doc_len_histogram(_docs(sf_dir))
 
 
+def q_doc_len_quantiles(sf_dir: str):
+    """Exact per-source token-count percentiles via counting-sort
+    histograms (no distributed sort)."""
+    return text.doc_len_quantiles(
+        read_table(sf_dir, "documents", columns=["source", "text"]))
+
+
 def q_doc_filter(sf_dir: str):
     return text.doc_filter(_docs(sf_dir))
 
@@ -1032,6 +1039,7 @@ _TABLE_ORACLES = {
     "doc_exact_dedup": _oracle_doc_exact_dedup,
     "doc_filter": lambda _p: text.doc_filter_sql(),
     "doc_len_histogram": lambda _p: text.doc_len_histogram_sql(),
+    "doc_len_quantiles": lambda _p: text.doc_len_quantiles_sql(),
     "ngram_topk": lambda _p: text.ngram_topk_sql(),
     "dedup_clusters": lambda _p: text.dedup_clusters_sql(),
     "corpus_keep": lambda _p: corpus.corpus_keep_sql(),
@@ -1169,6 +1177,7 @@ def _queries_registry() -> dict[str, Callable]:
         "doc_simhash": q_doc_simhash,              # blake2-based — rows-only
         "doc_filter": q_doc_filter,
         "doc_len_histogram": q_doc_len_histogram,
+        "doc_len_quantiles": q_doc_len_quantiles,
         "ngram_topk": q_ngram_topk,
         "dedup_clusters": q_dedup_clusters,
         "corpus_keep": q_corpus_keep,

@@ -523,6 +523,79 @@ FROM h
 """
 
 
+# ------------------------------------------------- per-group exact quantiles
+
+
+def doc_len_quantiles(ds):
+    """Exact per-source token-count percentiles (p25/p50/p75/p95) — the
+    group-quantile operator, computed WITHOUT a distributed sort: token
+    counts are small ints, so per-(source, tok) partial counts form an
+    exact counting-sort histogram; ONE coarse source-range shuffle moves
+    only the bounded (sources × distinct lengths) count table, and each
+    range resolves ordinals by cumsum + searchsorted.
+
+    Ordinal semantics are explicit integer arithmetic — the p-th percentile
+    is the value at 1-indexed row ``ceil(p·n/100) = (p·n + 99) // 100`` of
+    the sorted lengths — and the oracle states the SAME formula via
+    ROW_NUMBER, sidestepping ``percentile_disc``'s float ``p*n`` edge
+    (0.95*n can land either side of an integer in IEEE double)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..util import user_range_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        toks = [len(_WS_TOKEN.findall(t)) for t in texts]
+        t = pa.table({"source": batch["source"],
+                      "tok": pa.array(toks, pa.int64())})
+        g = t.group_by(["source", "tok"]).aggregate([("tok", "count")])
+        return g.rename_columns(["source", "tok", "part_n"])
+
+    def per_range(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src_name, g in df.groupby("source", sort=False):
+            h = g.groupby("tok", sort=True)["part_n"].sum()
+            cum = h.cumsum().to_numpy()
+            vals = h.index.to_numpy()
+            n = int(cum[-1])
+            row = {"source": src_name}
+            for p, name in ((25, "p25"), (50, "p50"), (75, "p75"), (95, "p95")):
+                k = (p * n + 99) // 100
+                row[name] = int(vals[np.searchsorted(cum, k, side="left")])
+            rows.append(row)
+        if not rows:
+            return pd.DataFrame({"source": pd.Series(dtype=object),
+                                 **{c: pd.Series(dtype="int64")
+                                    for c in ("p25", "p50", "p75", "p95")}})
+        return pd.DataFrame(rows, columns=["source", "p25", "p50", "p75", "p95"])
+
+    from ..util import pre_shuffle_coalesce
+
+    partials = pre_shuffle_coalesce(
+        ds.map_batches(partial, batch_format="pyarrow"))
+    return user_range_groupby(partials, per_range, key="source")
+
+
+def doc_len_quantiles_sql(rel: str = "documents") -> str:
+    return f"""
+WITH l AS (
+    SELECT source, len(regexp_extract_all(text, '\\S+')) AS tok FROM {rel}
+), r AS (
+    SELECT source, tok,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY tok) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS n
+    FROM l
+)
+SELECT source,
+       CAST(MIN(CASE WHEN rn = (25 * n + 99) // 100 THEN tok END) AS BIGINT) AS p25,
+       CAST(MIN(CASE WHEN rn = (50 * n + 99) // 100 THEN tok END) AS BIGINT) AS p50,
+       CAST(MIN(CASE WHEN rn = (75 * n + 99) // 100 THEN tok END) AS BIGINT) AS p75,
+       CAST(MIN(CASE WHEN rn = (95 * n + 99) // 100 THEN tok END) AS BIGINT) AS p95
+FROM r GROUP BY source
+"""
+
+
 # ------------------------------------------------------- composite filter
 
 # doc_filter thresholds — all comparisons are INTEGER arithmetic so the
