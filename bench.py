@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "event_transitions",
     "event_window_sliding",
     "doc_len_quantiles",
+    "host_components",
 ]
 
 

@@ -950,6 +950,111 @@ def host_rank(flat_ds, iters: int = 3, mass: int = 1_000_000,
          "rank": ranks.to_numpy(dtype=np.int64)}))
 
 
+def host_components(flat_ds, max_iters: int = 64):
+    """Connected components of the (undirected) cross-host referral graph
+    via synchronous min-label propagation — the graph-analytics companion
+    of ``host_rank``: each host's component id is the MINIMUM hostname
+    (lexicographic) reachable from it.
+
+    Exactly oracle-checkable: min-label propagation converges to the same
+    fixpoint as the oracle's recursive-CTE reachability closure + MIN, and
+    min() is order-independent, so there is no reduction-order hazard.
+
+    Scale shape: identical to ``host_rank`` — the undirected edge list is
+    materialized once as the iterative working set; the label vector is
+    host-cardinality (ST5 small-side contract) and broadcasts per
+    iteration via ``ray.put``; each iteration is ONE map-only pass over
+    the edge partitions emitting batch-local (dst, min incoming label)
+    partials, gathered and min-merged on the driver.  Iterations stop at
+    the fixpoint (bounded by graph diameter; ``max_iters`` is a runaway
+    guard).  The co-partition escalation for oversized host tables is the
+    same one documented on ``host_rank``.
+    """
+    import numpy as np
+    import ray as _ray
+
+    from ..util import worker_cached_stage
+
+    edges = host_link_graph(flat_ds).select_columns(
+        ["src_host", "dst_host"])
+
+    def undirect(t: pa.Table) -> pa.Table:
+        chunks_s, chunks_d = [], []
+        for a, b in (("src_host", "dst_host"), ("dst_host", "src_host")):
+            ca, cb = t[a], t[b]
+            chunks_s.extend(ca.chunks if isinstance(ca, pa.ChunkedArray) else [ca])
+            chunks_d.extend(cb.chunks if isinstance(cb, pa.ChunkedArray) else [cb])
+        return pa.table({"src": pa.chunked_array(chunks_s, pa.string()),
+                         "dst": pa.chunked_array(chunks_d, pa.string())})
+
+    und = edges.map_batches(undirect, batch_format="pyarrow").materialize()
+
+    nodes_df = und.map_batches(
+        lambda df: pd.DataFrame({"host": pd.unique(
+            pd.concat([df["src"], df["dst"]], ignore_index=True))}),
+        batch_format="pandas").to_pandas()
+    nodes = pd.unique(nodes_df["host"])
+
+    class MinLabelPartial:
+        def __init__(self, labels_ref) -> None:
+            self.labels = _ray.get(labels_ref)  # pd.Series host -> label
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            lbl = df["src"].map(self.labels)
+            g = (pd.DataFrame({"dst": df["dst"], "lbl": lbl})
+                 .groupby("dst", sort=False)["lbl"].min().reset_index())
+            return g
+
+    labels = pd.Series(nodes, index=nodes)   # own hostname
+    for _ in range(max_iters):
+        ref = _ray.put(labels)
+        partials = und.map_batches(
+            worker_cached_stage(MinLabelPartial, ref, cache_key=ref.hex()),
+            batch_format="pandas").to_pandas()
+        incoming = partials.groupby("dst", sort=False)["lbl"].min()
+        new = labels.copy()
+        upd = np.minimum(new.loc[incoming.index].to_numpy(dtype=object),
+                         incoming.to_numpy(dtype=object))
+        new.loc[incoming.index] = upd
+        if new.equals(labels):
+            break
+        labels = new
+
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(
+        {"hostname": labels.index.to_numpy(dtype=object),
+         "component": labels.to_numpy(dtype=object)}))
+
+
+def host_components_sql(flat_path: str) -> str:
+    return f"""
+WITH RECURSIVE ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+), r AS (
+    SELECT CASE WHEN regexp_matches(regexp_extract(s.text, '@referer=(\\S+)', 1), '^https?://')
+                THEN regexp_extract(regexp_extract(s.text, '@referer=(\\S+)', 1), '^https?://([^/?#]+)', 1)
+                ELSE '' END AS src_host,
+           CASE WHEN regexp_matches(s.media_ref, '^https?://')
+                THEN regexp_extract(s.media_ref, '^https?://([^/?#]+)', 1)
+                ELSE '' END AS dst_host
+    FROM ex WHERE regexp_matches(s.text, '@referer=')
+), e AS (
+    SELECT DISTINCT src_host AS s, dst_host AS t FROM r
+    WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+), und AS (
+    SELECT s, t FROM e UNION SELECT t AS s, s AS t FROM e
+), nodes AS (
+    SELECT s AS h FROM und UNION SELECT t FROM und
+), reach AS (
+    SELECT h, h AS r FROM nodes
+    UNION
+    SELECT reach.h, und.t AS r FROM reach JOIN und ON und.s = reach.r
+)
+SELECT h AS hostname, MIN(r) AS component FROM reach GROUP BY h
+"""
+
+
 def host_rank_sql(flat_path: str, iters: int = 3, mass: int = 1_000_000,
                   base: int = 150_000) -> str:
     head = f"""

@@ -379,6 +379,13 @@ def q_host_rank(sf_dir: str):
         read_interleaved(sf_dir), ["text", "hostname"]))
 
 
+def q_host_components(sf_dir: str):
+    """Connected components of the undirected host graph via min-label
+    propagation (recursive-CTE closure oracle)."""
+    return webmeta.host_components(explode_spans(
+        read_interleaved(sf_dir), ["text", "hostname"]))
+
+
 def q_host_link_graph(sf_dir: str):
     return webmeta.host_link_graph(explode_spans(
         read_interleaved(sf_dir), ["text", "hostname"]))
@@ -1089,6 +1096,7 @@ _INTERLEAVED_ORACLES = {
     "host_tld": webmeta.host_tld_sql,
     "host_link_graph": webmeta.host_link_graph_sql,
     "host_rank": webmeta.host_rank_sql,
+    "host_components": webmeta.host_components_sql,
     "host_cooccur": webmeta.host_cooccur_sql,
     "span_identifiers": webmeta.span_identifiers_sql,
     "cookies_never_sent": webmeta.cookies_never_sent_sql,
@@ -1195,6 +1203,7 @@ def _queries_registry() -> dict[str, Callable]:
         "host_tld": q_host_tld,
         "host_link_graph": q_host_link_graph,
         "host_rank": q_host_rank,             # iterative link-mass (3 iters)
+        "host_components": q_host_components,  # min-label CC (fixpoint)
         "host_cooccur": q_host_cooccur,       # domain co-citation graph
         "span_identifiers": q_span_identifiers,
         "cookies_never_sent": q_cookies_never_sent,

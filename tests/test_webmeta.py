@@ -17,7 +17,7 @@ SF = "/root/testdata/sf0.001"
     "span_hhhash", "doc_domhash", "host_tld", "span_identifiers",
     "cookies_never_sent", "posted_data", "span_security", "doc_user_agent",
     "doc_sidecars", "span_resource_hashes", "rendered_urls",
-    "host_link_graph", "host_cooccur",
+    "host_link_graph", "host_cooccur", "host_rank", "host_components",
 ])
 def test_oracle_parity(name):
     assert_matches_oracle(name, SF)
@@ -295,3 +295,56 @@ def test_magic_signature_table():
     assert sniff_mime(b"\xff\xd8\xff\xe0") == "image/jpeg"  # jpeg beats jxl
     assert sniff_mime(b"PAR1xxxx") == "application/vnd.apache.parquet"
     assert sniff_mime(b"") == "" and sniff_mime(b"\x00") == ""
+
+
+def test_host_components_multi_component():
+    """Min-label propagation must separate disjoint graphs — the sf corpus
+    is one giant component, so exercise the discriminating case directly:
+    two referral chains that never touch → two components, each labeled by
+    its lexicographically smallest member."""
+    import ray.data as rd
+
+    from har2tree_ray.pipelines import webmeta
+
+    def span(host, ref):
+        return {"text": f"@referer=https://{ref}/x body",
+                "hostname": host}
+
+    rows = [
+        # component 1: a.example -> b.example -> c.example
+        span("b.example", "a.example"),
+        span("c.example", "b.example"),
+        # component 2: x.example <-> y.example
+        span("y.example", "x.example"),
+        span("x.example", "y.example"),
+    ]
+    out = to_pandas(webmeta.host_components(rd.from_items(rows)))
+    comp = dict(zip(out["hostname"], out["component"]))
+    assert comp == {
+        "a.example": "a.example", "b.example": "a.example",
+        "c.example": "a.example",
+        "x.example": "x.example", "y.example": "x.example",
+    }
+
+
+def test_host_rank_chain_values():
+    """Integer mass propagation on a hand-computable chain: a -> b -> c.
+    outdeg(a)=outdeg(b)=1; after 3 iterations (mass 1e6, base 150k):
+      m1 = (150000+850000, 150000+850000, 150000+850000) for (b,c) heads
+      a never receives: m(a) stays 150000 after iter 1.
+    Worked by hand below and asserted exactly."""
+    import ray.data as rd
+
+    from har2tree_ray.pipelines import webmeta
+
+    rows = [
+        {"text": "@referer=https://a.example/x body", "hostname": "b.example"},
+        {"text": "@referer=https://b.example/x body", "hostname": "c.example"},
+    ]
+    out = to_pandas(webmeta.host_rank(rd.from_items(rows)))
+    r = dict(zip(out["hostname"], out["rank"]))
+    # iter1: a=150000, b=150000+850000=1000000, c=150000+850000=1000000
+    # iter2: a=150000, b=150000+(150000*85)//100=277500, c=150000+850000=1000000
+    # iter3: a=150000, b=277500, c=150000+(277500*85)//100=385875
+    assert r == {"a.example": 150000, "b.example": 277500,
+                 "c.example": 385875}
