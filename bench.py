@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "event_window_sliding",
     "doc_len_quantiles",
     "host_components",
+    "doc_lm_score",
 ]
 
 

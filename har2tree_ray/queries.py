@@ -325,6 +325,13 @@ def q_doc_len_histogram(sf_dir: str):
     return text.doc_len_histogram(_docs(sf_dir))
 
 
+def q_doc_lm_score(sf_dir: str):
+    """Two-pass corpus bigram LM scoring (integer-exact): global bigram
+    counts, then per-doc frequency-sum scores via a bigram-key
+    co-partition join (token-scale stream rebuilt, not pinned)."""
+    return text.doc_lm_score(lambda: _docs(sf_dir))
+
+
 def q_doc_len_quantiles(sf_dir: str):
     """Exact per-source token-count percentiles via counting-sort
     histograms (no distributed sort)."""
@@ -1047,6 +1054,7 @@ _TABLE_ORACLES = {
     "doc_filter": lambda _p: text.doc_filter_sql(),
     "doc_len_histogram": lambda _p: text.doc_len_histogram_sql(),
     "doc_len_quantiles": lambda _p: text.doc_len_quantiles_sql(),
+    "doc_lm_score": lambda _p: text.doc_lm_score_sql(),
     "ngram_topk": lambda _p: text.ngram_topk_sql(),
     "dedup_clusters": lambda _p: text.dedup_clusters_sql(),
     "corpus_keep": lambda _p: corpus.corpus_keep_sql(),
@@ -1186,6 +1194,7 @@ def _queries_registry() -> dict[str, Callable]:
         "doc_filter": q_doc_filter,
         "doc_len_histogram": q_doc_len_histogram,
         "doc_len_quantiles": q_doc_len_quantiles,
+        "doc_lm_score": q_doc_lm_score,
         "ngram_topk": q_ngram_topk,
         "dedup_clusters": q_dedup_clusters,
         "corpus_keep": q_corpus_keep,

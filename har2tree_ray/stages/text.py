@@ -523,6 +523,136 @@ FROM h
 """
 
 
+# --------------------------------------------- corpus bigram LM scoring
+
+
+def doc_lm_score(make_docs_ds):
+    """Corpus-statistics language-model scoring — the two-pass shape of
+    perplexity-style quality filtering, in exact INTEGER form: pass 1
+    counts every token bigram over the whole corpus; pass 2 scores each
+    document as the SUM of the corpus frequencies of its bigrams (plus its
+    bigram count), so frequent/boilerplate phrasing scores high and novel
+    text scores low — a real importance/quality signal with no float
+    hazard (sums of int64 are reduction-order-independent, and the DuckDB
+    oracle is a plain join+group).
+
+    ``make_docs_ds`` is a zero-arg factory: the token-scale doc-bigram
+    stream is REBUILT for pass 2 rather than pinned in the object store
+    (the pip_media_in_host precedent — at 100 TB a ``materialize()`` of a
+    token-scale intermediate is an object-store-sized pin; two cheap scans
+    beat one giant spill).
+
+    Plan: per-batch (doc_id, bigram, k) pre-aggregates (k = in-doc
+    occurrences) → ONE bigram hash-range shuffle → global counts →
+    co-partition counts with a fresh doc-bigram stream on the SAME bigram
+    key (union + side tag — neither side broadcasts; the count table is
+    bigram-cardinality) → per-range merge emits (doc_id, k, k·count)
+    partials → one doc-range shuffle sums them.  Three coarse exchanges
+    total, all hash-range.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..util import user_range_groupby
+
+    def doc_bigrams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_id, out_bg, out_k = [], [], []
+        for did, t in zip(ids, texts):
+            words = _WS_TOKEN.findall(t)
+            if len(words) < 2:
+                continue
+            counts: dict[str, int] = {}
+            for a, b in zip(words, words[1:]):
+                bg = a + " " + b
+                counts[bg] = counts.get(bg, 0) + 1
+            out_id.extend([did] * len(counts))
+            out_bg.extend(counts.keys())
+            out_k.extend(counts.values())
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "bigram": pa.array(out_bg, pa.string()),
+                         "k": pa.array(out_k, pa.int64())})
+
+    base = make_docs_ds().map_batches(doc_bigrams, batch_format="pyarrow")
+
+    def count_range(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bigram", sort=False)["k"].sum().reset_index()
+        return pd.DataFrame({"bigram": g["bigram"],
+                             "cnt": g["k"].astype(np.int64)})
+
+    counts = user_range_groupby(base, count_range, key="bigram")
+
+    def tag_counts(t) -> pa.Table:
+        t = pa.Table.from_pandas(t, preserve_index=False) \
+            if not isinstance(t, pa.Table) else t
+        n = t.num_rows
+        import pyarrow.compute as pc
+
+        return pa.table({"bigram": t["bigram"],
+                         "doc_id": pa.array(np.full(n, -1, np.int64)),
+                         "k": pa.array(np.zeros(n, np.int64)),
+                         "cnt": pc.cast(t["cnt"], pa.int64()),
+                         "side": pa.array(np.zeros(n, np.int8))})
+
+    def tag_base(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"bigram": t["bigram"],
+                         "doc_id": t["doc_id"],
+                         "k": t["k"],
+                         "cnt": pa.array(np.zeros(n, np.int64)),
+                         "side": pa.array(np.ones(n, np.int8))})
+
+    base2 = make_docs_ds().map_batches(doc_bigrams, batch_format="pyarrow")
+    tagged = counts.map_batches(tag_counts, batch_format="pyarrow").union(
+        base2.map_batches(tag_base, batch_format="pyarrow"))
+
+    def merge_range(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["side"] == 0]
+        d = df[df["side"] == 1]
+        if c.empty or d.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64),
+                                 "s": pd.Series(dtype=np.int64)})
+        m = d[["doc_id", "bigram", "k"]].merge(
+            c[["bigram", "cnt"]], on="bigram", how="inner")
+        k = m["k"].to_numpy()
+        g = (pd.DataFrame({"doc_id": m["doc_id"],
+                           "n": k,
+                           "s": k * m["cnt"].to_numpy()})
+             .groupby("doc_id", sort=False).sum().reset_index())
+        return g.astype({"doc_id": np.int64, "n": np.int64, "s": np.int64})
+
+    partials = user_range_groupby(tagged, merge_range, key="bigram")
+
+    def final_range(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False).sum().reset_index()
+        return pd.DataFrame({"doc_id": g["doc_id"].astype(np.int64),
+                             "n_bigrams": g["n"].astype(np.int64),
+                             "lm_score": g["s"].astype(np.int64)})
+
+    return user_range_groupby(partials, final_range, key="doc_id")
+
+
+def doc_lm_score_sql(rel: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM {rel}
+), z AS (
+    SELECT doc_id, UNNEST(t) AS a, UNNEST(t[2:]) AS b FROM toks
+), bg AS (
+    SELECT doc_id, a || ' ' || b AS bigram FROM z WHERE b IS NOT NULL
+), cnt AS (
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY bigram
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(c) AS BIGINT) AS lm_score
+FROM bg g JOIN cnt USING (bigram)
+GROUP BY g.doc_id
+"""
+
+
 # ------------------------------------------------- per-group exact quantiles
 
 

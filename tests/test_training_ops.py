@@ -19,7 +19,7 @@ SF = "/root/testdata/sf0.001"
     "doc_filter", "dedup_clusters", "doc_len_histogram", "corpus_keep",
     "ngram_topk", "doc_decontam", "doc_pii", "doc_repetition", "doc_mix",
     "doc_dup_spans", "doc_sample_stratified", "doc_pack", "doc_split",
-    "doc_len_quantiles",
+    "doc_len_quantiles", "doc_lm_score",
 ])
 def test_oracle_parity(name):
     assert_matches_oracle(name, SF)
