@@ -306,6 +306,75 @@ def tile_host_kmv(flat_ds, res: int = DEFAULT_RES, k: int = KMV_K):
     return parts.groupby("cell_id").map_groups(merge, batch_format="pyarrow")
 
 
+# ------------------------------------------- hierarchical parent share
+
+
+def tile_share(flat_ds, res: int = DEFAULT_RES):
+    """Pyramid-level self-join: per res-``res`` cell, its span count AND its
+    parent cell's span count (the hierarchical density-share primitive —
+    downstream a heat-map normalizes child/parent; kept as exact int64
+    numerator/denominator so the oracle compares bit-for-bit).
+
+    ONE shuffle: the partial counts carry BOTH keys (cell, parent), and the
+    exchange is keyed on the PARENT hash-range — every child of a parent
+    co-lives in one range, so the parent total is a range-local sum and the
+    join never moves data twice.
+    """
+    import numpy as np
+
+    from ..util import user_range_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        ix, iy = geo.cell_xy(lat, lng, res)
+        t = pa.table({"cell_id": pa.array(geo.cell_id(ix, iy, res)),
+                      "parent_id": pa.array(geo.parent_cell_id(ix, iy, res))})
+        g = t.group_by(["parent_id", "cell_id"]).aggregate([("cell_id", "count")])
+        return g.rename_columns(["parent_id", "cell_id", "part_n"])
+
+    def per_range(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["parent_id", "cell_id"], sort=False)["part_n"]
+             .sum().reset_index())
+        par = g.groupby("parent_id", sort=False)["part_n"].transform("sum")
+        return pd.DataFrame({
+            "cell_id": g["cell_id"].astype(np.int64),
+            "parent_cell_id": g["parent_id"].astype(np.int64),
+            "n_spans": g["part_n"].astype(np.int64),
+            "parent_n_spans": par.astype(np.int64),
+        })
+
+    partials = pre_shuffle_coalesce(
+        flat_ds.map_batches(partial, batch_format="pyarrow"))
+    return user_range_groupby(partials, per_range, key="parent_id")
+
+
+def tile_share_sql(flat_path: str, res: int = DEFAULT_RES) -> str:
+    n = 1 << res
+    return f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+), flat AS (
+    SELECT COALESCE(TRY_CAST(regexp_extract(s.text, '@geo=(-?\\d+\\.\\d+),(-?\\d+\\.\\d+)', 1) AS DOUBLE), 0.0) AS lat,
+           COALESCE(TRY_CAST(regexp_extract(s.text, '@geo=(-?\\d+\\.\\d+),(-?\\d+\\.\\d+)', 2) AS DOUBLE), 0.0) AS lng
+    FROM ex
+), cells AS (
+    SELECT LEAST(GREATEST(CAST(FLOOR((lng + 180.0) / 360.0 * {n}.0) AS BIGINT), 0), {n} - 1) AS cell_x,
+           LEAST(GREATEST(CAST(FLOOR((90.0 - lat) / 180.0 * {n}.0) AS BIGINT), 0), {n} - 1) AS cell_y
+    FROM flat
+), c AS (
+    SELECT cell_y * {n} + cell_x AS cell_id,
+           (cell_y // 2) * {n // 2} + (cell_x // 2) AS parent_cell_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans
+    FROM cells GROUP BY 1, 2
+)
+SELECT cell_id, parent_cell_id, n_spans,
+       CAST(SUM(n_spans) OVER (PARTITION BY parent_cell_id) AS BIGINT)
+           AS parent_n_spans
+FROM c
+"""
+
+
 # ------------------------------------------------ vector -> raster
 
 

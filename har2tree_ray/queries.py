@@ -181,6 +181,13 @@ def q_host_boxes(sf_dir: str):
         read_interleaved(sf_dir), ["kind", "hostname", "lat", "lng"]))
 
 
+def q_tile_share(sf_dir: str):
+    """Pyramid parent-share join: per-cell count + parent-cell count in one
+    parent-keyed shuffle (children co-live with their parent)."""
+    return tiling.tile_share(explode_spans(
+        read_interleaved(sf_dir), ["lat", "lng"]), RES)
+
+
 def q_tile_rasterize(sf_dir: str):
     """Vector→raster: per-host boundary boxes rasterized to per-cell
     coverage counts (the inverse of tile_vectorize; fully streaming)."""
@@ -1085,6 +1092,7 @@ _INTERLEAVED_ORACLES = {
     "tile_pyramid": _oracle_tile_pyramid,
     "tile_neighbor_density": _oracle_tile_neighbors,
     "tile_rasterize": _oracle_tile_rasterize,
+    "tile_share": lambda p: tiling.tile_share_sql(p),
     "range_join": _oracle_range_join,
     "redirect_chain": _oracle_redirect_chain,
     "landing": _oracle_landing,
@@ -1153,6 +1161,7 @@ def _queries_registry() -> dict[str, Callable]:
         "tile_pyramid": q_tile_pyramid,
         "tile_neighbor_density": q_tile_neighbor_density,
         "tile_rasterize": q_tile_rasterize,     # vector→raster (exact oracle)
+        "tile_share": q_tile_share,             # pyramid parent-share join
         "range_join": q_range_join,             # big×big spatial range join
         "redirect_chain": q_redirect_chain,
         "landing": q_landing,
