@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "doc_len_quantiles",
     "host_components",
     "doc_lm_score",
+    "tile_share",
 ]
 
 

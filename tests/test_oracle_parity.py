@@ -16,6 +16,7 @@ SQL_CHECKED = [
     "tile_pyramid",
     "tile_neighbor_density",
     "tile_rasterize",
+    "tile_share",
     "range_join",
     "host_rank",
     "redirect_chain",
