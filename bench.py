@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "host_components",
     "doc_lm_score",
     "tile_share",
+    "media_dedup",
 ]
 
 

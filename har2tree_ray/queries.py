@@ -555,6 +555,12 @@ def q_media_payloads(sf_dir: str):
     return media.media_payloads(_media_slim(sf_dir))
 
 
+def q_media_dedup(sf_dir: str):
+    """Exact binary-payload content dedup (multimodal dedup family member;
+    rows-only — sha of bytes is not SQL-expressible)."""
+    return media.media_dedup(_media_slim(sf_dir))
+
+
 def q_media_resize(sf_dir: str):
     return media.media_resize(_media_slim(sf_dir))
 
@@ -1256,6 +1262,7 @@ def _queries_registry() -> dict[str, Callable]:
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "media_payloads": q_media_payloads,        # binary columns — rows-only
+        "media_dedup": q_media_dedup,              # payload content dedup — rows-only
         "media_resize": q_media_resize,            # resize dims/bytes (exact oracle)
     }
 

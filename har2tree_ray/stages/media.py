@@ -142,6 +142,41 @@ def media_payloads(flat_ds):
         attach_payloads, batch_format="pyarrow", batch_size=PAYLOAD_BATCH)
 
 
+# ------------------------------------------------------------ binary dedup
+
+
+def media_dedup(flat_ds, min_count: int = 2):
+    """Exact CONTENT dedup over the binary modality — the dedup family's
+    multimodal member: group media spans by the sha256 of their payload
+    bytes (not by URL), reusing the text family's coarse hash-range plan
+    (``dedup.span_hash_groups``: hashes are uniform, ONE balanced shuffle).
+
+    Rows-only by nature (the sha of synthesized bytes is not
+    SQL-expressible); correctness is pytest-checked against the synth
+    contract's equivalence — payload bytes are a deterministic function of
+    ``media_ref``, so content groups must coincide exactly with media_ref
+    groups (test_media.py::test_media_dedup_matches_ref_groups).  On real
+    data the hash-of-bytes grouping is the point: identical images served
+    from different URLs collapse, which the URL grouping cannot do.
+    """
+    from . import dedup
+
+    spans = media_spans(flat_ds).map_batches(
+        attach_payloads, batch_format="pyarrow", batch_size=PAYLOAD_BATCH)
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table({"body_hash": t["payload_sha256"],
+                         "doc_id": t["doc_id"],
+                         "media_ref": t["media_ref"]})
+
+    groups = dedup.span_hash_groups(
+        spans.map_batches(slim, batch_format="pyarrow"), min_count=min_count)
+    return groups.map_batches(
+        lambda t: t.rename_columns(
+            ["payload_sha256"] + t.column_names[1:]),
+        batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------ decoder
 
 

@@ -87,3 +87,33 @@ def test_media_resize_stub_geometry():
         assert int.from_bytes(out[10:12], "big") == nw
         assert int.from_bytes(out[12:14], "big") == nh
         assert len(out) <= 16 + nw * nh * 3
+
+
+def test_media_dedup_matches_ref_groups():
+    """Synth contract: payload bytes are a deterministic function of
+    media_ref, so CONTENT groups (sha of bytes) must coincide exactly with
+    media_ref groups — same group count, same sizes, same doc spreads."""
+    import pandas as pd
+
+    from har2tree_ray.sources.interleaved import read_interleaved
+    from har2tree_ray.stages import media
+    from har2tree_ray.stages.normalize import explode_spans
+    from tests.oracle_utils import to_pandas
+
+    sf = "/root/testdata/sf0.001"
+    flat = explode_spans(read_interleaved(sf),
+                         ["doc_id", "offset", "media_ref", "kind"])
+    got = to_pandas(media.media_dedup(flat)).sort_values(
+        "payload_sha256").reset_index(drop=True)
+    # independent reference: group the same media spans by media_ref
+    spans = to_pandas(media.media_spans(explode_spans(
+        read_interleaved(sf), ["doc_id", "offset", "media_ref", "kind"])))
+    ref = (spans.groupby("media_ref")
+           .agg(n_spans=("doc_id", "size"), n_docs=("doc_id", "nunique"))
+           .reset_index())
+    ref = ref[ref["n_spans"] >= 2]
+    assert len(got) == len(ref)
+    # distributions must match exactly (keys differ: sha vs url)
+    assert sorted(got["n_spans"]) == sorted(ref["n_spans"])
+    assert sorted(got["n_docs"]) == sorted(ref["n_docs"])
+    assert (got["n_urls"] == 1).all()  # one URL per content group (synth)
