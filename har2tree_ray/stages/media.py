@@ -161,8 +161,11 @@ def media_dedup(flat_ds, min_count: int = 2):
     """
     from . import dedup
 
+    # payload bytes are hashed and DROPPED inside this stage, so the
+    # wide-row batch cap (PAYLOAD_BATCH=256, sized for stages that RETURN
+    # payload columns) doesn't apply — 2048 measured 5.4 -> 3.1 s at sf0.1
     spans = media_spans(flat_ds).map_batches(
-        attach_payloads, batch_format="pyarrow", batch_size=PAYLOAD_BATCH)
+        attach_payloads, batch_format="pyarrow", batch_size=2048)
 
     def slim(t: pa.Table) -> pa.Table:
         return pa.table({"body_hash": t["payload_sha256"],
