@@ -133,6 +133,10 @@ BENCH_QUERIES = [
     "doc_lm_score",
     "tile_share",
     "media_dedup",
+    "doc_trajectory",
+    "pip_media_outside_host",
+    "host_topk_urls",
+    "inverted_index",
 ]
 
 

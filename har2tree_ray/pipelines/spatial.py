@@ -123,7 +123,7 @@ def knn_referrer_interleaved(interleaved_ds, batch_size: int = 64):
 # --------------------------------------------------- host boundary boxes
 
 
-def host_boxes(flat_ds) -> pd.DataFrame:
+def host_boxes(flat_ds, eps: float = PIP_EPS) -> pd.DataFrame:
     """Small-side boundary table: per hostname, ε-expanded bbox of its
     *document* spans.  Partial min/max per batch → tiny groupby."""
 
@@ -147,10 +147,10 @@ def host_boxes(flat_ds) -> pd.DataFrame:
         Max("lng_max", alias_name="max_lng"),
     )
     df = agg.to_pandas()  # small side by construction (one row per hostname)
-    df["min_lat"] -= PIP_EPS
-    df["max_lat"] += PIP_EPS
-    df["min_lng"] -= PIP_EPS
-    df["max_lng"] += PIP_EPS
+    df["min_lat"] -= eps
+    df["max_lat"] += eps
+    df["min_lng"] -= eps
+    df["max_lng"] += eps
     return df
 
 
@@ -164,7 +164,8 @@ class CoveringIndex:
     the boxes ObjectRef — compile-once per worker, no actor-pool spin-up.
     """
 
-    def __init__(self, boxes_ref) -> None:
+    def __init__(self, boxes_ref, anti: bool = False) -> None:
+        self.anti = anti
         boxes: pd.DataFrame = ray.get(boxes_ref)
         self.hostnames = boxes["hostname"].to_numpy()
         self.min_lat = boxes["min_lat"].to_numpy()
@@ -199,6 +200,7 @@ class CoveringIndex:
         out_doc: list[np.ndarray] = []
         out_off: list[np.ndarray] = []
         out_host: list[np.ndarray] = []
+        matched = np.zeros(len(cells), dtype=bool) if self.anti else None
         order = np.argsort(cells, kind="stable")
         sorted_cells = cells[order]
         starts = np.flatnonzero(np.r_[True, sorted_cells[1:] != sorted_cells[:-1]])
@@ -214,10 +216,21 @@ class CoveringIndex:
                 & (lng[rows][:, None] >= self.min_lng[cand][None, :])
                 & (lng[rows][:, None] <= self.max_lng[cand][None, :])
             )
+            if self.anti:
+                matched[rows[hit.any(axis=1)]] = True
+                continue
             ri, bi = np.nonzero(hit)
             out_doc.append(doc[rows[ri]])
             out_off.append(offs[rows[ri]])
             out_host.append(self.hostnames[cand[bi]])
+        if self.anti:
+            keep = ~matched
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc[keep], pa.string()),
+                    "offset": pa.array(offs[keep].astype(np.int32), pa.int32()),
+                }
+            )
         if out_doc:
             docs = np.concatenate(out_doc)
             offsets = np.concatenate(out_off)
@@ -256,6 +269,35 @@ def pip_media_in_host(flat_ds, concurrency: int | tuple[int, int] | None = None)
         batch_format="pyarrow",
         batch_size=4096,  # numeric columns are narrow; bigger batches cut
         # per-batch sort/group overhead (measured 3.3s -> 2.5s at sf0.1)
+        **task_concurrency(concurrency),
+    )
+
+
+def pip_media_outside_host(flat_ds, concurrency: int | tuple[int, int] | None = None):
+    """Spatial ANTI-join: (doc_id, offset) for every media span contained in
+    NO host boundary box — the complement of ``pip_media_in_host`` (the
+    reference's dangling-external-resource notion, J5's anti side,
+    har2tree.py:990-1014 else-branch).
+
+    Boundaries are the RAW (un-expanded) boxes: the ε expansion exists to
+    make the JOIN permissive; the anti side asks what is strictly uncovered
+    (with ε the complement is empty by construction on clustered data).
+
+    Same two-pass shape as the join: boxes gather (one row per hostname,
+    broadcast via ``ray.put``), then the covering probe as plain tasks with
+    a per-worker compiled-index memo.  The anti test is lossless for the
+    same reason the join is — the covering is a superset of every box, so a
+    span with no candidate in its covering cell provably hits no box."""
+    from ..util import task_concurrency, worker_cached_stage
+
+    boxes = host_boxes(flat_ds, eps=0.0)
+    ref = ray.put(boxes)
+    slim = flat_ds.select_columns(["doc_id", "offset", "kind", "lat", "lng"])
+    return slim.map_batches(
+        worker_cached_stage(CoveringIndex, ref, True,
+                            cache_key=ref.hex() + "-anti"),
+        batch_format="pyarrow",
+        batch_size=4096,
         **task_concurrency(concurrency),
     )
 

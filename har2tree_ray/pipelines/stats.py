@@ -327,3 +327,83 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_spans DESC, hostname) AS BIGINT) AS ra
        hostname, n_spans
 FROM c ORDER BY n_spans DESC, hostname LIMIT {k}
 """
+
+
+def host_topk_urls(interleaved_ds, k: int = 3, n_parts: int | None = None):
+    """Distributed top-k-per-GROUP window: the k most-referenced URLs of
+    every hostname (rank by span count, ties by media_ref ascending) — the
+    per-key generalization of ``top_hosts``' global top-k.
+
+    Scale shape: per-(host, url) batch-local partial counts (the combiner
+    bounds a hot host to its distinct urls per batch) → ONE crc32
+    host-range shuffle so every host's rows land in exactly one range →
+    per-range vectorized pandas pass (sum, mergesort rank, head-k per
+    host).  No per-key dispatch, no global sort; output is k rows per
+    hostname regardless of skew."""
+    import numpy as np
+    import pyarrow.compute as pc2
+
+    from ..stages.normalize import _HOST_RE
+    from ..util import key_partition_ids, pre_shuffle_coalesce
+
+    if n_parts is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        n_parts = max(8, cpus)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        refs = pc2.struct_field(pc2.list_flatten(spans), "media_ref")
+        m = pc2.extract_regex(refs, _HOST_RE)
+        host = pc2.fill_null(pc2.struct_field(m, "host"), "")
+        t = pa.table({"hostname": host, "media_ref": refs})
+        t = t.filter(pc2.not_equal(t["hostname"], ""))
+        g = t.group_by(["hostname", "media_ref"]).aggregate(
+            [("media_ref", "count")])
+        g = g.rename_columns(["hostname", "media_ref", "part_n"])
+        return g.append_column(
+            "gpart", pa.array(key_partition_ids(g["hostname"], n_parts)))
+
+    def per_range(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas()
+              .groupby(["hostname", "media_ref"], as_index=False)["part_n"].sum()
+              .rename(columns={"part_n": "n"}))
+        df = df.sort_values(["hostname", "n", "media_ref"],
+                            ascending=[True, False, True], kind="mergesort")
+        df["rank"] = df.groupby("hostname").cumcount() + 1
+        df = df[df["rank"] <= k]
+        return pa.table({
+            "hostname": pa.array(df["hostname"], pa.string()),
+            "rank": pa.array(df["rank"].astype("int64"), pa.int64()),
+            "media_ref": pa.array(df["media_ref"], pa.string()),
+            "n": pa.array(df["n"].astype("int64"), pa.int64()),
+        })
+
+    parts = pre_shuffle_coalesce(
+        interleaved_ds.map_batches(partial, batch_format="pyarrow"))
+    return parts.groupby("gpart").map_groups(per_range, batch_format="pyarrow")
+
+
+def host_topk_urls_sql(flat_path: str, k: int = 3) -> str:
+    return f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+), h AS (
+    SELECT regexp_extract(s.media_ref, '^https?://([^/?#]+)', 1) AS hostname,
+           s.media_ref AS media_ref
+    FROM ex WHERE regexp_matches(s.media_ref, '^https?://')
+), c AS (
+    SELECT hostname, media_ref, CAST(COUNT(*) AS BIGINT) AS n
+    FROM h GROUP BY 1, 2
+), r AS (
+    SELECT hostname, media_ref, n,
+           ROW_NUMBER() OVER (PARTITION BY hostname
+                              ORDER BY n DESC, media_ref) AS rank
+    FROM c
+)
+SELECT hostname, CAST(rank AS BIGINT) AS rank, media_ref, n
+FROM r WHERE rank <= {k}
+"""

@@ -447,3 +447,65 @@ def tile_rasterize(flat_ds, res: int = DEFAULT_RES, eps: float | None = None):
         boxes.map_batches(rasterize, batch_format="pyarrow"))
     agg = rastered.groupby("cell_id").aggregate(Sum("partial_n", alias_name="n_boxes"))
     return agg
+
+
+# ----------------------------------------------------- per-doc trajectory
+
+
+def doc_trajectory(interleaved_ds, res: int = DEFAULT_RES, batch_size: int = 256):
+    """Per-document cell trajectory: spans ordered by offset, encoded to
+    grid cells, consecutive same-cell runs collapsed to one step, each kept
+    step numbered (``seq``) and annotated with the wrapped-Chebyshev cell
+    distance from the previous kept step (``step_dist``; 0 on the first).
+
+    The geospatial recast of the reference's per-document URL sequence (M1
+    entry order, har2tree.py:195-215 sorting by start_time): a capture is a
+    *path* through cell space, the building block of dwell/movement
+    analytics.  Interleaved rows hold whole documents, so the whole op is
+    ONE map-only pass — flatten-in-batch (Arrow ``list_flatten`` +
+    ``list_parent_indices``), one vectorized regex for the geo field, one
+    ``np.lexsort`` per batch; no shuffle at any scale.  Step distance uses
+    the same longitude wraparound as ``geo.k_ring``."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        col = batch["spans"].combine_chunks()
+        flat = pc.list_flatten(col)
+        parent = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+        off = pc.struct_field(flat, "offset").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = pc.extract_regex(pc.struct_field(flat, "text"),
+                             r"@geo=(?P<glat>-?\d+\.\d+),(?P<glng>-?\d+\.\d+)")
+        lat = pc.fill_null(pc.cast(pc.struct_field(m, "glat"), pa.float64()),
+                           0.0).to_numpy(zero_copy_only=False)
+        lng = pc.fill_null(pc.cast(pc.struct_field(m, "glng"), pa.float64()),
+                           0.0).to_numpy(zero_copy_only=False)
+        ix, iy = geo.cell_xy(lat, lng, res)
+        cid = geo.cell_id(ix, iy, res)
+        order = np.lexsort((off, parent))
+        p, o, c = parent[order], off[order], cid[order]
+        x, y = ix[order], iy[order]
+        first = np.r_[True, p[1:] != p[:-1]]
+        keep = first | np.r_[False, c[1:] != c[:-1]]
+        kidx = np.flatnonzero(keep)
+        kp, kx, ky = p[kidx], x[kidx], y[kidx]
+        kfirst = np.r_[True, kp[1:] != kp[:-1]] if len(kp) else np.array([], bool)
+        pos = np.arange(len(kp), dtype=np.int64)
+        gstart = np.maximum.accumulate(np.where(kfirst, pos, 0))
+        seq = pos - gstart
+        n = np.int64(1) << res
+        px = np.r_[np.int64(0), kx[:-1]] if len(kp) else kx
+        py = np.r_[np.int64(0), ky[:-1]] if len(kp) else ky
+        dx = np.abs(kx - px)
+        step = np.maximum(np.minimum(dx, n - dx), np.abs(ky - py))
+        step[kfirst] = 0
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=object)
+        return pa.table({
+            "doc_id": pa.array(ids[kp], pa.string()),
+            "seq": pa.array(seq, pa.int64()),
+            "offset": pa.array(o[kidx], pa.int64()),
+            "cell_id": pa.array(c[kidx], pa.int64()),
+            "step_dist": pa.array(step, pa.int64()),
+        })
+
+    return interleaved_ds.map_batches(per_batch, batch_format="pyarrow",
+                                      batch_size=batch_size)

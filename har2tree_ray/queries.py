@@ -174,6 +174,33 @@ def q_pip_media_in_host(sf_dir: str):
         ["doc_id", "offset", "kind", "hostname", "lat", "lng"]))
 
 
+def q_pip_media_outside_host(sf_dir: str):
+    """Spatial anti-join: media spans contained in NO host boundary box
+    (the complement of pip_media_in_host; same broadcast covering index)."""
+    return spatial.pip_media_outside_host(explode_spans(
+        read_interleaved(sf_dir),
+        ["doc_id", "offset", "kind", "hostname", "lat", "lng"]))
+
+
+def q_doc_trajectory(sf_dir: str):
+    """Per-document cell trajectory: offset-ordered spans encoded to grid
+    cells, consecutive same-cell runs collapsed, wrapped-Chebyshev step
+    distances.  Map-only over doc-grouped interleaved rows."""
+    return tiling.doc_trajectory(read_interleaved(sf_dir))
+
+
+def q_host_topk_urls(sf_dir: str):
+    """Distributed top-k per group: the 3 most-referenced URLs of every
+    hostname (one host-range shuffle, partial-count combiner)."""
+    return stats.host_topk_urls(read_interleaved(sf_dir))
+
+
+def q_inverted_index(sf_dir: str):
+    """Token → (exact df, truncated posting list) retrieval-index build
+    over the documents table (one token-range shuffle, capped combiner)."""
+    return text.inverted_index(_docs(sf_dir))
+
+
 def q_host_boxes(sf_dir: str):
     """The ST5 boundary small side itself: per-hostname ε-expanded bbox of
     document spans (the broadcast input of pip_media_in_host)."""
@@ -1018,6 +1045,56 @@ GROUP BY 1, 2
 """
 
 
+def _oracle_trajectory(path: str, res: int = RES) -> str:
+    n = 1 << res
+    return (_FLAT_CTE.format(path=path) + "," + _CELL_CTE.format(n=n) + f"""
+, o AS (
+    SELECT doc_id, "offset", cell_y * {n} + cell_x AS cell_id, cell_x, cell_y
+    FROM cells
+), l AS (
+    SELECT *, LAG(cell_id) OVER (PARTITION BY doc_id ORDER BY "offset") AS prev
+    FROM o
+), k AS (
+    SELECT doc_id, "offset", cell_id, cell_x, cell_y
+    FROM l WHERE prev IS NULL OR cell_id <> prev
+), s AS (
+    SELECT doc_id, "offset", cell_id, cell_x, cell_y,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY "offset") - 1 AS seq,
+           LAG(cell_x) OVER (PARTITION BY doc_id ORDER BY "offset") AS px,
+           LAG(cell_y) OVER (PARTITION BY doc_id ORDER BY "offset") AS py
+    FROM k
+)
+SELECT doc_id, CAST(seq AS BIGINT) AS seq, CAST("offset" AS BIGINT) AS "offset",
+       cell_id,
+       CAST(CASE WHEN px IS NULL THEN 0
+            ELSE GREATEST(LEAST(ABS(cell_x - px), {n} - ABS(cell_x - px)),
+                          ABS(cell_y - py)) END AS BIGINT) AS step_dist
+FROM s
+""")
+
+
+def _oracle_pip_anti(path: str, eps: float = 0.0) -> str:
+    # raw (un-expanded) boxes: the anti side asks what is strictly
+    # uncovered; with the join's PIP_EPS the complement is empty
+    kinds = ", ".join(f"'{k}'" for k in spatial.QUERY_KINDS)
+    return _FLAT_CTE.format(path=path) + f"""
+, boxes AS (
+    SELECT hostname,
+           MIN(lat) - {eps} AS min_lat, MAX(lat) + {eps} AS max_lat,
+           MIN(lng) - {eps} AS min_lng, MAX(lng) + {eps} AS max_lng
+    FROM flat WHERE kind = 'document' AND hostname <> ''
+    GROUP BY hostname
+)
+SELECT f.doc_id, f."offset"
+FROM flat f
+WHERE f.kind IN ({kinds})
+  AND NOT EXISTS (
+    SELECT 1 FROM boxes b
+    WHERE f.lat >= b.min_lat AND f.lat <= b.max_lat
+      AND f.lng >= b.min_lng AND f.lng <= b.max_lng)
+"""
+
+
 def _oracle_pip(path: str, eps: float = spatial.PIP_EPS) -> str:
     return _FLAT_CTE.format(path=path) + f"""
 , boxes AS (
@@ -1069,6 +1146,7 @@ _TABLE_ORACLES = {
     "doc_len_quantiles": lambda _p: text.doc_len_quantiles_sql(),
     "doc_lm_score": lambda _p: text.doc_lm_score_sql(),
     "ngram_topk": lambda _p: text.ngram_topk_sql(),
+    "inverted_index": lambda _p: text.inverted_index_sql(),
     "dedup_clusters": lambda _p: text.dedup_clusters_sql(),
     "corpus_keep": lambda _p: corpus.corpus_keep_sql(),
     "embed_neardup": lambda _p: embed.embed_neardup_sql(),
@@ -1109,6 +1187,9 @@ _INTERLEAVED_ORACLES = {
     "knn_referrer": _oracle_knn_referrer,
     "graft_edges": _oracle_graft_edges,
     "pip_media_in_host": _oracle_pip,
+    "pip_media_outside_host": _oracle_pip_anti,
+    "doc_trajectory": _oracle_trajectory,
+    "host_topk_urls": stats.host_topk_urls_sql,
     "host_boxes": _oracle_host_boxes,
     "media_features": media.media_features_sql,
     "media_resize": media.media_resize_sql,
@@ -1169,6 +1250,10 @@ def _queries_registry() -> dict[str, Callable]:
         "tile_rasterize": q_tile_rasterize,     # vector→raster (exact oracle)
         "tile_share": q_tile_share,             # pyramid parent-share join
         "range_join": q_range_join,             # big×big spatial range join
+        "doc_trajectory": q_doc_trajectory,     # per-doc cell path (map-only)
+        "pip_media_outside_host": q_pip_media_outside_host,  # spatial anti-join
+        "host_topk_urls": q_host_topk_urls,     # top-k per group window
+        "inverted_index": q_inverted_index,     # token→postings index build
         "redirect_chain": q_redirect_chain,
         "landing": q_landing,
         "landing_validated": q_landing_validated,

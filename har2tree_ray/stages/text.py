@@ -1530,3 +1530,92 @@ SELECT doc_id, {b} AS bucket,
             ELSE 'test' END AS split
 FROM {rel}
 """
+
+
+# --------------------------------------------------------- inverted index
+
+INVINDEX_CAP = 32  # posting-list truncation (lowest doc_ids kept; df exact)
+
+
+def inverted_index(ds, cap: int = INVINDEX_CAP, n_parts: int | None = None):
+    """Token → (exact document frequency, truncated posting list) — the
+    retrieval-index build step of a training-data pipeline.
+
+    Scale shape: tokens are an unbounded, Zipf-skewed key domain, so the
+    per-batch COMBINER is the whole story — each batch emits one row per
+    distinct token carrying ``part_df`` (docs in this batch; docs never
+    split across rows, so batch partials are disjoint and sum exactly) and
+    the batch's ``cap`` lowest doc_ids.  A stopword token therefore ships
+    O(cap) ids per batch, never its full posting list, and the ONE
+    crc32-range shuffle stays skew-proof.  Each range merges with one
+    vectorized pandas pass (sum df, k-way-merge postings, re-truncate).
+    Postings are emitted as a comma-joined string (exact, hash-comparable;
+    the SQL oracle truncates with a window rank the same way)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..util import key_partition_ids, pre_shuffle_coalesce
+
+    if n_parts is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        n_parts = max(8, cpus)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        tok_to_docs: dict[str, list[int]] = {}
+        for i, t in zip(ids, texts):
+            for w in set(_WS_TOKEN.findall(t)):
+                tok_to_docs.setdefault(w, []).append(int(i))
+        toks = sorted(tok_to_docs)
+        dfs = np.empty(len(toks), dtype=np.int64)
+        posts = []
+        for j, w in enumerate(toks):
+            docs = tok_to_docs[w]
+            dfs[j] = len(docs)
+            docs.sort()
+            posts.append(docs[:cap])
+        t = pa.table({
+            "token": pa.array(toks, pa.string()),
+            "part_df": pa.array(dfs, pa.int64()),
+            "part_post": pa.array(posts, pa.list_(pa.int64())),
+        })
+        return t.append_column(
+            "gpart", pa.array(key_partition_ids(t["token"], n_parts)))
+
+    def per_range(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        agg = df.groupby("token", sort=True).agg(
+            df_=("part_df", "sum"),
+            post=("part_post", lambda s: ",".join(
+                str(x) for x in sorted(
+                    int(v) for lst in s for v in lst)[:cap])),
+        ).reset_index()
+        return pa.table({
+            "token": pa.array(agg["token"], pa.string()),
+            "df": pa.array(agg["df_"].astype("int64"), pa.int64()),
+            "postings": pa.array(agg["post"], pa.string()),
+        })
+
+    parts = pre_shuffle_coalesce(ds.map_batches(partial, batch_format="pyarrow"))
+    return parts.groupby("gpart").map_groups(per_range, batch_format="pyarrow")
+
+
+def inverted_index_sql(rel: str = "documents", cap: int = INVINDEX_CAP) -> str:
+    return f"""
+WITH w AS (
+    SELECT doc_id,
+           UNNEST(list_distinct(regexp_extract_all(text, '\\S+'))) AS token
+    FROM {rel}
+), r AS (
+    SELECT token, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+    FROM w
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+       string_agg(CASE WHEN rn <= {cap} THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY doc_id) AS postings
+FROM r GROUP BY token
+"""

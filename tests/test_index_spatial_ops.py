@@ -1,0 +1,163 @@
+"""Unit tests for the round-4 additions: doc_trajectory (per-doc cell
+path), pip_media_outside_host (spatial anti-join), host_topk_urls (top-k
+per group), inverted_index (token → postings).
+
+Each test checks against an independent brute-force implementation; the
+driver-style DuckDB parity runs in test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from har2tree_ray import geo
+from har2tree_ray.pipelines import spatial, stats, tiling
+from har2tree_ray.stages import text
+from har2tree_ray.stages.normalize import explode_spans
+from har2tree_ray.sources.interleaved import read_interleaved, read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _interleaved_table(docs: dict[str, list[dict]]) -> pa.Table:
+    span_type = pa.struct([
+        ("kind", pa.string()), ("text", pa.string()),
+        ("media_ref", pa.string()), ("offset", pa.int32()),
+    ])
+    return pa.table({
+        "doc_id": pa.array(list(docs), pa.string()),
+        "spans": pa.array(list(docs.values()), pa.list_(span_type)),
+    })
+
+
+def _span(offset: int, lat: float, lng: float, kind: str = "img") -> dict:
+    return {"kind": kind, "text": f"@geo={lat:.4f},{lng:.4f}",
+            "media_ref": "https://h.example/x", "offset": offset}
+
+
+def test_trajectory_collapse_seq_and_wrap():
+    res = 8
+    n = 1 << res
+    cell_w = 360.0 / n
+    # doc A: three spans in the same cell then one far east; doc B crosses
+    # the antimeridian so the step distance must wrap.
+    t = _interleaved_table({
+        "A": [_span(0, 10.0, 10.0), _span(1, 10.0, 10.0 + cell_w / 4),
+              _span(2, 10.0, 10.0), _span(3, 10.0, 50.0)],
+        "B": [_span(0, 0.0, 179.9), _span(1, 0.0, -179.9)],
+    })
+    out = tiling.doc_trajectory(rd.from_arrow(t), res=res).to_pandas()
+    out = out.sort_values(["doc_id", "seq"]).reset_index(drop=True)
+    a = out[out.doc_id == "A"]
+    # spans 0-2 share a cell -> collapsed to one step; span 3 is a new step
+    assert list(a["seq"]) == [0, 1]
+    assert list(a["offset"]) == [0, 3]
+    assert a["step_dist"].iloc[0] == 0
+    ix0, _ = geo.cell_xy(np.array([10.0]), np.array([10.0]), res)
+    ix1, _ = geo.cell_xy(np.array([10.0]), np.array([50.0]), res)
+    assert a["step_dist"].iloc[1] == abs(int(ix1[0]) - int(ix0[0]))
+    b = out[out.doc_id == "B"]
+    assert list(b["seq"]) == [0, 1]
+    # 179.9E -> 179.9W is 1 cell apart with wraparound, not ~n
+    assert b["step_dist"].iloc[1] <= 2
+    xw = int(geo.cell_xy(np.array([0.0]), np.array([-179.9]), res)[0][0])
+    xe = int(geo.cell_xy(np.array([0.0]), np.array([179.9]), res)[0][0])
+    abs_dx = abs(xw - xe)
+    assert b["step_dist"].iloc[1] == min(abs_dx, n - abs_dx)
+
+
+def test_trajectory_matches_bruteforce_sf0001():
+    out = tiling.doc_trajectory(read_interleaved(SF)).to_pandas()
+    flat = explode_spans(read_interleaved(SF),
+                         ["doc_id", "offset", "lat", "lng"]).to_pandas()
+    res = tiling.DEFAULT_RES
+    n = 1 << res
+    rows = []
+    for did, g in flat.groupby("doc_id"):
+        g = g.sort_values("offset")
+        ix, iy = geo.cell_xy(g["lat"].to_numpy(), g["lng"].to_numpy(), res)
+        cid = geo.cell_id(ix, iy, res)
+        px = py = None
+        seq = 0
+        prev_cell = None
+        for off, c, x, y in zip(g["offset"], cid, ix, iy):
+            if prev_cell is not None and c == prev_cell:
+                continue
+            if px is None:
+                step = 0
+            else:
+                dx = abs(int(x) - px)
+                step = max(min(dx, n - dx), abs(int(y) - py))
+            rows.append((did, seq, int(off), int(c), step))
+            seq += 1
+            px, py, prev_cell = int(x), int(y), c
+    want = pd.DataFrame(rows, columns=["doc_id", "seq", "offset",
+                                       "cell_id", "step_dist"])
+    got = out.sort_values(["doc_id", "seq"]).reset_index(drop=True)
+    want = want.sort_values(["doc_id", "seq"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pip_anti_join_matches_bruteforce():
+    cols = ["doc_id", "offset", "kind", "hostname", "lat", "lng"]
+    flat = explode_spans(read_interleaved(SF), cols)
+    got = spatial.pip_media_outside_host(flat).to_pandas()
+    df = explode_spans(read_interleaved(SF), cols).to_pandas()
+    boxes = (df[(df.kind == "document") & (df.hostname != "")]
+             .groupby("hostname")
+             .agg(a=("lat", "min"), b=("lat", "max"),
+                  c=("lng", "min"), d=("lng", "max")))
+    media = df[df.kind.isin(spatial.QUERY_KINDS)]
+    inside = np.zeros(len(media), dtype=bool)
+    for _, r in boxes.iterrows():
+        inside |= ((media["lat"].to_numpy() >= r.a) & (media["lat"].to_numpy() <= r.b)
+                   & (media["lng"].to_numpy() >= r.c) & (media["lng"].to_numpy() <= r.d))
+    want = media[~inside][["doc_id", "offset"]]
+    got_s = got.sort_values(["doc_id", "offset"]).reset_index(drop=True)
+    want_s = want.sort_values(["doc_id", "offset"]).reset_index(drop=True)
+    assert len(got_s) == len(want_s)
+    pd.testing.assert_frame_equal(got_s, want_s.astype(got_s.dtypes),
+                                  check_dtype=False)
+    # the anti side plus the (eps=0) join side must partition the media set
+    assert len(got_s) > 0
+
+
+def test_host_topk_urls_matches_bruteforce():
+    got = stats.host_topk_urls(read_interleaved(SF)).to_pandas()
+    flat = explode_spans(read_interleaved(SF),
+                         ["hostname", "media_ref"]).to_pandas()
+    flat = flat[flat.hostname != ""]
+    c = (flat.groupby(["hostname", "media_ref"], as_index=False)
+         .size().rename(columns={"size": "n"}))
+    c = c.sort_values(["hostname", "n", "media_ref"],
+                      ascending=[True, False, True], kind="mergesort")
+    c["rank"] = c.groupby("hostname").cumcount() + 1
+    want = c[c["rank"] <= 3][["hostname", "rank", "media_ref", "n"]]
+    got_s = got.sort_values(["hostname", "rank"]).reset_index(drop=True)
+    want_s = want.sort_values(["hostname", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+    assert (got_s.groupby("hostname")["rank"].max() <= 3).all()
+
+
+def test_inverted_index_matches_bruteforce_and_caps():
+    docs = read_table(SF, "documents", columns=["doc_id", "text"]).to_pandas()
+    got = text.inverted_index(
+        read_table(SF, "documents", columns=["doc_id", "text"])).to_pandas()
+    postings: dict[str, list[int]] = {}
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        for w in set(text._WS_TOKEN.findall(t)):
+            postings.setdefault(w, []).append(int(did))
+    want = pd.DataFrame(
+        [(w, len(ids), ",".join(str(x) for x in sorted(ids)[:text.INVINDEX_CAP]))
+         for w, ids in postings.items()],
+        columns=["token", "df", "postings"])
+    got_s = got.sort_values("token").reset_index(drop=True)
+    want_s = want.sort_values("token").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+    # truncation must actually engage somewhere (df > cap) so the combiner
+    # path (per-batch cap + range-merge re-cap) is exercised
+    assert (got_s["df"] > text.INVINDEX_CAP).any()
+    over = got_s[got_s["df"] > text.INVINDEX_CAP]
+    assert (over["postings"].str.count(",") + 1 == text.INVINDEX_CAP).all()

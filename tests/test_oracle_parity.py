@@ -28,6 +28,10 @@ SQL_CHECKED = [
     "cookies_locally_created",
     "knn_referrer",
     "pip_media_in_host",
+    "pip_media_outside_host",
+    "doc_trajectory",
+    "host_topk_urls",
+    "inverted_index",
     "host_boxes",
     "rendered_urls_canonical",
 ]
