@@ -137,6 +137,8 @@ BENCH_QUERIES = [
     "pip_media_outside_host",
     "host_topk_urls",
     "inverted_index",
+    "tile_zonal_stats",
+    "doc_chunk",
 ]
 
 

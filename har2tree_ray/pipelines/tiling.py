@@ -509,3 +509,136 @@ def doc_trajectory(interleaved_ds, res: int = DEFAULT_RES, batch_size: int = 256
 
     return interleaved_ds.map_batches(per_batch, batch_format="pyarrow",
                                       batch_size=batch_size)
+
+
+# ------------------------------------------------------- zonal statistics
+
+
+class _ZonalIndex:
+    """Compiled zone index over the broadcast boxes side (ST5 shape):
+    box cell ranges at ``res`` plus a COVER_RES covering for candidate
+    pruning.  Pruning is exact: cover cells are the res cells right-shifted
+    (floor nesting), so a span whose res cell lies in a box's res range
+    provably lies in the box's cover range too."""
+
+    def __init__(self, boxes_ref, res: int, n_parts: int) -> None:
+        import ray
+
+        from .spatial import COVER_RES
+
+        boxes = ray.get(boxes_ref)
+        self.res, self.n_parts = res, n_parts
+        self.hostnames = boxes["hostname"].to_numpy()
+        z = np.zeros(len(boxes))
+        self.x0, _ = geo.cell_xy(z, boxes["min_lng"].to_numpy(), res)
+        self.x1, _ = geo.cell_xy(z, boxes["max_lng"].to_numpy(), res)
+        _, self.y0 = geo.cell_xy(boxes["max_lat"].to_numpy(), z, res)
+        _, self.y1 = geo.cell_xy(boxes["min_lat"].to_numpy(), z, res)
+        shift = res - COVER_RES
+        self.shift = shift
+        nc = np.int64(1) << COVER_RES
+        cover: dict[int, list[int]] = {}
+        for b in range(len(self.hostnames)):
+            for yy in range(int(self.y0[b] >> shift), int(self.y1[b] >> shift) + 1):
+                for xx in range(int(self.x0[b] >> shift), int(self.x1[b] >> shift) + 1):
+                    cover.setdefault(int(yy * nc + xx), []).append(b)
+        self.cover = {k: np.asarray(v) for k, v in cover.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..util import key_partition_ids
+
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        ix, iy = geo.cell_xy(lat, lng, self.res)
+        cover_cells = ((iy >> self.shift) << (self.res - self.shift)) \
+            + (ix >> self.shift)
+        out_host: list[np.ndarray] = []
+        out_cell: list[np.ndarray] = []
+        order = np.argsort(cover_cells, kind="stable")
+        sc = cover_cells[order]
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        bounds = np.r_[starts, len(sc)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            cand = self.cover.get(int(sc[s]))
+            if cand is None:
+                continue
+            rows = order[s:e]
+            hit = ((ix[rows][:, None] >= self.x0[cand][None, :])
+                   & (ix[rows][:, None] <= self.x1[cand][None, :])
+                   & (iy[rows][:, None] >= self.y0[cand][None, :])
+                   & (iy[rows][:, None] <= self.y1[cand][None, :]))
+            ri, bi = np.nonzero(hit)
+            out_host.append(self.hostnames[cand[bi]])
+            out_cell.append((iy[rows[ri]] << self.res) + ix[rows[ri]])
+        if out_host:
+            hosts = np.concatenate(out_host)
+            cells = np.concatenate(out_cell)
+        else:
+            hosts = np.array([], dtype=object)
+            cells = np.array([], dtype=np.int64)
+        t = pa.table({"hostname": pa.array(hosts, pa.string()),
+                      "cell_id": pa.array(cells, pa.int64())})
+        g = t.group_by(["hostname", "cell_id"]).aggregate([("cell_id", "count")])
+        g = g.rename_columns(["hostname", "cell_id", "part_n"])
+        return g.append_column(
+            "hpart", pa.array(key_partition_ids(g["hostname"], self.n_parts)))
+
+
+def tile_zonal_stats(flat_ds, res: int = DEFAULT_RES, n_parts: int | None = None):
+    """Zonal statistics — the classic raster-analytics primitive: per host
+    ZONE (its ε-expanded boundary box rasterized to a cell range), the
+    covered-cell count (closed form from the range), the spans falling in
+    the zone, the occupied-cell count and the hottest cell's span count.
+
+    Scale shape: boxes are the broadcast small side (one row per hostname,
+    ``ray.put`` once); the probe runs as worker-cached tasks emitting
+    batch-local (host, cell) partial counts; ONE crc32 host-range shuffle
+    resolves exact per-(host, cell) sums and per-host aggregates in a
+    vectorized pandas pass.  Output is one row per hostname (bounded), so
+    the final closed-form merge happens driver-side."""
+    import ray
+
+    import pandas as pd
+
+    from .spatial import host_boxes
+    from ..util import pre_shuffle_coalesce, worker_cached_stage
+
+    if n_parts is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        n_parts = max(8, cpus)
+
+    boxes = host_boxes(flat_ds)
+    ref = ray.put(boxes)
+
+    def per_range(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas()
+              .groupby(["hostname", "cell_id"], as_index=False)["part_n"].sum())
+        agg = df.groupby("hostname").agg(
+            n_spans_in_zone=("part_n", "sum"),
+            n_cells_occupied=("cell_id", "count"),
+            max_cell_count=("part_n", "max")).reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    slim = flat_ds.select_columns(["lat", "lng"])
+    zonal = (pre_shuffle_coalesce(slim.map_batches(
+                 worker_cached_stage(_ZonalIndex, ref, res, n_parts,
+                                     cache_key=ref.hex() + "-zonal"),
+                 batch_format="pyarrow", batch_size=4096))
+             .groupby("hpart")
+             .map_groups(per_range, batch_format="pyarrow")
+             .to_pandas())  # bounded: one row per hostname
+
+    z = np.zeros(len(boxes))
+    x0, _ = geo.cell_xy(z, boxes["min_lng"].to_numpy(), res)
+    x1, _ = geo.cell_xy(z, boxes["max_lng"].to_numpy(), res)
+    _, y0 = geo.cell_xy(boxes["max_lat"].to_numpy(), z, res)
+    _, y1 = geo.cell_xy(boxes["min_lat"].to_numpy(), z, res)
+    out = pd.DataFrame({
+        "hostname": boxes["hostname"].to_numpy(),
+        "n_cells_covered": (x1 - x0 + 1) * (y1 - y0 + 1),
+    })
+    out = out.merge(zonal, on="hostname", how="left")
+    for c in ["n_spans_in_zone", "n_cells_occupied", "max_cell_count"]:
+        out[c] = out[c].fillna(0).astype("int64")
+    out["n_cells_covered"] = out["n_cells_covered"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -174,6 +174,20 @@ def q_pip_media_in_host(sf_dir: str):
         ["doc_id", "offset", "kind", "hostname", "lat", "lng"]))
 
 
+def q_tile_zonal_stats(sf_dir: str):
+    """Zonal statistics: per host zone (rasterized boundary box), covered /
+    occupied cell counts, spans in zone, hottest-cell count.  Broadcast
+    boxes + one host-range shuffle of (host, cell) partials."""
+    return tiling.tile_zonal_stats(explode_spans(
+        read_interleaved(sf_dir), ["kind", "hostname", "lat", "lng"]), RES)
+
+
+def q_doc_chunk(sf_dir: str):
+    """Sliding-window chunking (64-token windows, stride 48) — map-only
+    row expansion, the RAG/context-window prep step."""
+    return text.doc_chunk(_docs(sf_dir))
+
+
 def q_pip_media_outside_host(sf_dir: str):
     """Spatial anti-join: media spans contained in NO host boundary box
     (the complement of pip_media_in_host; same broadcast covering index)."""
@@ -1073,6 +1087,42 @@ FROM s
 """)
 
 
+def _oracle_zonal(path: str, res: int = RES,
+                  eps: float = spatial.PIP_EPS) -> str:
+    n = 1 << res
+    return (_FLAT_CTE.format(path=path) + "," + _CELL_CTE.format(n=n) + f"""
+, boxes AS (
+    SELECT hostname,
+           MIN(lat) - {eps} AS min_lat, MAX(lat) + {eps} AS max_lat,
+           MIN(lng) - {eps} AS min_lng, MAX(lng) + {eps} AS max_lng
+    FROM flat WHERE kind = 'document' AND hostname <> ''
+    GROUP BY hostname
+), bx AS (
+    SELECT hostname,
+      LEAST(GREATEST(CAST(FLOOR((min_lng + 180.0) / 360.0 * {n}.0) AS BIGINT), 0), {n} - 1) AS x0,
+      LEAST(GREATEST(CAST(FLOOR((max_lng + 180.0) / 360.0 * {n}.0) AS BIGINT), 0), {n} - 1) AS x1,
+      LEAST(GREATEST(CAST(FLOOR((90.0 - max_lat) / 180.0 * {n}.0) AS BIGINT), 0), {n} - 1) AS y0,
+      LEAST(GREATEST(CAST(FLOOR((90.0 - min_lat) / 180.0 * {n}.0) AS BIGINT), 0), {n} - 1) AS y1
+    FROM boxes
+), hits AS (
+    SELECT b.hostname, c.cell_y * {n} + c.cell_x AS cell_id
+    FROM cells c JOIN bx b
+      ON c.cell_x BETWEEN b.x0 AND b.x1 AND c.cell_y BETWEEN b.y0 AND b.y1
+), percell AS (
+    SELECT hostname, cell_id, COUNT(*) AS cn FROM hits GROUP BY 1, 2
+), zz AS (
+    SELECT hostname, SUM(cn) AS s, COUNT(*) AS c, MAX(cn) AS m
+    FROM percell GROUP BY 1
+)
+SELECT b.hostname,
+       CAST((b.x1 - b.x0 + 1) * (b.y1 - b.y0 + 1) AS BIGINT) AS n_cells_covered,
+       CAST(COALESCE(zz.s, 0) AS BIGINT) AS n_spans_in_zone,
+       CAST(COALESCE(zz.c, 0) AS BIGINT) AS n_cells_occupied,
+       CAST(COALESCE(zz.m, 0) AS BIGINT) AS max_cell_count
+FROM bx b LEFT JOIN zz USING (hostname)
+""")
+
+
 def _oracle_pip_anti(path: str, eps: float = 0.0) -> str:
     # raw (un-expanded) boxes: the anti side asks what is strictly
     # uncovered; with the join's PIP_EPS the complement is empty
@@ -1147,6 +1197,7 @@ _TABLE_ORACLES = {
     "doc_lm_score": lambda _p: text.doc_lm_score_sql(),
     "ngram_topk": lambda _p: text.ngram_topk_sql(),
     "inverted_index": lambda _p: text.inverted_index_sql(),
+    "doc_chunk": lambda _p: text.doc_chunk_sql(),
     "dedup_clusters": lambda _p: text.dedup_clusters_sql(),
     "corpus_keep": lambda _p: corpus.corpus_keep_sql(),
     "embed_neardup": lambda _p: embed.embed_neardup_sql(),
@@ -1188,6 +1239,7 @@ _INTERLEAVED_ORACLES = {
     "graft_edges": _oracle_graft_edges,
     "pip_media_in_host": _oracle_pip,
     "pip_media_outside_host": _oracle_pip_anti,
+    "tile_zonal_stats": _oracle_zonal,
     "doc_trajectory": _oracle_trajectory,
     "host_topk_urls": stats.host_topk_urls_sql,
     "host_boxes": _oracle_host_boxes,
@@ -1252,8 +1304,10 @@ def _queries_registry() -> dict[str, Callable]:
         "range_join": q_range_join,             # big×big spatial range join
         "doc_trajectory": q_doc_trajectory,     # per-doc cell path (map-only)
         "pip_media_outside_host": q_pip_media_outside_host,  # spatial anti-join
+        "tile_zonal_stats": q_tile_zonal_stats,  # zonal statistics
         "host_topk_urls": q_host_topk_urls,     # top-k per group window
         "inverted_index": q_inverted_index,     # token→postings index build
+        "doc_chunk": q_doc_chunk,               # sliding-window chunking
         "redirect_chain": q_redirect_chain,
         "landing": q_landing,
         "landing_validated": q_landing_validated,

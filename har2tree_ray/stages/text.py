@@ -1619,3 +1619,61 @@ SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
                   ',' ORDER BY doc_id) AS postings
 FROM r GROUP BY token
 """
+
+
+# -------------------------------------------------------------- chunking
+
+CHUNK_TOKENS = 64   # window width (whitespace tokens)
+CHUNK_STRIDE = 48   # window stride (16-token overlap)
+
+
+def doc_chunk(ds, window: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE):
+    """Sliding-window document chunking — the context-window prep step of a
+    RAG / training pipeline: each document becomes ``ceil(n_tok/stride)``
+    overlapping chunks of ≤``window`` whitespace tokens (start positions
+    0, stride, 2·stride, … < n_tok; empty documents yield no chunks).
+
+    Map-only row expansion — rows multiply, bytes grow only by the overlap
+    fraction (stride/window), so the stage streams at any scale with no
+    shuffle and no state.  Chunk ids are per-doc ordinals (deterministic,
+    resumable)."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        o_id, o_cid, o_start, o_n, o_text = [], [], [], [], []
+        for i, t in zip(ids, texts):
+            toks = _WS_TOKEN.findall(t)
+            for cid, start in enumerate(range(0, len(toks), stride)):
+                piece = toks[start:start + window]
+                o_id.append(i)
+                o_cid.append(cid)
+                o_start.append(start)
+                o_n.append(len(piece))
+                o_text.append(" ".join(piece))
+        return pa.table({
+            "doc_id": pa.array(o_id, pa.int64()),
+            "chunk_id": pa.array(o_cid, pa.int64()),
+            "start_tok": pa.array(o_start, pa.int64()),
+            "n_tok": pa.array(o_n, pa.int64()),
+            "chunk_text": pa.array(o_text, pa.string()),
+        })
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def doc_chunk_sql(rel: str = "documents", window: int = CHUNK_TOKENS,
+                  stride: int = CHUNK_STRIDE) -> str:
+    return f"""
+WITH w AS (
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM {rel}
+), s AS (
+    SELECT doc_id, ws, CAST(st AS BIGINT) AS start_tok
+    FROM w, UNNEST(range(0, len(ws), {stride})) AS t(st)
+)
+SELECT doc_id, start_tok // {stride} AS chunk_id, start_tok,
+       CAST(LEAST({window}, len(ws) - start_tok) AS BIGINT) AS n_tok,
+       array_to_string(ws[start_tok + 1 : start_tok + {window}], ' ')
+           AS chunk_text
+FROM s
+"""

@@ -161,3 +161,60 @@ def test_inverted_index_matches_bruteforce_and_caps():
     assert (got_s["df"] > text.INVINDEX_CAP).any()
     over = got_s[got_s["df"] > text.INVINDEX_CAP]
     assert (over["postings"].str.count(",") + 1 == text.INVINDEX_CAP).all()
+
+
+def test_zonal_stats_matches_bruteforce():
+    cols = ["kind", "hostname", "lat", "lng"]
+    got = tiling.tile_zonal_stats(
+        explode_spans(read_interleaved(SF), cols)).to_pandas()
+    df = explode_spans(read_interleaved(SF), cols).to_pandas()
+    res = tiling.DEFAULT_RES
+    eps = spatial.PIP_EPS
+    boxes = (df[(df.kind == "document") & (df.hostname != "")]
+             .groupby("hostname")
+             .agg(a=("lat", "min"), b=("lat", "max"),
+                  c=("lng", "min"), d=("lng", "max")).reset_index())
+    z = np.zeros(len(boxes))
+    x0, _ = geo.cell_xy(z, boxes["c"].to_numpy() - eps, res)
+    x1, _ = geo.cell_xy(z, boxes["d"].to_numpy() + eps, res)
+    _, y0 = geo.cell_xy(boxes["b"].to_numpy() + eps, z, res)
+    _, y1 = geo.cell_xy(boxes["a"].to_numpy() - eps, z, res)
+    ix, iy = geo.cell_xy(df["lat"].to_numpy(), df["lng"].to_numpy(), res)
+    rows = []
+    for h, bx0, bx1, by0, by1 in zip(boxes["hostname"], x0, x1, y0, y1):
+        m = (ix >= bx0) & (ix <= bx1) & (iy >= by0) & (iy <= by1)
+        cells = (iy[m].astype(np.int64) << res) + ix[m]
+        _, counts = np.unique(cells, return_counts=True)
+        rows.append((h, int((bx1 - bx0 + 1) * (by1 - by0 + 1)),
+                     int(m.sum()), len(counts),
+                     int(counts.max()) if len(counts) else 0))
+    want = pd.DataFrame(rows, columns=["hostname", "n_cells_covered",
+                                       "n_spans_in_zone", "n_cells_occupied",
+                                       "max_cell_count"])
+    got_s = got.sort_values("hostname").reset_index(drop=True)
+    want_s = want.sort_values("hostname").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+    assert (got_s["n_spans_in_zone"] > 0).any()
+
+
+def test_doc_chunk_covers_and_overlaps():
+    got = text.doc_chunk(
+        read_table(SF, "documents", columns=["doc_id", "text"])).to_pandas()
+    docs = read_table(SF, "documents", columns=["doc_id", "text"]).to_pandas()
+    W, S = text.CHUNK_TOKENS, text.CHUNK_STRIDE
+    for did, t in zip(docs["doc_id"].head(20), docs["text"].head(20)):
+        toks = text._WS_TOKEN.findall(t)
+        g = got[got.doc_id == did].sort_values("chunk_id")
+        if not toks:
+            assert len(g) == 0
+            continue
+        assert len(g) == (len(toks) + S - 1) // S
+        # chunk 0 starts at 0; consecutive starts differ by the stride
+        assert list(g["start_tok"]) == list(range(0, len(toks), S))
+        # reassembling the non-overlapping prefixes reproduces the doc
+        rebuilt = []
+        for _, r in g.iterrows():
+            piece = r["chunk_text"].split(" ") if r["chunk_text"] else []
+            assert piece == toks[r["start_tok"]:r["start_tok"] + W]
+            rebuilt.extend(piece[:S])
+        assert rebuilt[:len(toks)] == toks

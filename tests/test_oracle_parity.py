@@ -32,6 +32,8 @@ SQL_CHECKED = [
     "doc_trajectory",
     "host_topk_urls",
     "inverted_index",
+    "tile_zonal_stats",
+    "doc_chunk",
     "host_boxes",
     "rendered_urls_canonical",
 ]
