@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "inverted_index",
     "tile_zonal_stats",
     "doc_chunk",
+    "host_triangles",
 ]
 
 

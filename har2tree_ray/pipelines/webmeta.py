@@ -1565,3 +1565,180 @@ SELECT DISTINCT doc_id, trim(u, ' ''\"') AS url
 FROM raw
 WHERE regexp_matches(trim(u, ' ''\"'), '^https?://')
 """
+
+
+# ------------------------------------------------------ triangle counting
+
+
+def host_triangles(flat_ds, n_parts: int | None = None):
+    """Per-host triangle counts over the undirected host referral graph —
+    the classic distributed graph-analytics benchmark, with the
+    degree-ordered orientation that bounds skew: every edge is oriented
+    from its lower-(degree, name) endpoint, so each node's out-degree is
+    O(√m) and wedge generation never explodes on a hub host.  Each
+    triangle has exactly one node whose two edges both point OUT, so it is
+    enumerated exactly once.
+
+    Plan (three bounded exchanges + one tiny rollup):
+      1. canonical undirected edge set — one (a, b) pair-key groupby over
+         the already-distinct ``host_link_graph`` output;
+      2. degree table (one row per host, the ST5 small side) broadcast via
+         ``ray.put``; orientation is map-only;
+      3. wedge generation per src-range (ONE crc32 shuffle; per-range
+         vectorized triu pair expansion) keyed by the closing pair;
+      4. closure: wedges ∪ edges co-partitioned on the pair key (ONE
+         shuffle), per-range hash merge; matched wedges emit their three
+         hosts into batch-local partials → bounded per-host Sum."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..util import key_partition_ids, pre_shuffle_coalesce
+
+    if n_parts is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        n_parts = max(8, cpus)
+
+    edges_dir = host_link_graph(flat_ds)
+
+    def canon_partial(t: pa.Table) -> pa.Table:
+        lo = pc.min_element_wise(t["src_host"], t["dst_host"])
+        hi = pc.max_element_wise(t["src_host"], t["dst_host"])
+        return (pa.table({"a": lo, "b": hi})
+                .group_by(["a", "b"]).aggregate([("a", "count")])
+                .rename_columns(["a", "b", "_n"]))
+
+    canon = (pre_shuffle_coalesce(
+                 edges_dir.map_batches(canon_partial, batch_format="pyarrow"))
+             .groupby(["a", "b"]).aggregate(Count())
+             .select_columns(["a", "b"]))
+
+    # degree table: one row per host (bounded small side, like host_rank's
+    # rank vector) — gathered once, shipped once via ray.put
+    def deg_partial(t: pa.Table) -> pa.Table:
+        hosts = pa.concat_arrays([t["a"].combine_chunks().cast(pa.string()),
+                                  t["b"].combine_chunks().cast(pa.string())])
+        g = pa.table({"h": hosts}).group_by("h").aggregate([("h", "count")])
+        return g.rename_columns(["h", "part_d"])
+
+    deg_df = (pre_shuffle_coalesce(
+                  canon.map_batches(deg_partial, batch_format="pyarrow"))
+              .groupby("h").aggregate(Sum("part_d", alias_name="deg"))
+              .to_pandas())
+    deg_ref = ray.put(dict(zip(deg_df["h"], deg_df["deg"].astype(int))))
+
+    class Orient:
+        def __init__(self, ref) -> None:
+            self.deg = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            a = t["a"].to_pylist()
+            b = t["b"].to_pylist()
+            da = np.array([self.deg[x] for x in a])
+            db = np.array([self.deg[x] for x in b])
+            fwd = (da < db) | ((da == db) & (np.array(a) < np.array(b)))
+            src = np.where(fwd, a, b)
+            dst = np.where(fwd, b, a)
+            out = pa.table({"src": pa.array(src, pa.string()),
+                            "dst": pa.array(dst, pa.string())})
+            return out.append_column(
+                "spart", pa.array(key_partition_ids(out["src"], n_parts)))
+
+    from ..util import worker_cached_stage
+
+    oriented = canon.map_batches(
+        worker_cached_stage(Orient, deg_ref, cache_key=deg_ref.hex() + "-tri"),
+        batch_format="pyarrow")
+
+    def wedges(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["src", "dst"], kind="mergesort")
+        o_a, o_b, o_u = [], [], []
+        for src, g in df.groupby("src", sort=False):
+            nb = g["dst"].to_numpy()
+            if len(nb) < 2:
+                continue
+            i, j = np.triu_indices(len(nb), k=1)
+            o_a.append(nb[i])
+            o_b.append(nb[j])
+            o_u.append(np.full(len(i), src, dtype=object))
+        if o_a:
+            a = np.concatenate(o_a); b = np.concatenate(o_b)
+            u = np.concatenate(o_u)
+        else:
+            a = b = u = np.array([], dtype=object)
+        out = pa.table({"a": pa.array(a, pa.string()),
+                        "b": pa.array(b, pa.string()),
+                        "u": pa.array(u, pa.string()),
+                        "is_edge": pa.array(np.zeros(len(a), bool))})
+        key = pc.binary_join_element_wise(out["a"], out["b"], "|")
+        return out.append_column("ppart",
+                                 pa.array(key_partition_ids(key, n_parts)))
+
+    wedge_ds = oriented.groupby("spart").map_groups(
+        wedges, batch_format="pyarrow")
+
+    def edge_side(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "a": t["a"], "b": t["b"],
+            "u": pa.nulls(t.num_rows, pa.string()),
+            "is_edge": pa.array(np.ones(t.num_rows, bool)),
+        })
+        key = pc.binary_join_element_wise(out["a"], out["b"], "|")
+        return out.append_column("ppart",
+                                 pa.array(key_partition_ids(key, n_parts)))
+
+    edge_ds = canon.map_batches(edge_side, batch_format="pyarrow")
+
+    def close_range(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        e = df[df["is_edge"]][["a", "b"]]
+        w = df[~df["is_edge"]]
+        m = w.merge(e, on=["a", "b"], how="inner")
+        hosts = pd.concat([m["u"], m["a"], m["b"]], ignore_index=True)
+        g = hosts.value_counts()
+        return pa.table({"hostname": pa.array(g.index, pa.string()),
+                         "part_n": pa.array(g.to_numpy(), pa.int64())})
+
+    tri = (wedge_ds.union(edge_ds)
+           .groupby("ppart").map_groups(close_range, batch_format="pyarrow")
+           .groupby("hostname").aggregate(Sum("part_n", alias_name="n_triangles")))
+    return tri.map_batches(
+        lambda t: pa.table({"hostname": t["hostname"],
+                            "n_triangles": pc.cast(t["n_triangles"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def host_triangles_sql(flat_path: str) -> str:
+    return f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+), r AS (
+    SELECT CASE WHEN regexp_matches(regexp_extract(s.text, '@referer=(\\S+)', 1), '^https?://')
+                THEN regexp_extract(regexp_extract(s.text, '@referer=(\\S+)', 1), '^https?://([^/?#]+)', 1)
+                ELSE '' END AS src_host,
+           CASE WHEN regexp_matches(s.media_ref, '^https?://')
+                THEN regexp_extract(s.media_ref, '^https?://([^/?#]+)', 1)
+                ELSE '' END AS dst_host
+    FROM ex WHERE regexp_matches(s.text, '@referer=')
+), g AS (
+    SELECT src_host, dst_host FROM r
+    WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+    GROUP BY 1, 2
+), e AS (
+    SELECT DISTINCT LEAST(src_host, dst_host) AS a,
+                    GREATEST(src_host, dst_host) AS b
+    FROM g
+), t AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), h AS (
+    SELECT x AS hostname FROM t
+    UNION ALL SELECT y FROM t
+    UNION ALL SELECT z FROM t
+)
+SELECT hostname, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM h GROUP BY hostname
+"""

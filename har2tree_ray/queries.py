@@ -174,6 +174,14 @@ def q_pip_media_in_host(sf_dir: str):
         ["doc_id", "offset", "kind", "hostname", "lat", "lng"]))
 
 
+def q_host_triangles(sf_dir: str):
+    """Per-host triangle counts over the undirected host referral graph —
+    degree-ordered wedge generation (out-degree O(√m)), pair-key closure
+    co-partition."""
+    return webmeta.host_triangles(explode_spans(
+        read_interleaved(sf_dir), ["text", "hostname"]))
+
+
 def q_tile_zonal_stats(sf_dir: str):
     """Zonal statistics: per host zone (rasterized boundary box), covered /
     occupied cell counts, spans in zone, hottest-cell count.  Broadcast
@@ -1253,6 +1261,7 @@ _INTERLEAVED_ORACLES = {
     "host_rank": webmeta.host_rank_sql,
     "host_components": webmeta.host_components_sql,
     "host_cooccur": webmeta.host_cooccur_sql,
+    "host_triangles": webmeta.host_triangles_sql,
     "span_identifiers": webmeta.span_identifiers_sql,
     "cookies_never_sent": webmeta.cookies_never_sent_sql,
     "cookies_locally_created": webmeta.cookies_locally_created_sql,
@@ -1368,6 +1377,7 @@ def _queries_registry() -> dict[str, Callable]:
         "host_rank": q_host_rank,             # iterative link-mass (3 iters)
         "host_components": q_host_components,  # min-label CC (fixpoint)
         "host_cooccur": q_host_cooccur,       # domain co-citation graph
+        "host_triangles": q_host_triangles,   # degree-ordered triangle count
         "span_identifiers": q_span_identifiers,
         "cookies_never_sent": q_cookies_never_sent,
         "cookies_locally_created": q_cookies_locally_created,  # D4 jar sidecar

@@ -218,3 +218,19 @@ def test_doc_chunk_covers_and_overlaps():
             assert piece == toks[r["start_tok"]:r["start_tok"] + W]
             rebuilt.extend(piece[:S])
         assert rebuilt[:len(toks)] == toks
+
+
+def test_host_triangles_known_graph_and_hub_skew():
+    from har2tree_ray.pipelines import webmeta
+
+    # K4 on {a,b,c,d} (4 triangles; each vertex in 3) + a hub 'h' fanned to
+    # 5 leaves with no leaf-leaf edges (0 triangles); edge a-b also appears
+    # in BOTH directions to exercise the canonical dedup.
+    edges = [("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"),
+             ("b", "c"), ("b", "d"), ("c", "d")]
+    edges += [("h", f"x{i}") for i in range(5)]
+    rows = [{"text": f"@referer=http://{s}/", "hostname": d}
+            for s, d in edges]
+    got = webmeta.host_triangles(rd.from_items(rows)).to_pandas()
+    got = dict(zip(got["hostname"], got["n_triangles"]))
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}

@@ -33,6 +33,7 @@ SQL_CHECKED = [
     "host_topk_urls",
     "inverted_index",
     "tile_zonal_stats",
+    "host_triangles",
     "doc_chunk",
     "host_boxes",
     "rendered_urls_canonical",
