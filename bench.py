@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "tile_zonal_stats",
     "doc_chunk",
     "host_triangles",
+    "tile_host_hll",
 ]
 
 

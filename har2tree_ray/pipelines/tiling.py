@@ -642,3 +642,61 @@ def tile_zonal_stats(flat_ds, res: int = DEFAULT_RES, n_parts: int | None = None
         out[c] = out[c].fillna(0).astype("int64")
     out["n_cells_covered"] = out["n_cells_covered"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ------------------------------------------------ HLL register sketch
+
+HLL_REGS = 256  # 2 hex digits of register address
+
+
+def tile_host_hll(flat_ds, res: int = DEFAULT_RES):
+    """Per-tile HyperLogLog-style distinct-hostname register sketch — the
+    fixed-size mergeable companion to ``tile_host_kmv`` (Flajolet et al.
+    2007, public).  Deterministic hex-base recast: register address = the
+    first two hex digits of ``md5(hostname)`` (256 registers); observable
+    ``rho`` = 1 + number of leading zero HEX digits of the next 30 (a
+    base-16 geometric in place of the classic base-2 — same max-merge
+    algebra, exactly replicable in ANSI SQL with string ops, no float).
+    The engine emits only the registers ``(cell_id, reg, rho)``; the
+    cardinality estimate is derived downstream, as with KMV.
+
+    Mergeable by construction (register-wise MAX), so batch partials
+    shrink to ≤ 256 rows per (batch, cell) before one bounded-key native
+    Max aggregate — never a distinct-count over an unbounded domain."""
+    import hashlib
+
+    from ray.data.aggregate import Max
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        ix, iy = geo.cell_xy(lat, lng, res)
+        cid = geo.cell_id(ix, iy, res)
+        df = pd.DataFrame({"cell_id": cid,
+                           "hostname": batch["hostname"].to_pylist()})
+        df = df[df["hostname"] != ""].drop_duplicates()
+        if not len(df):
+            return pa.table({"cell_id": pa.array([], pa.int64()),
+                             "reg": pa.array([], pa.string()),
+                             "part_rho": pa.array([], pa.int64())})
+        uniq = {s: hashlib.md5(s.encode("utf-8")).hexdigest()
+                for s in set(df["hostname"])}
+        h = df["hostname"].map(uniq)
+        df = pd.DataFrame({
+            "cell_id": df["cell_id"].to_numpy(),
+            "reg": h.str[:2].to_numpy(),
+            "rho": (31 - h.str[2:32].str.lstrip("0").str.len()).to_numpy(),
+        })
+        g = df.groupby(["cell_id", "reg"], as_index=False)["rho"].max()
+        return pa.table({"cell_id": pa.array(g["cell_id"], pa.int64()),
+                         "reg": pa.array(g["reg"], pa.string()),
+                         "part_rho": pa.array(g["rho"], pa.int64())})
+
+    parts = pre_shuffle_coalesce(
+        flat_ds.map_batches(partial, batch_format="pyarrow"))
+    agg = parts.groupby(["cell_id", "reg"]).aggregate(
+        Max("part_rho", alias_name="rho"))
+    return agg.map_batches(
+        lambda t: pa.table({"cell_id": t["cell_id"], "reg": t["reg"],
+                            "rho": pc.cast(t["rho"], pa.int64())}),
+        batch_format="pyarrow")

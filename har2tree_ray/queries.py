@@ -111,6 +111,13 @@ def q_tile_host_kmv(sf_dir: str):
         read_interleaved(sf_dir), ["hostname", "lat", "lng"]), RES)
 
 
+def q_tile_host_hll(sf_dir: str):
+    """HLL register sketch per tile (hex-base rho, register-wise MAX merge)
+    — the fixed-size mergeable companion to tile_host_kmv."""
+    return tiling.tile_host_hll(explode_spans(
+        read_interleaved(sf_dir), ["hostname", "lat", "lng"]), RES)
+
+
 def q_tile_vectorize(sf_dir: str):
     return tiling.tile_vectorize(explode_spans(
         read_interleaved(sf_dir), ["lat", "lng"]), RES)
@@ -725,6 +732,21 @@ SELECT cell_id, CAST(rank AS BIGINT) AS rank, h FROM r WHERE rank <= {k}
 """)
 
 
+def _oracle_tile_host_hll(path: str, res: int = RES) -> str:
+    n = 1 << res
+    return (_FLAT_CTE.format(path=path) + "," + _CELL_CTE.format(n=n) + f"""
+, d AS (
+    SELECT DISTINCT cell_y * {n} + cell_x AS cell_id, md5(hostname) AS h
+    FROM cells WHERE hostname <> ''
+), x AS (
+    SELECT cell_id, substr(h, 1, 2) AS reg,
+           CAST(31 - length(ltrim(substr(h, 3, 30), '0')) AS BIGINT) AS rho
+    FROM d
+)
+SELECT cell_id, reg, MAX(rho) AS rho FROM x GROUP BY 1, 2
+""")
+
+
 def _oracle_tile_rollup(path: str, res: int = RES) -> str:
     n = 1 << res
     return (_FLAT_CTE.format(path=path) + "," + _CELL_CTE.format(n=n) + f"""
@@ -1231,6 +1253,7 @@ _INTERLEAVED_ORACLES = {
     "tile_assign": _oracle_tile_assign,
     "tile_rollup": _oracle_tile_rollup,
     "tile_host_kmv": _oracle_tile_host_kmv,
+    "tile_host_hll": _oracle_tile_host_hll,
     "tile_vectorize": _oracle_tile_vectorize,
     "tile_pyramid": _oracle_tile_pyramid,
     "tile_neighbor_density": _oracle_tile_neighbors,
@@ -1305,6 +1328,7 @@ def _queries_registry() -> dict[str, Callable]:
         "tile_assign": q_tile_assign,
         "tile_rollup": q_tile_rollup,
         "tile_host_kmv": q_tile_host_kmv,          # KMV distinct sketch (exact oracle)
+        "tile_host_hll": q_tile_host_hll,          # HLL register sketch (exact oracle)
         "tile_vectorize": q_tile_vectorize,
         "tile_pyramid": q_tile_pyramid,
         "tile_neighbor_density": q_tile_neighbor_density,

@@ -234,3 +234,39 @@ def test_host_triangles_known_graph_and_hub_skew():
     got = webmeta.host_triangles(rd.from_items(rows)).to_pandas()
     got = dict(zip(got["hostname"], got["n_triangles"]))
     assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_hll_registers_merge_and_bound():
+    # register-wise MAX mergeability: registers(A ∪ B) == elementwise max
+    # of registers(A) and registers(B); and rho is within [1, 31]
+    cols = ["hostname", "lat", "lng"]
+    full = tiling.tile_host_hll(
+        explode_spans(read_interleaved(SF), cols)).to_pandas()
+    assert full["rho"].between(1, 31).all()
+    assert full["reg"].str.fullmatch("[0-9a-f]{2}").all()
+    import hashlib
+    df = explode_spans(read_interleaved(SF), cols).to_pandas()
+    df = df[df.hostname != ""]
+    res = tiling.DEFAULT_RES
+    ix, iy = geo.cell_xy(df["lat"].to_numpy(), df["lng"].to_numpy(), res)
+    df = pd.DataFrame({"cell_id": (iy.astype(np.int64) << res) + ix,
+                       "hostname": df["hostname"].to_numpy()}).drop_duplicates()
+    h = df["hostname"].map(
+        lambda s: hashlib.md5(s.encode()).hexdigest())
+    brute = pd.DataFrame({
+        "cell_id": df["cell_id"].to_numpy(),
+        "reg": h.str[:2].to_numpy(),
+        "rho": (31 - h.str[2:32].str.lstrip("0").str.len()).to_numpy()})
+    # split-in-half merge equals whole-corpus registers
+    half = len(brute) // 2
+    parts = [brute.iloc[:half], brute.iloc[half:]]
+    merged = (pd.concat([p.groupby(["cell_id", "reg"], as_index=False)["rho"].max()
+                         for p in parts])
+              .groupby(["cell_id", "reg"], as_index=False)["rho"].max())
+    whole = brute.groupby(["cell_id", "reg"], as_index=False)["rho"].max()
+    pd.testing.assert_frame_equal(
+        merged.sort_values(["cell_id", "reg"]).reset_index(drop=True),
+        whole.sort_values(["cell_id", "reg"]).reset_index(drop=True))
+    got_s = full.sort_values(["cell_id", "reg"]).reset_index(drop=True)
+    want_s = whole.sort_values(["cell_id", "reg"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)

@@ -34,6 +34,7 @@ SQL_CHECKED = [
     "inverted_index",
     "tile_zonal_stats",
     "host_triangles",
+    "tile_host_hll",
     "doc_chunk",
     "host_boxes",
     "rendered_urls_canonical",
