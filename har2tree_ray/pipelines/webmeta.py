@@ -1609,10 +1609,17 @@ def host_triangles(flat_ds, n_parts: int | None = None):
                 .group_by(["a", "b"]).aggregate([("a", "count")])
                 .rename_columns(["a", "b", "_n"]))
 
+    # materialize the canonical edge list ONCE: it is consumed three times
+    # (degree rollup, orientation, closure edge side) and is the algorithm's
+    # bounded working set — host-pair-sized, not span-sized — the same
+    # contract as host_rank's materialized edge+outdeg table.  Without this
+    # each consumer re-executes the whole explode→link-graph upstream
+    # (measured 18.8 s → 6.5 s at sf0.1).
     canon = (pre_shuffle_coalesce(
                  edges_dir.map_batches(canon_partial, batch_format="pyarrow"))
              .groupby(["a", "b"]).aggregate(Count())
-             .select_columns(["a", "b"]))
+             .select_columns(["a", "b"])
+             .materialize())
 
     # degree table: one row per host (bounded small side, like host_rank's
     # rank vector) — gathered once, shipped once via ray.put
@@ -1675,7 +1682,7 @@ def host_triangles(flat_ds, n_parts: int | None = None):
         return out.append_column("ppart",
                                  pa.array(key_partition_ids(key, n_parts)))
 
-    wedge_ds = oriented.groupby("spart").map_groups(
+    wedge_ds = pre_shuffle_coalesce(oriented).groupby("spart").map_groups(
         wedges, batch_format="pyarrow")
 
     def edge_side(t: pa.Table) -> pa.Table:
@@ -1700,7 +1707,7 @@ def host_triangles(flat_ds, n_parts: int | None = None):
         return pa.table({"hostname": pa.array(g.index, pa.string()),
                          "part_n": pa.array(g.to_numpy(), pa.int64())})
 
-    tri = (wedge_ds.union(edge_ds)
+    tri = (pre_shuffle_coalesce(wedge_ds.union(edge_ds))
            .groupby("ppart").map_groups(close_range, batch_format="pyarrow")
            .groupby("hostname").aggregate(Sum("part_n", alias_name="n_triangles")))
     return tri.map_batches(
