@@ -340,17 +340,13 @@ def host_topk_urls(interleaved_ds, k: int = 3, n_parts: int | None = None):
     per-range vectorized pandas pass (sum, mergesort rank, head-k per
     host).  No per-key dispatch, no global sort; output is k rows per
     hostname regardless of skew."""
-    import numpy as np
     import pyarrow.compute as pc2
 
     from ..stages.normalize import _HOST_RE
-    from ..util import key_partition_ids, pre_shuffle_coalesce
+    from ..util import default_n_parts, key_partition_ids, pre_shuffle_coalesce
 
     if n_parts is None:
-        import ray
-
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        n_parts = max(8, cpus)
+        n_parts = default_n_parts()
 
     def partial(batch: pa.Table) -> pa.Table:
         spans = batch.column("spans")
@@ -397,7 +393,7 @@ WITH ex AS (
     FROM ex WHERE regexp_matches(s.media_ref, '^https?://')
 ), c AS (
     SELECT hostname, media_ref, CAST(COUNT(*) AS BIGINT) AS n
-    FROM h GROUP BY 1, 2
+    FROM h WHERE hostname <> '' GROUP BY 1, 2
 ), r AS (
     SELECT hostname, media_ref, n,
            ROW_NUMBER() OVER (PARTITION BY hostname

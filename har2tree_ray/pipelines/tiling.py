@@ -481,6 +481,14 @@ def doc_trajectory(interleaved_ds, res: int = DEFAULT_RES, batch_size: int = 256
                            0.0).to_numpy(zero_copy_only=False)
         ix, iy = geo.cell_xy(lat, lng, res)
         cid = geo.cell_id(ix, iy, res)
+        if len(parent) == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.string()),
+                "seq": pa.array([], pa.int64()),
+                "offset": pa.array([], pa.int64()),
+                "cell_id": pa.array([], pa.int64()),
+                "step_dist": pa.array([], pa.int64()),
+            })
         order = np.lexsort((off, parent))
         p, o, c = parent[order], off[order], cid[order]
         x, y = ix[order], iy[order]
@@ -488,15 +496,13 @@ def doc_trajectory(interleaved_ds, res: int = DEFAULT_RES, batch_size: int = 256
         keep = first | np.r_[False, c[1:] != c[:-1]]
         kidx = np.flatnonzero(keep)
         kp, kx, ky = p[kidx], x[kidx], y[kidx]
-        kfirst = np.r_[True, kp[1:] != kp[:-1]] if len(kp) else np.array([], bool)
+        kfirst = np.r_[True, kp[1:] != kp[:-1]]
         pos = np.arange(len(kp), dtype=np.int64)
         gstart = np.maximum.accumulate(np.where(kfirst, pos, 0))
         seq = pos - gstart
-        n = np.int64(1) << res
-        px = np.r_[np.int64(0), kx[:-1]] if len(kp) else kx
-        py = np.r_[np.int64(0), ky[:-1]] if len(kp) else ky
-        dx = np.abs(kx - px)
-        step = np.maximum(np.minimum(dx, n - dx), np.abs(ky - py))
+        px = np.r_[np.int64(0), kx[:-1]]
+        py = np.r_[np.int64(0), ky[:-1]]
+        step = geo.chebyshev_cell_distance(kx, ky, px, py, res)
         step[kfirst] = 0
         ids = np.asarray(batch["doc_id"].to_pylist(), dtype=object)
         return pa.table({
@@ -534,9 +540,12 @@ class _ZonalIndex:
         self.x1, _ = geo.cell_xy(z, boxes["max_lng"].to_numpy(), res)
         _, self.y0 = geo.cell_xy(boxes["max_lat"].to_numpy(), z, res)
         _, self.y1 = geo.cell_xy(boxes["min_lat"].to_numpy(), z, res)
-        shift = res - COVER_RES
+        # covering at min(COVER_RES, res): res below COVER_RES must not
+        # produce a negative shift (the covering is then the grid itself)
+        cover_res = min(COVER_RES, res)
+        shift = res - cover_res
         self.shift = shift
-        nc = np.int64(1) << COVER_RES
+        nc = np.int64(1) << cover_res
         cover: dict[int, list[int]] = {}
         for b in range(len(self.hostnames)):
             for yy in range(int(self.y0[b] >> shift), int(self.y1[b] >> shift) + 1):
@@ -598,14 +607,11 @@ def tile_zonal_stats(flat_ds, res: int = DEFAULT_RES, n_parts: int | None = None
     the final closed-form merge happens driver-side."""
     import ray
 
-    import pandas as pd
-
     from .spatial import host_boxes
-    from ..util import pre_shuffle_coalesce, worker_cached_stage
+    from ..util import default_n_parts, worker_cached_stage
 
     if n_parts is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        n_parts = max(8, cpus)
+        n_parts = default_n_parts()
 
     boxes = host_boxes(flat_ds)
     ref = ray.put(boxes)

@@ -793,6 +793,28 @@ FROM read_parquet('{flat_path}/*.parquet')
 # ----------------------------------------------------------- host link graph
 
 
+def _referral_pairs(batch: pa.Table) -> tuple[list, list]:
+    """Cross-host (referer_host, span_host) pairs of a flat-span batch —
+    shared extraction of host_link_graph and host_triangles."""
+    import pyarrow.compute as pc
+
+    from ..functions import parse
+    from ..functions.urls import split_url
+
+    batch = batch.filter(pc.match_substring(batch["text"], "@referer="))
+    src, dst = [], []
+    for t, h in zip(batch["text"].to_pylist(),
+                    batch["hostname"].to_pylist()):
+        ref = parse.first(parse.RE_REFERER, t)
+        if not ref or not h:
+            continue
+        _, rh, _ = split_url(ref)
+        if rh and rh != h:
+            src.append(rh)
+            dst.append(h)
+    return src, dst
+
+
 def host_link_graph(flat_ds):
     """Cross-host referral graph: (src_host, dst_host, n_links) counting
     spans whose ``@referer`` host differs from their own host — the
@@ -803,22 +825,10 @@ def host_link_graph(flat_ds):
 
     from ray.data.aggregate import Sum
 
-    from ..functions import parse
-    from ..functions.urls import split_url
     from ..util import pre_shuffle_coalesce
 
     def partial(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.match_substring(batch["text"], "@referer="))
-        src, dst = [], []
-        for t, h in zip(batch["text"].to_pylist(),
-                        batch["hostname"].to_pylist()):
-            ref = parse.first(parse.RE_REFERER, t)
-            if not ref or not h:
-                continue
-            _, rh, _ = split_url(ref)
-            if rh and rh != h:
-                src.append(rh)
-                dst.append(h)
+        src, dst = _referral_pairs(batch)
         t2 = pa.table({"src_host": pa.array(src, pa.string()),
                        "dst_host": pa.array(dst, pa.string())})
         g = t2.group_by(["src_host", "dst_host"]).aggregate([("src_host", "count")])
@@ -1594,17 +1604,20 @@ def host_triangles(flat_ds, n_parts: int | None = None):
     import ray
     from ray.data.aggregate import Count, Sum
 
-    from ..util import key_partition_ids, pre_shuffle_coalesce
+    from ..util import default_n_parts, key_partition_ids, pre_shuffle_coalesce
 
     if n_parts is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        n_parts = max(8, cpus)
+        n_parts = default_n_parts()
 
-    edges_dir = host_link_graph(flat_ds)
-
-    def canon_partial(t: pa.Table) -> pa.Table:
-        lo = pc.min_element_wise(t["src_host"], t["dst_host"])
-        hi = pc.max_element_wise(t["src_host"], t["dst_host"])
+    def canon_partial(batch: pa.Table) -> pa.Table:
+        # straight from the span stream: triangles need only the DISTINCT
+        # canonical pairs, so the link-graph's n_links Sum shuffle is
+        # skipped entirely (one bounded pair-key exchange instead of two)
+        src, dst = _referral_pairs(batch)
+        t = pa.table({"s": pa.array(src, pa.string()),
+                      "d": pa.array(dst, pa.string())})
+        lo = pc.min_element_wise(t["s"], t["d"])
+        hi = pc.max_element_wise(t["s"], t["d"])
         return (pa.table({"a": lo, "b": hi})
                 .group_by(["a", "b"]).aggregate([("a", "count")])
                 .rename_columns(["a", "b", "_n"]))
@@ -1613,10 +1626,11 @@ def host_triangles(flat_ds, n_parts: int | None = None):
     # (degree rollup, orientation, closure edge side) and is the algorithm's
     # bounded working set — host-pair-sized, not span-sized — the same
     # contract as host_rank's materialized edge+outdeg table.  Without this
-    # each consumer re-executes the whole explode→link-graph upstream
+    # each consumer re-executes the whole explode→canonicalize upstream
     # (measured 18.8 s → 6.5 s at sf0.1).
     canon = (pre_shuffle_coalesce(
-                 edges_dir.map_batches(canon_partial, batch_format="pyarrow"))
+                 flat_ds.select_columns(["text", "hostname"]).map_batches(
+                     canon_partial, batch_format="pyarrow"))
              .groupby(["a", "b"]).aggregate(Count())
              .select_columns(["a", "b"])
              .materialize())
@@ -1642,6 +1656,10 @@ def host_triangles(flat_ds, n_parts: int | None = None):
         def __call__(self, t: pa.Table) -> pa.Table:
             a = t["a"].to_pylist()
             b = t["b"].to_pylist()
+            if not a:
+                return pa.table({"src": pa.array([], pa.string()),
+                                 "dst": pa.array([], pa.string()),
+                                 "spart": pa.array([], pa.int32())})
             da = np.array([self.deg[x] for x in a])
             db = np.array([self.deg[x] for x in b])
             fwd = (da < db) | ((da == db) & (np.array(a) < np.array(b)))

@@ -1552,15 +1552,11 @@ def inverted_index(ds, cap: int = INVINDEX_CAP, n_parts: int | None = None):
     Postings are emitted as a comma-joined string (exact, hash-comparable;
     the SQL oracle truncates with a window rank the same way)."""
     import numpy as np
-    import pandas as pd
 
-    from ..util import key_partition_ids, pre_shuffle_coalesce
+    from ..util import default_n_parts, key_partition_ids, pre_shuffle_coalesce
 
     if n_parts is None:
-        import ray
-
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        n_parts = max(8, cpus)
+        n_parts = default_n_parts()
 
     def partial(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()

@@ -241,3 +241,13 @@ def salted_groupby_sum(ds, key_cols: list[str], sum_cols: list[str],
     stage2 = stage1.drop_columns(["_salt"]).groupby(key_cols).aggregate(
         *[Sum(c, alias_name=c) for c in sum_cols])
     return stage2
+
+
+def default_n_parts(minimum: int = 8) -> int:
+    """Cluster-width default for coarse hash-range shuffles: one range per
+    CPU (multi-node: scales with the cluster), floored at ``minimum`` so
+    tiny local sessions still spread skew."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(minimum, cpus)

@@ -270,3 +270,21 @@ def test_hll_registers_merge_and_bound():
     got_s = full.sort_values(["cell_id", "reg"]).reset_index(drop=True)
     want_s = whole.sort_values(["cell_id", "reg"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+
+
+def test_trajectory_all_empty_span_batch():
+    # regression: a batch whose docs all have empty span lists must yield
+    # zero rows, not IndexError (code-review finding)
+    t = _interleaved_table({"A": [], "B": []})
+    out = tiling.doc_trajectory(rd.from_arrow(t)).to_pandas()
+    assert len(out) == 0
+
+
+def test_zonal_stats_low_res_no_negative_shift():
+    # regression: res below COVER_RES must not raise on a negative shift
+    cols = ["kind", "hostname", "lat", "lng"]
+    out = tiling.tile_zonal_stats(
+        explode_spans(read_interleaved(SF), cols), res=3).to_pandas()
+    assert len(out) > 0
+    n = 1 << 3
+    assert (out["n_cells_covered"] <= n * n).all()
