@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "doc_chunk",
     "host_triangles",
     "tile_host_hll",
+    "host_clustering",
 ]
 
 

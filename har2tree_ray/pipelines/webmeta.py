@@ -1581,6 +1581,11 @@ WHERE regexp_matches(trim(u, ' ''\"'), '^https?://')
 
 
 def host_triangles(flat_ds, n_parts: int | None = None):
+    """Per-host triangle counts (see ``_host_triangles_impl``)."""
+    return _host_triangles_impl(flat_ds, n_parts)[0]
+
+
+def _host_triangles_impl(flat_ds, n_parts: int | None = None):
     """Per-host triangle counts over the undirected host referral graph —
     the classic distributed graph-analytics benchmark, with the
     degree-ordered orientation that bounds skew: every edge is oriented
@@ -1728,10 +1733,77 @@ def host_triangles(flat_ds, n_parts: int | None = None):
     tri = (pre_shuffle_coalesce(wedge_ds.union(edge_ds))
            .groupby("ppart").map_groups(close_range, batch_format="pyarrow")
            .groupby("hostname").aggregate(Sum("part_n", alias_name="n_triangles")))
-    return tri.map_batches(
+    out = tri.map_batches(
         lambda t: pa.table({"hostname": t["hostname"],
                             "n_triangles": pc.cast(t["n_triangles"], pa.int64())}),
         batch_format="pyarrow")
+    return out, deg_df
+
+
+def host_clustering(flat_ds, n_parts: int | None = None):
+    """Local clustering coefficient per host, in EXACT integers: the
+    coefficient is ``n_triangles / n_wedges`` with ``n_wedges =
+    deg·(deg−1)/2`` over the canonical undirected graph — both counts are
+    emitted as BIGINTs (the ratio is left to the consumer), so the oracle
+    compare stays float-free like host_rank's integer mass.  Hosts with
+    degree < 2 are excluded (no wedge to close).  Reuses the triangle
+    plan; the degree table is the bounded small side already gathered
+    there, so the extra cost is one driver-side merge."""
+    tri_ds, deg_df = _host_triangles_impl(flat_ds, n_parts)
+    tri = tri_ds.to_pandas()  # bounded: one row per host
+    out = deg_df.rename(columns={"h": "hostname"}).copy()
+    out["deg"] = out["deg"].astype("int64")
+    out = out[out["deg"] >= 2]
+    out["n_wedges"] = out["deg"] * (out["deg"] - 1) // 2
+    out = out.merge(tri, on="hostname", how="left")
+    out["n_triangles"] = out["n_triangles"].fillna(0).astype("int64")
+    return pa.Table.from_pandas(
+        out[["hostname", "deg", "n_wedges", "n_triangles"]].sort_values(
+            "hostname").reset_index(drop=True), preserve_index=False)
+
+
+def host_clustering_sql(flat_path: str) -> str:
+    return f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+), r AS (
+    SELECT CASE WHEN regexp_matches(regexp_extract(s.text, '@referer=(\\S+)', 1), '^https?://')
+                THEN regexp_extract(regexp_extract(s.text, '@referer=(\\S+)', 1), '^https?://([^/?#]+)', 1)
+                ELSE '' END AS src_host,
+           CASE WHEN regexp_matches(s.media_ref, '^https?://')
+                THEN regexp_extract(s.media_ref, '^https?://([^/?#]+)', 1)
+                ELSE '' END AS dst_host
+    FROM ex WHERE regexp_matches(s.text, '@referer=')
+), g AS (
+    SELECT src_host, dst_host FROM r
+    WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+    GROUP BY 1, 2
+), e AS (
+    SELECT DISTINCT LEAST(src_host, dst_host) AS a,
+                    GREATEST(src_host, dst_host) AS b
+    FROM g
+), d AS (
+    SELECT hostname, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM (SELECT a AS hostname FROM e UNION ALL SELECT b FROM e)
+    GROUP BY 1
+), t AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), tc AS (
+    SELECT hostname, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT x AS hostname FROM t
+          UNION ALL SELECT y FROM t
+          UNION ALL SELECT z FROM t)
+    GROUP BY 1
+)
+SELECT d.hostname, d.deg,
+       CAST(d.deg * (d.deg - 1) // 2 AS BIGINT) AS n_wedges,
+       CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM d LEFT JOIN tc USING (hostname)
+WHERE d.deg >= 2
+"""
 
 
 def host_triangles_sql(flat_path: str) -> str:

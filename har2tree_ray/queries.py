@@ -189,6 +189,14 @@ def q_host_triangles(sf_dir: str):
         read_interleaved(sf_dir), ["text", "hostname"]))
 
 
+def q_host_clustering(sf_dir: str):
+    """Local clustering coefficient per host in exact integers
+    (deg, n_wedges, n_triangles) — reuses the triangle plan's bounded
+    degree small side."""
+    return webmeta.host_clustering(explode_spans(
+        read_interleaved(sf_dir), ["text", "hostname"]))
+
+
 def q_tile_zonal_stats(sf_dir: str):
     """Zonal statistics: per host zone (rasterized boundary box), covered /
     occupied cell counts, spans in zone, hottest-cell count.  Broadcast
@@ -1285,6 +1293,7 @@ _INTERLEAVED_ORACLES = {
     "host_components": webmeta.host_components_sql,
     "host_cooccur": webmeta.host_cooccur_sql,
     "host_triangles": webmeta.host_triangles_sql,
+    "host_clustering": webmeta.host_clustering_sql,
     "span_identifiers": webmeta.span_identifiers_sql,
     "cookies_never_sent": webmeta.cookies_never_sent_sql,
     "cookies_locally_created": webmeta.cookies_locally_created_sql,
@@ -1402,6 +1411,7 @@ def _queries_registry() -> dict[str, Callable]:
         "host_components": q_host_components,  # min-label CC (fixpoint)
         "host_cooccur": q_host_cooccur,       # domain co-citation graph
         "host_triangles": q_host_triangles,   # degree-ordered triangle count
+        "host_clustering": q_host_clustering,  # clustering coeff (exact ints)
         "span_identifiers": q_span_identifiers,
         "cookies_never_sent": q_cookies_never_sent,
         "cookies_locally_created": q_cookies_locally_created,  # D4 jar sidecar

@@ -288,3 +288,22 @@ def test_zonal_stats_low_res_no_negative_shift():
     assert len(out) > 0
     n = 1 << 3
     assert (out["n_cells_covered"] <= n * n).all()
+
+
+def test_host_clustering_known_graph():
+    from har2tree_ray.pipelines import webmeta
+
+    # K4 {a,b,c,d}: deg 3 each, wedges C(3,2)=3, triangles 3 -> coeff 1;
+    # hub h with 5 leaves: deg 5, wedges 10, triangles 0; leaves deg 1
+    # are excluded (no wedge)
+    edges = [("a", "b"), ("a", "c"), ("a", "d"),
+             ("b", "c"), ("b", "d"), ("c", "d")]
+    edges += [("h", f"x{i}") for i in range(5)]
+    rows = [{"text": f"@referer=http://{s}/", "hostname": d}
+            for s, d in edges]
+    got = webmeta.host_clustering(rd.from_items(rows)).to_pandas()
+    got = got.set_index("hostname")
+    for v in "abcd":
+        assert got.loc[v, "n_wedges"] == 3 and got.loc[v, "n_triangles"] == 3
+    assert got.loc["h", "n_wedges"] == 10 and got.loc["h", "n_triangles"] == 0
+    assert "x0" not in got.index

@@ -35,6 +35,7 @@ SQL_CHECKED = [
     "tile_zonal_stats",
     "host_triangles",
     "tile_host_hll",
+    "host_clustering",
     "doc_chunk",
     "host_boxes",
     "rendered_urls_canonical",
