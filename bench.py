@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "host_triangles",
     "tile_host_hll",
     "host_clustering",
+    "event_running_total",
 ]
 
 

@@ -542,3 +542,43 @@ SELECT event_type,
        CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
 FROM events GROUP BY event_type
 """
+
+
+def running_total(events_ds, n_parts: int | None = None):
+    """Per-user ORDERED prefix aggregation — the distributed window
+    function ``SUM/COUNT OVER (PARTITION BY user ORDER BY ts, event_id)``:
+    each event is annotated with the user's running event count and running
+    value total (exact integer cents, avoiding float summation order).
+
+    Same shape as sessionize: ONE crc32 user-range shuffle (every user's
+    rows in exactly one range), then a single vectorized pandas pass per
+    range (sort + grouped cumsum/cumcount).  Output row count equals input
+    row count — the stage is a windowed annotate, not an aggregate."""
+    from ..util import user_range_groupby
+
+    def per_range(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = (df["value"] * 100).round().astype("int64")
+        u = df["user_id"].to_numpy()
+        out = pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": u,
+            "running_n": cents.groupby(u).cumcount() + 1,
+            "running_cents": cents.groupby(u).cumsum().to_numpy(),
+        })
+        out["running_n"] = out["running_n"].astype("int64")
+        return out
+
+    return user_range_groupby(events_ds, per_range, n_parts=n_parts)
+
+
+def running_total_sql(rel: str = "events") -> str:
+    return f"""
+SELECT event_id, user_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS running_n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)
+           AS running_cents
+FROM {rel}
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""

@@ -561,6 +561,13 @@ def _events(sf_dir: str, columns: list[str] | None = None):
     return read_table(sf_dir, "events", columns=columns)
 
 
+def q_event_running_total(sf_dir: str):
+    """Distributed window function: per-user running count + running value
+    total (exact integer cents) ordered by (ts, event_id)."""
+    return events.running_total(
+        _events(sf_dir, ["user_id", "ts", "event_id", "value"]))
+
+
 def q_event_sessions(sf_dir: str):
     return events.sessionize(
         _events(sf_dir, ["user_id", "ts", "event_id", "value"]))
@@ -1242,6 +1249,7 @@ _TABLE_ORACLES = {
     "ann_topk": lambda _p: embed.ann_topk_sql(),
     "event_sessions": lambda _p: events.sessionize_sql(),
     "event_transitions": lambda _p: events.transitions_sql(),
+    "event_running_total": lambda _p: events.running_total_sql(),
     "event_window_sliding": lambda _p: events.window_sliding_sql(),
     "event_window_agg": lambda _p: events.window_agg_sql(),
     "event_asof": lambda _p: events.asof_error_click_sql(),
@@ -1435,6 +1443,7 @@ def _queries_registry() -> dict[str, Callable]:
         # event-stream operators (windowed / sessionize / as-of / JSON decode)
         "event_sessions": q_event_sessions,
         "event_transitions": q_event_transitions,
+        "event_running_total": q_event_running_total,  # ordered prefix window
         "event_window_sliding": q_event_window_sliding,
         "event_window_agg": q_event_window_agg,
         "event_asof": q_event_asof,

@@ -108,3 +108,31 @@ def test_funnel_strict_ordering():
     out = funnel(rd.from_pandas(pd.DataFrame(rows))).to_pandas()
     got = out.set_index("step")["n_users"].to_dict()
     assert got == {1: 2, 2: 1, 3: 1}
+
+
+def test_running_total_bruteforce():
+    import pandas as pd
+
+    from har2tree_ray.pipelines import events as ev
+    from har2tree_ray.sources.interleaved import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = ev.running_total(
+        read_table(sf, "events",
+                   columns=["user_id", "ts", "event_id", "value"])).to_pandas()
+    df = read_table(sf, "events",
+                    columns=["user_id", "ts", "event_id", "value"]).to_pandas()
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    cents = (df["value"] * 100).round().astype("int64")
+    want = pd.DataFrame({
+        "event_id": df["event_id"].to_numpy(),
+        "user_id": df["user_id"].to_numpy(),
+        "running_n": (cents.groupby(df["user_id"].to_numpy()).cumcount() + 1)
+        .astype("int64").to_numpy(),
+        "running_cents": cents.groupby(df["user_id"].to_numpy()).cumsum()
+        .to_numpy(),
+    })
+    got_s = got.sort_values("event_id").reset_index(drop=True)
+    want_s = want.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+    assert len(got_s) == len(df)

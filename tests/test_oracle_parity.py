@@ -36,6 +36,7 @@ SQL_CHECKED = [
     "host_triangles",
     "tile_host_hll",
     "host_clustering",
+    "event_running_total",
     "doc_chunk",
     "host_boxes",
     "rendered_urls_canonical",
