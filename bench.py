@@ -143,6 +143,10 @@ BENCH_QUERIES = [
     "tile_host_hll",
     "host_clustering",
     "event_running_total",
+    "host_octagon",
+    "nn_media_host",
+    "boundary_overlap",
+    "grid_dbscan",
 ]
 
 

@@ -439,3 +439,225 @@ def range_join_media_doc(flat_ds, res: int = RJ_RES, radius: float = RJ_RADIUS):
 
     tagged = flat_ds.map_batches(tag, batch_format="pyarrow")
     return user_range_groupby(tagged, per_range, key="cell")
+
+
+# ---------------------------------------------------- 8-DOP host boundary
+
+
+def host_octagon(flat_ds):
+    """Per-host bounding OCTAGON (8-DOP) over document spans — the finer
+    hull approximation between the axis-aligned ``host_boxes`` bbox and a
+    true convex hull: extremes along the 4 axis + 2 diagonal directions
+    (min/max of lat, lng, lat+lng, lat-lng).  Same recast lineage as
+    ``host_boxes`` (host boundary of J5/J8 membership,
+    /root/reference/har2tree/har2tree.py:990-1014) with diagonal support
+    planes, i.e. the standard k-DOP collision primitive.
+
+    Scale shape: identical to ``host_boxes`` — batch-local min/max partials
+    (8 scalars per host per batch) → ONE bounded-key groupby; the result is
+    the per-host small side.  Float parity: lat+lng / lat-lng are single
+    IEEE ops evaluated identically by the oracle's SQL expressions; min/max
+    are exact."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        sel = t.filter(
+            pc.and_(pc.equal(t["kind"], "document"), pc.not_equal(t["hostname"], ""))
+        )
+        lat, lng = sel["lat"], sel["lng"]
+        sel = sel.select(["hostname"]).append_column(
+            "lat", lat).append_column("lng", lng).append_column(
+            "su", pc.add(lat, lng)).append_column("di", pc.subtract(lat, lng))
+        g = sel.group_by("hostname").aggregate(
+            [("lat", "min"), ("lat", "max"), ("lng", "min"), ("lng", "max"),
+             ("su", "min"), ("su", "max"), ("di", "min"), ("di", "max")]
+        )
+        return g.rename_columns(
+            ["hostname", "lat_min", "lat_max", "lng_min", "lng_max",
+             "su_min", "su_max", "di_min", "di_max"])
+
+    from ..util import pre_shuffle_coalesce
+
+    partials = pre_shuffle_coalesce(
+        flat_ds.map_batches(partial, batch_format="pyarrow"))
+    return partials.groupby("hostname").aggregate(
+        Min("lat_min", alias_name="min_lat"),
+        Max("lat_max", alias_name="max_lat"),
+        Min("lng_min", alias_name="min_lng"),
+        Max("lng_max", alias_name="max_lng"),
+        Min("su_min", alias_name="min_sum"),
+        Max("su_max", alias_name="max_sum"),
+        Min("di_min", alias_name="min_diff"),
+        Max("di_max", alias_name="max_diff"),
+    )
+
+
+# ------------------------------------------------ nearest-boundary join
+
+
+def nn_media_host(flat_ds, eps: float = PIP_EPS):
+    """Spatial NEAREST-NEIGHBOR join: for every media span, the closest
+    host boundary box (squared point-to-box degree distance; 0 when
+    inside), deterministic tie-break on hostname.  The "which host does
+    this orphan resource belong to" generalization of the membership join
+    (J5/J6 fallback attachment, /root/reference/har2tree/har2tree.py:
+    990-1014,1016-1032) — where ``pip_media_in_host`` answers containment,
+    this answers proximity for spans no boundary contains.
+
+    Scale shape: the boxes side is the per-host SMALL side (ST5 broadcast
+    contract — built by one partial-aggregate shuffle, ``ray.put`` once,
+    fetched once per worker via ``worker_cached_stage``); the media stream
+    flows map-only, one vectorized point×box distance block per batch.
+    Escalation for an oversized host table: expanding-ring search through
+    the CoveringIndex (cells sorted by Chebyshev ring radius) instead of
+    the dense matrix.
+
+    Float parity contract: dlat = GREATEST(min_lat - lat, lat - max_lat, 0)
+    and d2 = dlat*dlat + dlng*dlng are evaluated with the same IEEE ops in
+    the same order as the oracle SQL; argmin over the hostname-sorted box
+    axis IS the (d2, hostname) tie-break."""
+    boxes = host_boxes(flat_ds, eps=eps).sort_values(
+        "hostname", kind="mergesort").reset_index(drop=True)
+    ref = ray.put({
+        "hostname": boxes["hostname"].to_numpy(dtype=object),
+        "min_lat": boxes["min_lat"].to_numpy(), "max_lat": boxes["max_lat"].to_numpy(),
+        "min_lng": boxes["min_lng"].to_numpy(), "max_lng": boxes["max_lng"].to_numpy(),
+    })
+
+    class NearestBox:
+        def __init__(self, boxes_ref) -> None:
+            self.b = ray.get(boxes_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sel = batch.filter(pc.is_in(batch["kind"], pa.array(QUERY_KINDS)))
+            lat = sel["lat"].to_numpy(zero_copy_only=False)
+            lng = sel["lng"].to_numpy(zero_copy_only=False)
+            b = self.b
+            nn = np.empty(len(lat), np.int64)
+            d2o = np.empty(len(lat), np.float64)
+            for i0 in range(0, len(lat), 4096):
+                i1 = min(i0 + 4096, len(lat))
+                dlat = np.maximum(np.maximum(b["min_lat"][None, :] - lat[i0:i1, None],
+                                             lat[i0:i1, None] - b["max_lat"][None, :]), 0.0)
+                dlng = np.maximum(np.maximum(b["min_lng"][None, :] - lng[i0:i1, None],
+                                             lng[i0:i1, None] - b["max_lng"][None, :]), 0.0)
+                d2 = dlat * dlat + dlng * dlng
+                # boxes are hostname-sorted: first minimum = (d2, hostname)
+                nn[i0:i1] = np.argmin(d2, axis=1)
+                d2o[i0:i1] = d2[np.arange(i1 - i0), nn[i0:i1]]
+            return pa.table({
+                "doc_id": sel["doc_id"],
+                "offset": sel["offset"],
+                "nn_host": pa.array(b["hostname"][nn], pa.string()),
+                "d2": pa.array(d2o),
+            })
+
+    from ..util import worker_cached_stage
+
+    return flat_ds.map_batches(
+        worker_cached_stage(NearestBox, ref, cache_key=ref.hex()),
+        batch_format="pyarrow")
+
+
+# ------------------------------------------------- boundary overlap join
+
+
+OV_RES = 5
+#: neighborhood-scale boundary expansion: the synth host lattice spaces
+#: hosts >= ~9.7 degrees apart, so the membership-scale PIP_EPS (0.25)
+#: yields a vacuously empty overlap matrix; 6.0 models "hosts whose
+#: neighborhoods intersect" and keeps both test scales non-trivial.
+OV_EPS = 6.0
+
+
+def boundary_overlap(flat_ds, eps: float = OV_EPS, res: int = OV_RES):
+    """Distributed box-overlap SELF-join: every pair of hosts whose
+    ε-expanded boundary boxes strictly intersect, with the exact
+    intersection and per-box areas — the polygon-overlap matrix of the
+    host-boundary family (pairwise generalization of J5 membership).
+
+    Plan (the report-once grid trick — no broadcast, ONE shuffle):
+
+    1. each box is rasterized to its covering cells at coarse ``res``
+       (same floor+clamp arithmetic as ``tile_rasterize``);
+    2. ONE crc32 hash-range shuffle on the cell key; within a cell the
+       pair enumeration is all-pairs over that cell's boxes only;
+    3. a pair is REPORTED only in the cell containing its intersection's
+       anchor corner ``(GREATEST(min_lng), GREATEST(min_lat))`` — the
+       anchor lies inside both boxes, so its cell is covered by both, and
+       it is unique per pair: exact, duplicate-free output without a
+       second dedup shuffle (same family as range_join's lossless ring).
+
+    Group sizes are boxes-per-cell — bounded by geometry, not corpus size;
+    the documented hot-cell escalation is a finer ``res`` (quadtree split),
+    which strictly shrinks per-cell membership.  Float parity: widths /
+    heights / areas evaluate the oracle's exact LEAST/GREATEST/* ops."""
+    import ray.data as rd
+
+    from ..util import user_range_groupby
+
+    n = np.int64(1) << res
+    boxes = host_boxes(flat_ds, eps=eps)
+
+    def cover(df: pd.DataFrame) -> pd.DataFrame:
+        x0 = np.clip(np.floor((df["min_lng"].to_numpy() + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+        x1 = np.clip(np.floor((df["max_lng"].to_numpy() + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+        y0 = np.clip(np.floor((90.0 - df["max_lat"].to_numpy()) / 180.0 * n), 0, n - 1).astype(np.int64)
+        y1 = np.clip(np.floor((90.0 - df["min_lat"].to_numpy()) / 180.0 * n), 0, n - 1).astype(np.int64)
+        rows, cells = [], []
+        for i in range(len(df)):
+            xs = np.arange(x0[i], x1[i] + 1)
+            ys = np.arange(y0[i], y1[i] + 1)
+            cc = (ys[:, None] * n + xs[None, :]).ravel()
+            cells.append(cc)
+            rows.append(np.full(len(cc), i, np.int64))
+        if not cells:
+            return pd.DataFrame({"cell": pd.Series(dtype=np.int64)})
+        rows = np.concatenate(rows)
+        out = df.iloc[rows].reset_index(drop=True)
+        out.insert(0, "cell", np.concatenate(cells))
+        return out
+
+    covered = rd.from_pandas(boxes).map_batches(cover, batch_format="pandas")
+
+    def per_range(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for cell, g in df.groupby("cell", sort=False):
+            m = len(g)
+            if m < 2:
+                continue
+            ai, bi = np.triu_indices(m, k=1)
+            # canonical pair order: host_a < host_b
+            hn = g["hostname"].to_numpy(dtype=object)
+            swap = hn[ai] > hn[bi]
+            ai, bi = np.where(swap, bi, ai), np.where(swap, ai, bi)
+            lo_lng = np.maximum(g["min_lng"].to_numpy()[ai], g["min_lng"].to_numpy()[bi])
+            hi_lng = np.minimum(g["max_lng"].to_numpy()[ai], g["max_lng"].to_numpy()[bi])
+            lo_lat = np.maximum(g["min_lat"].to_numpy()[ai], g["min_lat"].to_numpy()[bi])
+            hi_lat = np.minimum(g["max_lat"].to_numpy()[ai], g["max_lat"].to_numpy()[bi])
+            w = hi_lng - lo_lng
+            h = hi_lat - lo_lat
+            ok = (w > 0) & (h > 0)
+            if not ok.any():
+                continue
+            # report-once: anchor corner (lo_lng, lo_lat) must be in THIS cell
+            acx = np.clip(np.floor((lo_lng + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+            acy = np.clip(np.floor((90.0 - lo_lat) / 180.0 * n), 0, n - 1).astype(np.int64)
+            ok &= (acy * n + acx) == cell
+            if not ok.any():
+                continue
+            area = ((g["max_lng"].to_numpy() - g["min_lng"].to_numpy())
+                    * (g["max_lat"].to_numpy() - g["min_lat"].to_numpy()))
+            outs.append(pd.DataFrame({
+                "host_a": hn[ai[ok]], "host_b": hn[bi[ok]],
+                "inter_area": w[ok] * h[ok],
+                "area_a": area[ai[ok]], "area_b": area[bi[ok]],
+            }))
+        if not outs:
+            return pd.DataFrame({
+                "host_a": pd.Series(dtype=object), "host_b": pd.Series(dtype=object),
+                "inter_area": pd.Series(dtype=np.float64),
+                "area_a": pd.Series(dtype=np.float64),
+                "area_b": pd.Series(dtype=np.float64)})
+        return pd.concat(outs, ignore_index=True)
+
+    return user_range_groupby(covered, per_range, key="cell")

@@ -706,3 +706,83 @@ def tile_host_hll(flat_ds, res: int = DEFAULT_RES):
         lambda t: pa.table({"cell_id": t["cell_id"], "reg": t["reg"],
                             "rho": pc.cast(t["rho"], pa.int64())}),
         batch_format="pyarrow")
+
+
+# ------------------------------------------------- grid density clustering
+
+
+DBSCAN_MINPTS = 32
+
+
+def grid_dbscan(flat_ds, res: int = DEFAULT_RES, minpts: int = DBSCAN_MINPTS):
+    """Density-based spatial clustering on the tile grid (grid-DBSCAN /
+    GriT-DBSCAN family, public): cells holding >= ``minpts`` spans are CORE
+    cells; 8-connected core cells (Chebyshev distance 1, longitude
+    wrapping, latitude clamping — exactly ``geo.chebyshev_cell_distance``)
+    merge into clusters labeled by their minimum cell_id.  The hotspot
+    segmentation step of the tiling family — where ``tile_rollup`` counts,
+    this SEGMENTS.
+
+    Scale shape: per-batch cell-count partials → ONE bounded-key shuffle
+    (the tile domain, like every tile_* rollup) → the core-cell table is
+    bounded by the GRID (≤ 4^res rows — a constant in the corpus size, the
+    ST5 small-side contract), so the connectivity resolve is a driver-side
+    vectorized union-find over ≤ 8·4^res adjacency pairs; the documented
+    escalation for an unbounded cell domain is the synchronous min-label
+    propagation of ``webmeta.host_components`` over the same pairs.
+    Min-label clustering is order-independent, hence exactly
+    oracle-checkable (recursive-CTE reachability closure + MIN)."""
+    from ray.data.aggregate import Sum
+
+    from ..util import pre_shuffle_coalesce
+
+    partials = pre_shuffle_coalesce(flat_ds.map_batches(
+        lambda b: _cell_count_partial(b, res), batch_format="pyarrow"))
+    counts = partials.groupby("cell_id").aggregate(
+        Sum("partial_n", alias_name="n_spans"))
+    core = counts.filter(expr=f"n_spans >= {minpts}").to_pandas()
+    core = core.sort_values("cell_id", kind="mergesort").reset_index(drop=True)
+
+    ids = core["cell_id"].to_numpy(np.int64)
+    n = np.int64(1) << res
+    cx, cy = ids % n, ids // n
+
+    # adjacency pairs: x wraps mod n, y clamps (vectorized neighbor lookup
+    # against the sorted core-id array; <= 8 * |core| pairs total)
+    pairs_a, pairs_b = [], []
+    for dx, dy in ((-1, -1), (0, -1), (1, -1), (-1, 0),
+                   (1, 0), (-1, 1), (0, 1), (1, 1)):
+        ny = cy + dy
+        src = np.nonzero((ny >= 0) & (ny < n))[0]
+        nid = ny[src] * n + (cx[src] + dx) % n
+        pos = np.searchsorted(ids, nid)
+        ok = pos < len(ids)
+        ok[ok] = ids[pos[ok]] == nid[ok]
+        pairs_a.append(src[ok])
+        pairs_b.append(pos[ok])
+    pa_, pb_ = np.concatenate(pairs_a), np.concatenate(pairs_b)
+
+    # classic union-find with min-root union; ids are ascending so the root
+    # index is the component's minimum cell_id position
+    parent = np.arange(len(ids), dtype=np.int64)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]   # path halving
+            i = int(parent[i])
+        return i
+
+    for i, j in zip(pa_.tolist(), pb_.tolist()):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+
+    roots = np.fromiter((find(i) for i in range(len(ids))),
+                        dtype=np.int64, count=len(ids))
+    cluster = ids[roots]
+
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame({
+        "cell_id": ids, "cluster_id": cluster,
+        "n_spans": core["n_spans"].to_numpy(np.int64)}))

@@ -245,6 +245,40 @@ def q_host_boxes(sf_dir: str):
         read_interleaved(sf_dir), ["kind", "hostname", "lat", "lng"]))
 
 
+def q_host_octagon(sf_dir: str):
+    """Per-host bounding OCTAGON (8-DOP): axis + diagonal extremes of the
+    host's document spans — the finer hull approximation between the bbox
+    and a convex hull; same partial-min/max + one bounded-key groupby shape
+    as host_boxes."""
+    return spatial.host_octagon(explode_spans(
+        read_interleaved(sf_dir), ["kind", "hostname", "lat", "lng"]))
+
+
+def q_nn_media_host(sf_dir: str):
+    """Spatial nearest-neighbor join: for every media span, the closest
+    host boundary box (squared point-to-box distance, hostname tie-break).
+    Broadcast boxes small side; map-only media stream."""
+    return spatial.nn_media_host(explode_spans(
+        read_interleaved(sf_dir),
+        ["doc_id", "offset", "kind", "hostname", "lat", "lng"]))
+
+
+def q_boundary_overlap(sf_dir: str):
+    """Distributed box-overlap self-join: host boundary pairs that strictly
+    intersect, with exact intersection/box areas — one cell-key shuffle,
+    report-once anchor-corner dedup (no broadcast, no second shuffle)."""
+    return spatial.boundary_overlap(explode_spans(
+        read_interleaved(sf_dir), ["kind", "hostname", "lat", "lng"]))
+
+
+def q_grid_dbscan(sf_dir: str):
+    """Density-based spatial clustering on the tile grid: core cells
+    (>= minpts spans) merged by 8-connectivity (lng wraps) into clusters
+    labeled by min cell_id."""
+    return tiling.grid_dbscan(explode_spans(
+        read_interleaved(sf_dir), ["lat", "lng"]), RES)
+
+
 def q_tile_share(sf_dir: str):
     """Pyramid parent-share join: per-cell count + parent-cell count in one
     parent-keyed shuffle (children co-live with their parent)."""
@@ -1054,6 +1088,94 @@ GROUP BY hostname
 """
 
 
+def _oracle_host_octagon(path: str) -> str:
+    return _FLAT_CTE.format(path=path) + """
+SELECT hostname,
+       MIN(lat) AS min_lat, MAX(lat) AS max_lat,
+       MIN(lng) AS min_lng, MAX(lng) AS max_lng,
+       MIN(lat + lng) AS min_sum, MAX(lat + lng) AS max_sum,
+       MIN(lat - lng) AS min_diff, MAX(lat - lng) AS max_diff
+FROM flat WHERE kind = 'document' AND hostname <> ''
+GROUP BY hostname
+"""
+
+
+_BOXES_CTE = """
+, boxes AS (
+    SELECT hostname,
+           MIN(lat) - {eps} AS min_lat, MAX(lat) + {eps} AS max_lat,
+           MIN(lng) - {eps} AS min_lng, MAX(lng) + {eps} AS max_lng
+    FROM flat WHERE kind = 'document' AND hostname <> ''
+    GROUP BY hostname
+)
+"""
+
+
+def _oracle_nn_media_host(path: str, eps: float = spatial.PIP_EPS) -> str:
+    kinds = ", ".join(f"'{k}'" for k in spatial.QUERY_KINDS)
+    return _FLAT_CTE.format(path=path) + _BOXES_CTE.format(eps=eps) + f"""
+, q AS (
+    SELECT doc_id, "offset", lat, lng FROM flat WHERE kind IN ({kinds})
+), d AS (
+    SELECT q.doc_id, q."offset", b.hostname,
+           GREATEST(b.min_lat - q.lat, q.lat - b.max_lat, 0.0)
+             * GREATEST(b.min_lat - q.lat, q.lat - b.max_lat, 0.0)
+           + GREATEST(b.min_lng - q.lng, q.lng - b.max_lng, 0.0)
+             * GREATEST(b.min_lng - q.lng, q.lng - b.max_lng, 0.0) AS d2
+    FROM q CROSS JOIN boxes b
+)
+SELECT doc_id, "offset", hostname AS nn_host, d2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, "offset"
+                                 ORDER BY d2, hostname) AS rn
+    FROM d) WHERE rn = 1
+"""
+
+
+def _oracle_boundary_overlap(path: str, eps: float = spatial.OV_EPS) -> str:
+    return _FLAT_CTE.format(path=path) + _BOXES_CTE.format(eps=eps) + """
+SELECT a.hostname AS host_a, b.hostname AS host_b,
+       (LEAST(a.max_lng, b.max_lng) - GREATEST(a.min_lng, b.min_lng))
+       * (LEAST(a.max_lat, b.max_lat) - GREATEST(a.min_lat, b.min_lat))
+           AS inter_area,
+       (a.max_lng - a.min_lng) * (a.max_lat - a.min_lat) AS area_a,
+       (b.max_lng - b.min_lng) * (b.max_lat - b.min_lat) AS area_b
+FROM boxes a JOIN boxes b ON a.hostname < b.hostname
+WHERE LEAST(a.max_lng, b.max_lng) - GREATEST(a.min_lng, b.min_lng) > 0
+  AND LEAST(a.max_lat, b.max_lat) - GREATEST(a.min_lat, b.min_lat) > 0
+"""
+
+
+def _oracle_grid_dbscan(path: str, res: int = RES,
+                        minpts: int | None = None) -> str:
+    if minpts is None:
+        minpts = tiling.DBSCAN_MINPTS
+    n = 1 << res
+    # the recursive reach CTE needs the RECURSIVE keyword on the shared WITH
+    head = _FLAT_CTE.format(path=path).replace("WITH ex", "WITH RECURSIVE ex", 1)
+    return (head + "," + _CELL_CTE.format(n=n) + f"""
+, cnt AS (
+    SELECT cell_y * {n} + cell_x AS cell_id, cell_x, cell_y,
+           CAST(COUNT(*) AS BIGINT) AS n_spans
+    FROM cells GROUP BY 1, 2, 3
+), core AS (
+    SELECT * FROM cnt WHERE n_spans >= {minpts}
+), adj AS (
+    SELECT a.cell_id AS s, b.cell_id AS t
+    FROM core a JOIN core b ON a.cell_id <> b.cell_id
+     AND GREATEST(LEAST(ABS(a.cell_x - b.cell_x), {n} - ABS(a.cell_x - b.cell_x)),
+                  ABS(a.cell_y - b.cell_y)) <= 1
+), reach AS (
+    SELECT cell_id AS h, cell_id AS r FROM core
+    UNION
+    SELECT reach.h, adj.t FROM reach JOIN adj ON adj.s = reach.r
+)
+SELECT c.cell_id, m.cluster_id, c.n_spans
+FROM core c
+JOIN (SELECT h, MIN(r) AS cluster_id FROM reach GROUP BY h) m
+  ON m.h = c.cell_id
+""")
+
+
 def _oracle_tile_rasterize(path: str, res: int = RES,
                            eps: float = spatial.PIP_EPS) -> str:
     n = 1 << res
@@ -1290,6 +1412,10 @@ _INTERLEAVED_ORACLES = {
     "doc_trajectory": _oracle_trajectory,
     "host_topk_urls": stats.host_topk_urls_sql,
     "host_boxes": _oracle_host_boxes,
+    "host_octagon": _oracle_host_octagon,
+    "nn_media_host": _oracle_nn_media_host,
+    "boundary_overlap": _oracle_boundary_overlap,
+    "grid_dbscan": _oracle_grid_dbscan,
     "media_features": media.media_features_sql,
     "media_resize": media.media_resize_sql,
     "media_frames": media.media_frames_sql,
@@ -1367,6 +1493,10 @@ def _queries_registry() -> dict[str, Callable]:
         "knn_referrer": q_knn_referrer,
         "pip_media_in_host": q_pip_media_in_host,
         "host_boxes": q_host_boxes,
+        "host_octagon": q_host_octagon,          # 8-DOP boundary
+        "nn_media_host": q_nn_media_host,        # nearest-boundary join
+        "boundary_overlap": q_boundary_overlap,  # box-overlap self-join
+        "grid_dbscan": q_grid_dbscan,            # density clustering
         # non-SQL-expressible (ordered consume-once cascade; pytest-verified
         # against an independent in-process implementation):
         "edges": q_edges,

@@ -39,6 +39,10 @@ SQL_CHECKED = [
     "event_running_total",
     "doc_chunk",
     "host_boxes",
+    "host_octagon",
+    "nn_media_host",
+    "boundary_overlap",
+    "grid_dbscan",
     "rendered_urls_canonical",
 ]
 

@@ -1,0 +1,187 @@
+"""Brute-force unit tests for the round-4 continuation spatial additions:
+host_octagon (8-DOP boundary), nn_media_host (nearest-boundary join),
+boundary_overlap (box-overlap self-join), grid_dbscan (density clustering).
+
+Each checks against an independent in-process implementation; driver-style
+DuckDB parity for the same ops runs in test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from har2tree_ray import geo
+from har2tree_ray.pipelines import spatial, tiling
+from har2tree_ray.stages.normalize import explode_spans
+from har2tree_ray.sources.interleaved import read_interleaved
+
+SF = "/root/testdata/sf0.001"
+
+
+def _flat(cols):
+    return explode_spans(read_interleaved(SF), cols).to_pandas()
+
+
+def test_host_octagon_matches_bruteforce():
+    cols = ["kind", "hostname", "lat", "lng"]
+    got = spatial.host_octagon(
+        explode_spans(read_interleaved(SF), cols)).to_pandas()
+    df = _flat(cols)
+    d = df[(df.kind == "document") & (df.hostname != "")].copy()
+    d["su"] = d["lat"] + d["lng"]
+    d["di"] = d["lat"] - d["lng"]
+    want = d.groupby("hostname").agg(
+        min_lat=("lat", "min"), max_lat=("lat", "max"),
+        min_lng=("lng", "min"), max_lng=("lng", "max"),
+        min_sum=("su", "min"), max_sum=("su", "max"),
+        min_diff=("di", "min"), max_diff=("di", "max")).reset_index()
+    got_s = got.sort_values("hostname").reset_index(drop=True)[want.columns]
+    pd.testing.assert_frame_equal(got_s, want, check_dtype=False)
+    # the octagon is contained in (and at least as tight as) the bbox
+    assert (got_s["min_sum"] >= got_s["min_lat"] + got_s["min_lng"] - 1e-9).all()
+
+
+def test_nn_media_host_matches_bruteforce():
+    cols = ["doc_id", "offset", "kind", "hostname", "lat", "lng"]
+    got = spatial.nn_media_host(
+        explode_spans(read_interleaved(SF), cols)).to_pandas()
+    df = _flat(cols)
+    boxes = (df[(df.kind == "document") & (df.hostname != "")]
+             .groupby("hostname")
+             .agg(min_lat=("lat", "min"), max_lat=("lat", "max"),
+                  min_lng=("lng", "min"), max_lng=("lng", "max"))
+             .reset_index().sort_values("hostname").reset_index(drop=True))
+    for c in ("min_lat", "min_lng"):
+        boxes[c] -= spatial.PIP_EPS
+    for c in ("max_lat", "max_lng"):
+        boxes[c] += spatial.PIP_EPS
+    media = df[df.kind.isin(spatial.QUERY_KINDS)].reset_index(drop=True)
+    lat, lng = media["lat"].to_numpy(), media["lng"].to_numpy()
+    dlat = np.maximum(np.maximum(
+        boxes["min_lat"].to_numpy()[None, :] - lat[:, None],
+        lat[:, None] - boxes["max_lat"].to_numpy()[None, :]), 0.0)
+    dlng = np.maximum(np.maximum(
+        boxes["min_lng"].to_numpy()[None, :] - lng[:, None],
+        lng[:, None] - boxes["max_lng"].to_numpy()[None, :]), 0.0)
+    d2 = dlat * dlat + dlng * dlng
+    nn = np.argmin(d2, axis=1)
+    want = pd.DataFrame({
+        "doc_id": media["doc_id"], "offset": media["offset"],
+        "nn_host": boxes["hostname"].to_numpy()[nn],
+        "d2": d2[np.arange(len(nn)), nn]})
+    key = ["doc_id", "offset"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s[got_s.columns],
+                                  check_dtype=False)
+    assert (got_s["d2"] == 0).any()   # some media inside a boundary
+
+
+def test_boundary_overlap_matches_bruteforce():
+    cols = ["kind", "hostname", "lat", "lng"]
+    got = spatial.boundary_overlap(
+        explode_spans(read_interleaved(SF), cols)).to_pandas()
+    df = _flat(cols)
+    eps = spatial.OV_EPS
+    boxes = (df[(df.kind == "document") & (df.hostname != "")]
+             .groupby("hostname")
+             .agg(min_lat=("lat", "min"), max_lat=("lat", "max"),
+                  min_lng=("lng", "min"), max_lng=("lng", "max"))
+             .reset_index())
+    boxes["min_lat"] -= eps
+    boxes["max_lat"] += eps
+    boxes["min_lng"] -= eps
+    boxes["max_lng"] += eps
+    rows = []
+    b = boxes.to_dict("records")
+    for i in range(len(b)):
+        for j in range(i + 1, len(b)):
+            a_, b_ = b[i], b[j]
+            if a_["hostname"] > b_["hostname"]:
+                a_, b_ = b_, a_
+            w = min(a_["max_lng"], b_["max_lng"]) - max(a_["min_lng"], b_["min_lng"])
+            h = min(a_["max_lat"], b_["max_lat"]) - max(a_["min_lat"], b_["min_lat"])
+            if w > 0 and h > 0:
+                rows.append({
+                    "host_a": a_["hostname"], "host_b": b_["hostname"],
+                    "inter_area": w * h,
+                    "area_a": (a_["max_lng"] - a_["min_lng"]) * (a_["max_lat"] - a_["min_lat"]),
+                    "area_b": (b_["max_lng"] - b_["min_lng"]) * (b_["max_lat"] - b_["min_lat"])})
+    want = pd.DataFrame(rows)
+    key = ["host_a", "host_b"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(want_s) and len(got_s) > 0
+    # report-once dedup: every intersecting pair appears exactly once
+    assert not got_s.duplicated(key).any()
+    pd.testing.assert_frame_equal(got_s, want_s[got_s.columns],
+                                  check_dtype=False)
+
+
+def test_grid_dbscan_matches_bfs_bruteforce():
+    cols = ["lat", "lng"]
+    res = tiling.DEFAULT_RES
+    got = tiling.grid_dbscan(
+        explode_spans(read_interleaved(SF), cols), res).to_pandas()
+    df = _flat(cols)
+    ix, iy = geo.cell_xy(df["lat"].to_numpy(), df["lng"].to_numpy(), res)
+    cid = geo.cell_id(ix, iy, res)
+    uniq, counts = np.unique(cid, return_counts=True)
+    core = {int(c): int(k) for c, k in zip(uniq, counts)
+            if k >= tiling.DBSCAN_MINPTS}
+    n = 1 << res
+    # BFS connected components over 8-connectivity with lng wrap
+    label = {}
+    for start in sorted(core):
+        if start in label:
+            continue
+        comp, stack = [], [start]
+        seen = {start}
+        while stack:
+            c = stack.pop()
+            comp.append(c)
+            x, y = c % n, c // n
+            for dy in (-1, 0, 1):
+                yy = y + dy
+                if yy < 0 or yy >= n:
+                    continue
+                for dx in (-1, 0, 1):
+                    nb = yy * n + (x + dx) % n
+                    if nb in core and nb not in seen:
+                        seen.add(nb)
+                        stack.append(nb)
+        m = min(comp)
+        for c in comp:
+            label[c] = m
+    want = pd.DataFrame({
+        "cell_id": sorted(core),
+        "cluster_id": [label[c] for c in sorted(core)],
+        "n_spans": [core[c] for c in sorted(core)]})
+    got_s = got.sort_values("cell_id").reset_index(drop=True)
+    assert len(got_s) > 0
+    pd.testing.assert_frame_equal(got_s[want.columns], want, check_dtype=False)
+    # at least one multi-cell cluster exercises the union path
+    assert (got_s.groupby("cluster_id").size() > 1).any()
+
+
+def test_grid_dbscan_wraparound_union():
+    """Two dense cells on opposite lng edges of the SAME row must merge
+    (x-wrap adjacency), and an isolated dense cell must self-label."""
+    import ray.data as rd
+
+    res = 4
+    n = 1 << res
+    rows = []
+    # cell (x=0, y=3) and (x=n-1, y=3): adjacent via wrap
+    for _ in range(tiling.DBSCAN_MINPTS):
+        rows.append({"lat": 90.0 - (3.5 / n) * 180.0, "lng": -180.0 + (0.5 / n) * 360.0})
+        rows.append({"lat": 90.0 - (3.5 / n) * 180.0, "lng": -180.0 + ((n - 0.5) / n) * 360.0})
+        rows.append({"lat": 90.0 - (8.5 / n) * 180.0, "lng": 0.0})  # isolated
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = tiling.grid_dbscan(ds, res, minpts=tiling.DBSCAN_MINPTS).to_pandas()
+    out = out.sort_values("cell_id").reset_index(drop=True)
+    assert len(out) == 3
+    wrap_pair = out[out.cell_id.isin([3 * n + 0, 3 * n + (n - 1)])]
+    assert wrap_pair["cluster_id"].nunique() == 1
+    iso = out[~out.cell_id.isin([3 * n + 0, 3 * n + (n - 1)])]
+    assert (iso["cluster_id"] == iso["cell_id"]).all()
