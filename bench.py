@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "nn_media_host",
     "boundary_overlap",
     "grid_dbscan",
+    "doc_bm25",
+    "event_window_distinct",
 ]
 
 

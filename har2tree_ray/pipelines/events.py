@@ -582,3 +582,97 @@ FROM {rel}
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
+
+
+def window_distinct(events_ds, width_min: int = 60, hop_min: int = 30,
+                    n_parts: int | None = None):
+    """EXACT distinct-user count per hopping window and event type — the
+    COUNT(DISTINCT) member of the streaming-window family (window_sliding
+    counts events; this counts users).
+
+    Distinct counts don't pre-sum, so the plan is the exact-dedup shape:
+    batch-local window replication collapses immediately to DISTINCT
+    (window, type, user) partials — each batch ships each triple once —
+    then ONE coarse hash-range shuffle on the COMPOSITE triple key (uniform
+    by construction: the user axis spreads any hot window across every
+    range) dedups globally and emits per-(window, type) partial counts,
+    and a final bounded-key groupby (window×type cardinality) sums them.
+    The approximate escalation at register scale is the HLL register
+    sketch of ``tile_host_hll`` keyed on (window, type).
+    """
+    if width_min % hop_min:
+        raise ValueError("width must be a multiple of hop")
+    n_hops = width_min // hop_min
+    hop_us = hop_min * 60 * 1_000_000
+
+    from ray.data.aggregate import Sum
+
+    from ..util import default_n_parts, key_partition_ids, pre_shuffle_coalesce
+
+    if n_parts is None:
+        n_parts = default_n_parts()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        us = df["ts"].astype("int64").to_numpy()
+        base = (us // hop_us) * hop_us
+        frames = [pd.DataFrame({
+            "window_start": base - k * hop_us,
+            "event_type": df["event_type"].to_numpy(),
+            "user_id": df["user_id"].to_numpy(),
+        }) for k in range(n_hops)]
+        rep = pd.concat(frames, ignore_index=True).drop_duplicates()
+        t = pa.Table.from_pandas(rep, preserve_index=False)
+        # composite-key range id: combine the three columns' hashes so a
+        # hot window still spreads across ranges via the user axis
+        gp = (key_partition_ids(t["window_start"], 1 << 20).astype("int64")
+              * 1_000_003
+              + key_partition_ids(t["user_id"], 1 << 20).astype("int64")
+              * 31
+              + key_partition_ids(t["event_type"], 1 << 20).astype("int64")
+              ) % n_parts
+        return t.append_column("_kpart", pa.array(gp.astype("int32")))
+
+    def per_range(df: pd.DataFrame) -> pd.DataFrame:
+        ded = df.drop(columns=["_kpart"]).drop_duplicates()
+        g = ded.groupby(["window_start", "event_type"], sort=False).size()
+        out = g.reset_index(name="part_n")
+        out["part_n"] = out["part_n"].astype("int64")
+        out["window_start"] = out["window_start"].astype("datetime64[us]")
+        return out
+
+    parts = pre_shuffle_coalesce(
+        events_ds.map_batches(partial, batch_format="pyarrow"))
+    counts = parts.groupby("_kpart").map_groups(
+        per_range, batch_format="pandas")
+    agg = counts.groupby(["window_start", "event_type"]).aggregate(
+        Sum("part_n", alias_name="n_users"))
+    import pyarrow.compute as pc
+
+    return agg.map_batches(
+        lambda t: pa.table({
+            "window_start": t["window_start"],
+            "event_type": t["event_type"],
+            "n_users": pc.cast(t["n_users"], pa.int64()),
+        }),
+        batch_format="pyarrow")
+
+
+def window_distinct_sql(width_min: int = 60, hop_min: int = 30) -> str:
+    n_hops = width_min // hop_min
+    hop_us = hop_min * 60 * 1_000_000
+    return f"""
+WITH h AS (
+    SELECT event_type, user_id,
+           (epoch_us(ts) // {hop_us}) * {hop_us} AS base_us
+    FROM events
+), rep AS (
+    SELECT event_type, user_id,
+           make_timestamp(base_us - k.k * {hop_us}) AS window_start
+    FROM h, (SELECT CAST(g AS BIGINT) AS k
+             FROM generate_series(0, {n_hops - 1}) AS t(g)) k
+)
+SELECT window_start, event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM rep GROUP BY 1, 2
+"""

@@ -430,6 +430,13 @@ def q_doc_len_histogram(sf_dir: str):
     return text.doc_len_histogram(_docs(sf_dir))
 
 
+def q_doc_bm25(sf_dir: str):
+    """Integer BM25 scoring of every document against the fixed query
+    (rational idf surrogate, milli/micro-scaled exact arithmetic; two-pass:
+    corpus constants then map-only scoring)."""
+    return text.doc_bm25(lambda: _docs(sf_dir))
+
+
 def q_doc_lm_score(sf_dir: str):
     """Two-pass corpus bigram LM scoring (integer-exact): global bigram
     counts, then per-doc frequency-sum scores via a bigram-key
@@ -612,6 +619,13 @@ def q_event_window_sliding(sf_dir: str):
     windows; batch-local replicate + partial agg, one bounded shuffle)."""
     return events.window_sliding(
         _events(sf_dir, ["ts", "event_type", "value"]))
+
+
+def q_event_window_distinct(sf_dir: str):
+    """Exact distinct users per hopping 60/30-min window and event type
+    (composite-key dedup shuffle; the COUNT(DISTINCT) window member)."""
+    return events.window_distinct(
+        _events(sf_dir, ["ts", "event_type", "user_id"]))
 
 
 def q_event_transitions(sf_dir: str):
@@ -1362,6 +1376,7 @@ _TABLE_ORACLES = {
     "doc_len_histogram": lambda _p: text.doc_len_histogram_sql(),
     "doc_len_quantiles": lambda _p: text.doc_len_quantiles_sql(),
     "doc_lm_score": lambda _p: text.doc_lm_score_sql(),
+    "doc_bm25": lambda _p: text.doc_bm25_sql(),
     "ngram_topk": lambda _p: text.ngram_topk_sql(),
     "inverted_index": lambda _p: text.inverted_index_sql(),
     "doc_chunk": lambda _p: text.doc_chunk_sql(),
@@ -1373,6 +1388,7 @@ _TABLE_ORACLES = {
     "event_transitions": lambda _p: events.transitions_sql(),
     "event_running_total": lambda _p: events.running_total_sql(),
     "event_window_sliding": lambda _p: events.window_sliding_sql(),
+    "event_window_distinct": lambda _p: events.window_distinct_sql(),
     "event_window_agg": lambda _p: events.window_agg_sql(),
     "event_asof": lambda _p: events.asof_error_click_sql(),
     "event_props_rollup": lambda _p: events.props_rollup_sql(),
@@ -1529,6 +1545,7 @@ def _queries_registry() -> dict[str, Callable]:
         "doc_len_histogram": q_doc_len_histogram,
         "doc_len_quantiles": q_doc_len_quantiles,
         "doc_lm_score": q_doc_lm_score,
+        "doc_bm25": q_doc_bm25,                 # integer BM25 vs fixed query
         "ngram_topk": q_ngram_topk,
         "dedup_clusters": q_dedup_clusters,
         "corpus_keep": q_corpus_keep,
@@ -1575,6 +1592,7 @@ def _queries_registry() -> dict[str, Callable]:
         "event_transitions": q_event_transitions,
         "event_running_total": q_event_running_total,  # ordered prefix window
         "event_window_sliding": q_event_window_sliding,
+        "event_window_distinct": q_event_window_distinct,  # exact distinct users
         "event_window_agg": q_event_window_agg,
         "event_asof": q_event_asof,
         "event_props_rollup": q_event_props_rollup,

@@ -1673,3 +1673,148 @@ SELECT doc_id, start_tok // {stride} AS chunk_id, start_tok,
            AS chunk_text
 FROM s
 """
+
+
+# ------------------------------------------------------------- BM25 scoring
+
+
+BM25_TERMS = ("query", "dup", "merge")   # fixed query: common + rare + mid
+BM25_K1 = 1200   # k1 = 1.2, milli-scaled
+BM25_B = 750     # b = 0.75, milli-scaled
+_BM25_SCALE = 1000
+
+
+def doc_bm25(make_docs_ds, terms: tuple[str, ...] = BM25_TERMS,
+             k1: int = BM25_K1, b: int = BM25_B):
+    """BM25 relevance scoring of every document against a FIXED query —
+    the retrieval-scoring step of a training-data/RAG pipeline — in exact
+    INTEGER arithmetic (the host_rank philosophy: milli/micro-scaled
+    integer ops make every reduce order-independent and the oracle an
+    exact BIGINT expression; no float or ``ln`` crosses the compare).
+
+    Integer recast of the Robertson/Sparck-Jones formula (documented
+    deviation: the log idf is replaced by the rational surrogate
+    ``(N - df + 1) / (df + 1)``, micro-scaled — monotone in df like the
+    true idf, exactly representable):
+
+        avgdl_milli   = (sum_dl * 1000) // N
+        rel_len_milli = (dl * 1000000) // avgdl_milli
+        norm_milli    = 1000 - b + (b * rel_len_milli) // 1000
+        den_milli     = tf * 1000 + (k1 * norm_milli) // 1000
+        tf_part_micro = (tf * (k1 + 1000) * 1000000) // den_milli
+        idf_micro     = (1000000 * (N - df + 1)) // (df + 1)
+        score_micro   = (idf_micro * tf_part_micro) // 1000000
+
+    Two-pass shape (the doc_lm_score precedent — ``make_docs_ds`` is a
+    zero-arg factory; the corpus is re-scanned, not pinned):
+
+    * pass 1 — corpus constants: per-batch partials (n docs, sum dl, df
+      per query term) gathered to the driver; the partial table is
+      O(batches × |terms|), a true small side.
+    * pass 2 — map-only scoring: per-doc tf/dl against the broadcast
+      constants; one output row per (doc, matching term).  No shuffle at
+      all — BM25 against a fixed query is embarrassingly parallel once
+      the corpus constants exist.
+
+    int64 headroom: idf_micro ≤ 1e6·N and tf_part_micro ≤ ~2.2e6, so the
+    product needs N ≲ 4e9 docs per scored corpus partition; beyond that,
+    rescale idf to milli (documented knob, same formula shape)."""
+    import numpy as np
+    import pandas as pd
+
+    terms = tuple(terms)
+    tset = set(terms)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        sum_dl = 0
+        dfs = dict.fromkeys(terms, 0)
+        for t in texts:
+            toks = _WS_TOKEN.findall(t)
+            sum_dl += len(toks)
+            for w in tset.intersection(toks):
+                dfs[w] += 1
+        return pa.table({
+            "term": pa.array(list(terms), pa.string()),
+            "part_df": pa.array([dfs[w] for w in terms], pa.int64()),
+            "part_n": pa.array([n] + [0] * (len(terms) - 1), pa.int64()),
+            "part_dl": pa.array([sum_dl] + [0] * (len(terms) - 1), pa.int64()),
+        })
+
+    parts = make_docs_ds().map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    n_docs = int(parts["part_n"].sum())
+    sum_dl = int(parts["part_dl"].sum())
+    df_by_term = parts.groupby("term")["part_df"].sum().to_dict()
+    avgdl_milli = (sum_dl * _BM25_SCALE) // n_docs
+    idf_micro = {w: (1_000_000 * (n_docs - int(df_by_term[w]) + 1))
+                 // (int(df_by_term[w]) + 1) for w in terms}
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        o_id, o_term, o_tf, o_dl, o_score = [], [], [], [], []
+        for i, t in zip(ids, texts):
+            toks = _WS_TOKEN.findall(t)
+            dl = len(toks)
+            if not dl:
+                continue
+            rel_len_milli = (dl * 1_000_000) // avgdl_milli
+            norm_milli = _BM25_SCALE - b + (b * rel_len_milli) // _BM25_SCALE
+            for w in terms:
+                tf = toks.count(w)
+                if not tf:
+                    continue
+                den_milli = tf * _BM25_SCALE + (k1 * norm_milli) // _BM25_SCALE
+                tf_part_micro = (tf * (k1 + _BM25_SCALE) * 1_000_000) // den_milli
+                o_id.append(int(i))
+                o_term.append(w)
+                o_tf.append(tf)
+                o_dl.append(dl)
+                o_score.append((idf_micro[w] * tf_part_micro) // 1_000_000)
+        return pa.table({
+            "doc_id": pa.array(o_id, pa.int64()),
+            "term": pa.array(o_term, pa.string()),
+            "tf": pa.array(o_tf, pa.int64()),
+            "dl": pa.array(o_dl, pa.int64()),
+            "score_micro": pa.array(o_score, pa.int64()),
+        })
+
+    return make_docs_ds().map_batches(score, batch_format="pyarrow")
+
+
+def doc_bm25_sql(rel: str = "documents", terms: tuple[str, ...] = BM25_TERMS,
+                 k1: int = BM25_K1, b: int = BM25_B) -> str:
+    tlist = ", ".join(f"'{w}'" for w in terms)
+    return f"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM {rel}
+), stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(ws)) AS BIGINT) AS sum_dl
+    FROM toks
+), w AS (
+    SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, UNNEST(ws) AS token
+    FROM toks
+), tf AS (
+    SELECT doc_id, ANY_VALUE(dl) AS dl, token,
+           CAST(COUNT(*) AS BIGINT) AS tf
+    FROM w WHERE token IN ({tlist}) GROUP BY doc_id, token
+), df AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+), c AS (
+    SELECT n_docs, (sum_dl * 1000) // n_docs AS avgdl_milli FROM stats
+), s AS (
+    SELECT tf.doc_id, tf.token, tf.tf, tf.dl,
+           (1000000 * (c.n_docs - df.df + 1)) // (df.df + 1) AS idf_micro,
+           1000 - {b} + ({b} * ((tf.dl * 1000000) // c.avgdl_milli)) // 1000
+               AS norm_milli
+    FROM tf JOIN df ON df.token = tf.token CROSS JOIN c
+)
+SELECT doc_id, token AS term, tf, dl,
+       (idf_micro * ((tf * ({k1} + 1000) * 1000000)
+                     // (tf * 1000 + ({k1} * norm_milli) // 1000)))
+           // 1000000 AS score_micro
+FROM s
+"""

@@ -136,3 +136,36 @@ def test_running_total_bruteforce():
     want_s = want.sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
     assert len(got_s) == len(df)
+
+
+def test_window_distinct_bruteforce():
+    import pandas as pd
+
+    from har2tree_ray.pipelines import events as ev
+    from har2tree_ray.sources.interleaved import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = ev.window_distinct(
+        read_table(sf, "events",
+                   columns=["ts", "event_type", "user_id"])).to_pandas()
+    df = read_table(sf, "events",
+                    columns=["ts", "event_type", "user_id"]).to_pandas()
+    hop_us = 30 * 60 * 1_000_000
+    us = df["ts"].astype("int64")
+    frames = []
+    for k in range(2):
+        frames.append(pd.DataFrame({
+            "window_start": ((us // hop_us) * hop_us - k * hop_us)
+            .astype("datetime64[us]"),
+            "event_type": df["event_type"],
+            "user_id": df["user_id"],
+        }))
+    rep = pd.concat(frames, ignore_index=True)
+    want = (rep.groupby(["window_start", "event_type"])["user_id"]
+            .nunique().reset_index(name="n_users"))
+    key = ["window_start", "event_type"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(want_s) and len(got_s) > 0
+    pd.testing.assert_frame_equal(got_s[want_s.columns.tolist()], want_s,
+                                  check_dtype=False)

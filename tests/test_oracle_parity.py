@@ -43,6 +43,8 @@ SQL_CHECKED = [
     "nn_media_host",
     "boundary_overlap",
     "grid_dbscan",
+    "doc_bm25",
+    "event_window_distinct",
     "rendered_urls_canonical",
 ]
 

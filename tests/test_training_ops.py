@@ -613,3 +613,52 @@ def test_doc_split_rates_and_stability():
     shared = small.index.intersection(big.index)
     assert len(shared) > 0
     assert (small.loc[shared] == big.loc[shared]).all()
+
+
+def test_doc_bm25_matches_bruteforce():
+    """Integer BM25 vs an independent per-doc Python recomputation, and
+    rank sanity: the rare term out-scores the common term at equal tf/dl."""
+    import pandas as pd
+
+    from har2tree_ray.sources.interleaved import read_table
+    from har2tree_ray.stages import text as T
+
+    got = T.doc_bm25(
+        lambda: read_table(SF, "documents", columns=["doc_id", "text"])
+    ).to_pandas()
+
+    docs = read_table(SF, "documents", columns=["doc_id", "text"]).to_pandas()
+    toks = [t.split() for t in docs["text"]]   # ASCII whitespace contract
+    n_docs = len(docs)
+    sum_dl = sum(len(t) for t in toks)
+    avgdl_milli = (sum_dl * 1000) // n_docs
+    df = {w: sum(1 for t in toks if w in t) for w in T.BM25_TERMS}
+    rows = []
+    for i, t in zip(docs["doc_id"], toks):
+        dl = len(t)
+        if not dl:
+            continue
+        norm_milli = 1000 - T.BM25_B + (T.BM25_B * ((dl * 1_000_000) // avgdl_milli)) // 1000
+        for w in T.BM25_TERMS:
+            tf = t.count(w)
+            if not tf:
+                continue
+            idf_micro = (1_000_000 * (n_docs - df[w] + 1)) // (df[w] + 1)
+            tfp = (tf * (T.BM25_K1 + 1000) * 1_000_000) // (
+                tf * 1000 + (T.BM25_K1 * norm_milli) // 1000)
+            rows.append({"doc_id": int(i), "term": w, "tf": tf, "dl": dl,
+                         "score_micro": (idf_micro * tfp) // 1_000_000})
+    want = pd.DataFrame(rows)
+    key = ["doc_id", "term"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(want_s) and len(got_s) > 0
+    pd.testing.assert_frame_equal(got_s[want_s.columns.tolist()], want_s,
+                                  check_dtype=False)
+    # idf monotonicity: for equal (tf, dl), a rarer term scores higher
+    m = got_s.pivot_table(index=["tf", "dl"], columns="term",
+                          values="score_micro", aggfunc="first").dropna()
+    rare = min(df, key=df.get)
+    common = max(df, key=df.get)
+    if rare in m.columns and common in m.columns and len(m):
+        assert (m[rare] >= m[common]).all()
