@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "grid_dbscan",
     "doc_bm25",
     "event_window_distinct",
+    "tile_topk_hosts",
+    "host_reciprocity",
 ]
 
 

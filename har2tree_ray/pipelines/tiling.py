@@ -786,3 +786,56 @@ def grid_dbscan(flat_ds, res: int = DEFAULT_RES, minpts: int = DBSCAN_MINPTS):
     return rd.from_pandas(pd.DataFrame({
         "cell_id": ids, "cluster_id": cluster,
         "n_spans": core["n_spans"].to_numpy(np.int64)}))
+
+
+# ------------------------------------------------- top-k hosts per tile
+
+
+def tile_topk_hosts(flat_ds, res: int = DEFAULT_RES, k: int = 3,
+                    n_parts: int | None = None):
+    """Distributed top-k-per-TILE: the ``k`` most-frequent hostnames of
+    every grid cell (rank by span count, ties by hostname ascending) —
+    the tile-domain sibling of ``stats.host_topk_urls``, i.e. "who
+    dominates each map tile" for label rendering.
+
+    Scale shape: batch-local (cell, host) partial counts (the combiner
+    bounds a hot cell to its distinct hosts per batch) → ONE crc32
+    cell-range shuffle (every cell's rows in exactly one range) →
+    per-range vectorized pandas pass (sum, mergesort rank, head-k).  No
+    per-key dispatch; k rows per cell regardless of skew."""
+    from ..util import default_n_parts, key_partition_ids, pre_shuffle_coalesce
+
+    if n_parts is None:
+        n_parts = default_n_parts()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        ix, iy = geo.cell_xy(lat, lng, res)
+        t = pa.table({"cell_id": pa.array(geo.cell_id(ix, iy, res)),
+                      "hostname": batch["hostname"]})
+        t = t.filter(pc.not_equal(t["hostname"], ""))
+        g = t.group_by(["cell_id", "hostname"]).aggregate(
+            [("hostname", "count")])
+        g = g.rename_columns(["cell_id", "hostname", "part_n"])
+        return g.append_column(
+            "gpart", pa.array(key_partition_ids(g["cell_id"], n_parts)))
+
+    def per_range(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas()
+              .groupby(["cell_id", "hostname"], as_index=False)["part_n"].sum()
+              .rename(columns={"part_n": "n"}))
+        df = df.sort_values(["cell_id", "n", "hostname"],
+                            ascending=[True, False, True], kind="mergesort")
+        df["rank"] = df.groupby("cell_id").cumcount() + 1
+        df = df[df["rank"] <= k]
+        return pa.table({
+            "cell_id": pa.array(df["cell_id"].astype("int64"), pa.int64()),
+            "rank": pa.array(df["rank"].astype("int64"), pa.int64()),
+            "hostname": pa.array(df["hostname"], pa.string()),
+            "n": pa.array(df["n"].astype("int64"), pa.int64()),
+        })
+
+    parts = pre_shuffle_coalesce(
+        flat_ds.map_batches(partial, batch_format="pyarrow"))
+    return parts.groupby("gpart").map_groups(per_range, batch_format="pyarrow")

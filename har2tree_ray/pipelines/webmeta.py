@@ -1839,3 +1839,98 @@ WITH ex AS (
 SELECT hostname, CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM h GROUP BY hostname
 """
+
+
+def host_reciprocity(flat_ds, n_parts: int | None = None):
+    """Per-host edge RECIPROCITY over the directed host referral graph:
+    for every source host, its distinct out-degree and how many of those
+    out-edges are reciprocated (the reverse edge exists) — the directed
+    companion of ``host_clustering`` (mutual-link density, a standard
+    web-graph trust signal).
+
+    Scale shape (exact, no broadcast): the distinct directed edge list is
+    keyed on the CANONICAL unordered pair (min, max) carrying a direction
+    bit, so both directions of a pair co-locate in ONE crc32 pair-key
+    range shuffle; a vectorized per-range pass marks an out-edge
+    reciprocated iff its pair carries both direction bits, emitting
+    per-source partials; a final bounded (host-cardinality) groupby sums.
+    Exact integers throughout."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..util import (default_n_parts, key_partition_ids,
+                        pre_shuffle_coalesce, user_range_groupby)
+
+    if n_parts is None:
+        n_parts = default_n_parts()
+
+    edges = host_link_graph(flat_ds).select_columns(["src_host", "dst_host"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        src = t["src_host"].to_numpy(zero_copy_only=False)
+        dst = t["dst_host"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(src, dst)
+        hi = np.maximum(src, dst)
+        return pa.table({
+            "pair": pa.array(
+                np.char.add(np.char.add(lo.astype(str), "|"), hi.astype(str)),
+                pa.string()),
+            "src_host": pa.array(src, pa.string()),
+            "fwd": pa.array(src == lo),
+        })
+
+    def per_range(df: pd.DataFrame) -> pd.DataFrame:
+        # edges are globally distinct (host_link_graph groups them), so a
+        # pair is reciprocated iff it appears twice in its range
+        both = df.groupby("pair", sort=False)["fwd"].transform("size") == 2
+        out = (pd.DataFrame({"hostname": df["src_host"],
+                             "recip": both.astype("int64")})
+               .groupby("hostname", sort=False)
+               .agg(part_out=("recip", "size"), part_recip=("recip", "sum"))
+               .reset_index())
+        out["part_out"] = out["part_out"].astype("int64")
+        return out
+
+    parts = user_range_groupby(
+        edges.map_batches(tag, batch_format="pyarrow"), per_range,
+        key="pair", n_parts=n_parts)
+    agg = pre_shuffle_coalesce(parts).groupby("hostname").aggregate(
+        Sum("part_out", alias_name="out_deg"),
+        Sum("part_recip", alias_name="n_reciprocal"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "hostname": t["hostname"],
+            "out_deg": pc.cast(t["out_deg"], pa.int64()),
+            "n_reciprocal": pc.cast(t["n_reciprocal"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def host_reciprocity_sql(flat_path: str) -> str:
+    return f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+), r AS (
+    SELECT CASE WHEN regexp_matches(regexp_extract(s.text, '@referer=(\\S+)', 1), '^https?://')
+                THEN regexp_extract(regexp_extract(s.text, '@referer=(\\S+)', 1), '^https?://([^/?#]+)', 1)
+                ELSE '' END AS src_host,
+           CASE WHEN regexp_matches(s.media_ref, '^https?://')
+                THEN regexp_extract(s.media_ref, '^https?://([^/?#]+)', 1)
+                ELSE '' END AS dst_host
+    FROM ex WHERE regexp_matches(s.text, '@referer=')
+), e AS (
+    SELECT DISTINCT src_host AS s, dst_host AS t FROM r
+    WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+)
+SELECT e.s AS hostname,
+       CAST(COUNT(*) AS BIGINT) AS out_deg,
+       CAST(SUM(CASE WHEN b.s IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_reciprocal
+FROM e LEFT JOIN e b ON b.s = e.t AND b.t = e.s
+GROUP BY e.s
+"""

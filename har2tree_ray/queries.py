@@ -189,6 +189,14 @@ def q_host_triangles(sf_dir: str):
         read_interleaved(sf_dir), ["text", "hostname"]))
 
 
+def q_host_reciprocity(sf_dir: str):
+    """Per-host reciprocity over the directed referral graph: distinct
+    out-degree + reciprocated out-edges (canonical pair-key co-partition,
+    exact integers)."""
+    return webmeta.host_reciprocity(explode_spans(
+        read_interleaved(sf_dir), ["text", "hostname"]))
+
+
 def q_host_clustering(sf_dir: str):
     """Local clustering coefficient per host in exact integers
     (deg, n_wedges, n_triangles) — reuses the triangle plan's bounded
@@ -243,6 +251,13 @@ def q_host_boxes(sf_dir: str):
     document spans (the broadcast input of pip_media_in_host)."""
     return spatial.host_boxes(explode_spans(
         read_interleaved(sf_dir), ["kind", "hostname", "lat", "lng"]))
+
+
+def q_tile_topk_hosts(sf_dir: str):
+    """Top-3 hostnames per grid cell (rank by span count, hostname ties
+    ascending) — distributed top-k-per-tile via a cell-range shuffle."""
+    return tiling.tile_topk_hosts(explode_spans(
+        read_interleaved(sf_dir), ["hostname", "lat", "lng"]), RES)
 
 
 def q_host_octagon(sf_dir: str):
@@ -1102,6 +1117,24 @@ GROUP BY hostname
 """
 
 
+def _oracle_tile_topk_hosts(path: str, res: int = RES, k: int = 3) -> str:
+    n = 1 << res
+    return (_FLAT_CTE.format(path=path) + "," + _CELL_CTE.format(n=n) + f"""
+, c AS (
+    SELECT cell_y * {n} + cell_x AS cell_id, hostname,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM cells WHERE hostname <> '' GROUP BY 1, 2
+), r AS (
+    SELECT cell_id, hostname, n,
+           ROW_NUMBER() OVER (PARTITION BY cell_id
+                              ORDER BY n DESC, hostname) AS rank
+    FROM c
+)
+SELECT cell_id, CAST(rank AS BIGINT) AS rank, hostname, n
+FROM r WHERE rank <= {k}
+""")
+
+
 def _oracle_host_octagon(path: str) -> str:
     return _FLAT_CTE.format(path=path) + """
 SELECT hostname,
@@ -1428,6 +1461,7 @@ _INTERLEAVED_ORACLES = {
     "doc_trajectory": _oracle_trajectory,
     "host_topk_urls": stats.host_topk_urls_sql,
     "host_boxes": _oracle_host_boxes,
+    "tile_topk_hosts": _oracle_tile_topk_hosts,
     "host_octagon": _oracle_host_octagon,
     "nn_media_host": _oracle_nn_media_host,
     "boundary_overlap": _oracle_boundary_overlap,
@@ -1444,6 +1478,7 @@ _INTERLEAVED_ORACLES = {
     "host_cooccur": webmeta.host_cooccur_sql,
     "host_triangles": webmeta.host_triangles_sql,
     "host_clustering": webmeta.host_clustering_sql,
+    "host_reciprocity": webmeta.host_reciprocity_sql,
     "span_identifiers": webmeta.span_identifiers_sql,
     "cookies_never_sent": webmeta.cookies_never_sent_sql,
     "cookies_locally_created": webmeta.cookies_locally_created_sql,
@@ -1509,6 +1544,7 @@ def _queries_registry() -> dict[str, Callable]:
         "knn_referrer": q_knn_referrer,
         "pip_media_in_host": q_pip_media_in_host,
         "host_boxes": q_host_boxes,
+        "tile_topk_hosts": q_tile_topk_hosts,    # top-k hosts per tile
         "host_octagon": q_host_octagon,          # 8-DOP boundary
         "nn_media_host": q_nn_media_host,        # nearest-boundary join
         "boundary_overlap": q_boundary_overlap,  # box-overlap self-join
@@ -1567,6 +1603,7 @@ def _queries_registry() -> dict[str, Callable]:
         "host_cooccur": q_host_cooccur,       # domain co-citation graph
         "host_triangles": q_host_triangles,   # degree-ordered triangle count
         "host_clustering": q_host_clustering,  # clustering coeff (exact ints)
+        "host_reciprocity": q_host_reciprocity,  # mutual-link counts
         "span_identifiers": q_span_identifiers,
         "cookies_never_sent": q_cookies_never_sent,
         "cookies_locally_created": q_cookies_locally_created,  # D4 jar sidecar

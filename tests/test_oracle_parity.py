@@ -45,6 +45,8 @@ SQL_CHECKED = [
     "grid_dbscan",
     "doc_bm25",
     "event_window_distinct",
+    "tile_topk_hosts",
+    "host_reciprocity",
     "rendered_urls_canonical",
 ]
 

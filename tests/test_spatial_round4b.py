@@ -185,3 +185,26 @@ def test_grid_dbscan_wraparound_union():
     assert wrap_pair["cluster_id"].nunique() == 1
     iso = out[~out.cell_id.isin([3 * n + 0, 3 * n + (n - 1)])]
     assert (iso["cluster_id"] == iso["cell_id"]).all()
+
+
+def test_tile_topk_hosts_matches_bruteforce():
+    cols = ["hostname", "lat", "lng"]
+    res = tiling.DEFAULT_RES
+    got = tiling.tile_topk_hosts(
+        explode_spans(read_interleaved(SF), cols), res).to_pandas()
+    df = _flat(cols)
+    df = df[df["hostname"] != ""].copy()
+    ix, iy = geo.cell_xy(df["lat"].to_numpy(), df["lng"].to_numpy(), res)
+    df["cell_id"] = geo.cell_id(ix, iy, res)
+    c = (df.groupby(["cell_id", "hostname"]).size().reset_index(name="n"))
+    c = c.sort_values(["cell_id", "n", "hostname"],
+                      ascending=[True, False, True], kind="mergesort")
+    c["rank"] = c.groupby("cell_id").cumcount() + 1
+    want = c[c["rank"] <= 3].reset_index(drop=True)
+    key = ["cell_id", "rank"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(want_s) and len(got_s) > 0
+    pd.testing.assert_frame_equal(got_s[["cell_id", "rank", "hostname", "n"]],
+                                  want_s[["cell_id", "rank", "hostname", "n"]],
+                                  check_dtype=False)

@@ -348,3 +348,39 @@ def test_host_rank_chain_values():
     # iter3: a=150000, b=277500, c=150000+(277500*85)//100=385875
     assert r == {"a.example": 150000, "b.example": 277500,
                  "c.example": 385875}
+
+
+def test_host_reciprocity_known_graph():
+    """Known directed graph: a<->b mutual, a->c one-way, c->b one-way."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from har2tree_ray.pipelines import webmeta as W
+
+    def span(ref, referer):
+        return {"kind": "document", "text": f"x @referer={referer}",
+                "media_ref": ref, "offset": 0}
+
+    span_type = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                           ("media_ref", pa.string()), ("offset", pa.int32())])
+    docs = {
+        "d1": [span("http://b/x", "http://a/")],   # a -> b
+        "d2": [span("http://a/y", "http://b/")],   # b -> a
+        "d3": [span("http://c/z", "http://a/")],   # a -> c
+        "d4": [span("http://b/w", "http://c/")],   # c -> b
+    }
+    tbl = pa.table({
+        "doc_id": pa.array(list(docs), pa.string()),
+        "spans": pa.array(list(docs.values()), pa.list_(span_type)),
+    })
+    from har2tree_ray.stages.normalize import explode_spans
+
+    flat = explode_spans(rd.from_arrow(tbl), ["text", "hostname"])
+    got = (W.host_reciprocity(flat).to_pandas()
+           .sort_values("hostname").reset_index(drop=True))
+    want = pd.DataFrame({
+        "hostname": ["a", "b", "c"],
+        "out_deg": [2, 1, 1],
+        "n_reciprocal": [1, 1, 0]})
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
