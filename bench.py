@@ -151,6 +151,10 @@ BENCH_QUERIES = [
     "event_window_distinct",
     "tile_topk_hosts",
     "host_reciprocity",
+    "event_burst_windows",
+    "trajectory_od",
+    "tile_hhi",
+    "event_topk_users",
 ]
 
 

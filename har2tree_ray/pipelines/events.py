@@ -678,3 +678,162 @@ SELECT window_start, event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM rep GROUP BY 1, 2
 """
+
+
+def burst_windows(events_ds, width_min: int = 60, factor: int = 2,
+                  n_parts: int | None = None):
+    """Streaming burst detection over tumbling windows: every
+    (window, event_type) whose event count exceeds ``factor`` × the
+    PREVIOUS window's count (absent previous window counts as 0, so any
+    activity after silence is a burst) — the monitoring/alerting member
+    of the window family.
+
+    Fully distributed, no driver-side window table: (1) batch-local
+    (window, type) partial counts → one coarse int-keyed range shuffle +
+    vectorized pandas sum (the event_window_distinct merge pattern);
+    (2) each summed count row is emitted TWICE — keyed at its own window
+    ("self") and at the NEXT window (as that window's "prev") — and a
+    second range shuffle on the window key lets a vectorized per-range
+    merge pair self with prev and filter bursts.  Both exchanges move
+    window×type-cardinality rows, never events."""
+    width_us = width_min * 60 * 1_000_000
+
+    from ..util import user_range_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        us = df["ts"].astype("int64").to_numpy()
+        g = (pd.DataFrame({"window_us": (us // width_us) * width_us,
+                           "event_type": df["event_type"].to_numpy()})
+             .groupby(["window_us", "event_type"], sort=False)
+             .size().reset_index(name="part_n"))
+        g["part_n"] = g["part_n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def sum_range(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["window_us", "event_type"], sort=False)
+             ["part_n"].sum().reset_index(name="n"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    counts = user_range_groupby(
+        events_ds.map_batches(partial, batch_format="pyarrow"),
+        sum_range, key="window_us", n_parts=n_parts)
+
+    def dual(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        self_rows = pd.DataFrame({
+            "key_us": df["window_us"], "event_type": df["event_type"],
+            "n_self": df["n"], "n_prev": 0})
+        prev_rows = pd.DataFrame({
+            "key_us": df["window_us"] + width_us, "event_type": df["event_type"],
+            "n_self": 0, "n_prev": df["n"]})
+        out = pd.concat([self_rows, prev_rows], ignore_index=True)
+        out["n_self"] = out["n_self"].astype("int64")
+        out["n_prev"] = out["n_prev"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["key_us", "event_type"], sort=False)
+             .agg(n_events=("n_self", "sum"), prev_n=("n_prev", "sum"))
+             .reset_index())
+        g = g[(g["n_events"] > 0) & (g["n_events"] > factor * g["prev_n"])]
+        return pd.DataFrame({
+            "window_start": g["key_us"].astype("datetime64[us]"),
+            "event_type": g["event_type"],
+            "n_events": g["n_events"].astype("int64"),
+            "prev_n": g["prev_n"].astype("int64"),
+        })
+
+    return user_range_groupby(
+        counts.map_batches(dual, batch_format="pyarrow"),
+        resolve, key="key_us", n_parts=n_parts)
+
+
+def burst_windows_sql(width_min: int = 60, factor: int = 2) -> str:
+    width_us = width_min * 60 * 1_000_000
+    return f"""
+WITH c AS (
+    SELECT (epoch_us(ts) // {width_us}) * {width_us} AS window_us,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT make_timestamp(a.window_us) AS window_start, a.event_type,
+       a.n AS n_events, CAST(COALESCE(p.n, 0) AS BIGINT) AS prev_n
+FROM c a
+LEFT JOIN c p ON p.event_type = a.event_type
+             AND p.window_us = a.window_us - {width_us}
+WHERE a.n > {factor} * COALESCE(p.n, 0)
+"""
+
+
+def topk_users(events_ds, k: int = 5, n_parts: int | None = None):
+    """Top-k users by total spend per event type (exact integer cents,
+    ties by user_id ascending) — distributed top-k-per-group over the
+    event stream, the "biggest spenders per category" leaderboard.
+
+    Scale shape: batch-local (type, user) partial cent sums (the combiner
+    bounds a hot type to its distinct users per batch) → ONE crc32
+    USER-range shuffle — keyed on the user axis, not the handful of types,
+    so the exchange stays uniform — summing per (type, user); per-range
+    local top-k per type (safe: a range holds each user's whole total) →
+    gather the ≤ n_parts × |types| × k finalists into one final exact
+    rank (small by construction).  The two-phase top-k pattern of
+    host_topk_urls, with a cross-range finalist merge because the GROUP
+    key (type) spans ranges."""
+    from ..util import default_n_parts, key_partition_ids, pre_shuffle_coalesce
+
+    if n_parts is None:
+        n_parts = default_n_parts()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = (df["value"] * 100).round().astype("int64")
+        g = (df.groupby(["event_type", "user_id"], sort=False)["cents"].sum()
+             .reset_index(name="part_cents"))
+        g["part_cents"] = g["part_cents"].astype("int64")
+        t = pa.Table.from_pandas(g, preserve_index=False)
+        return t.append_column(
+            "gpart", pa.array(key_partition_ids(t["user_id"], n_parts)))
+
+    def per_range(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["event_type", "user_id"], sort=False)["part_cents"]
+             .sum().reset_index(name="total_cents"))
+        g["total_cents"] = g["total_cents"].astype("int64")
+        g = g.sort_values(["event_type", "total_cents", "user_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        return g[g.groupby("event_type").cumcount() < k]
+
+    finalists = pre_shuffle_coalesce(
+        events_ds.map_batches(partial, batch_format="pyarrow")
+    ).groupby("gpart").map_groups(per_range, batch_format="pandas")
+
+    def final_rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "total_cents", "user_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        df["rank"] = (df.groupby("event_type").cumcount() + 1).astype("int64")
+        out = df[df["rank"] <= k].reset_index(drop=True)
+        return out[["event_type", "rank", "user_id", "total_cents"]]
+
+    # finalist set is <= n_parts * |types| * k rows — resolve in one group
+    # (batch_size=None: rank over the whole single block, never a split)
+    return finalists.repartition(1).map_batches(
+        final_rank, batch_format="pandas", batch_size=None)
+
+
+def topk_users_sql(k: int = 5) -> str:
+    return f"""
+WITH t AS (
+    SELECT event_type, user_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events GROUP BY 1, 2
+), r AS (
+    SELECT event_type, user_id, total_cents,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY total_cents DESC, user_id) AS rank
+    FROM t
+)
+SELECT event_type, CAST(rank AS BIGINT) AS rank, user_id, total_cents
+FROM r WHERE rank <= {k}
+"""

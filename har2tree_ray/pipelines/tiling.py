@@ -839,3 +839,135 @@ def tile_topk_hosts(flat_ds, res: int = DEFAULT_RES, k: int = 3,
     parts = pre_shuffle_coalesce(
         flat_ds.map_batches(partial, batch_format="pyarrow"))
     return parts.groupby("gpart").map_groups(per_range, batch_format="pyarrow")
+
+
+# ------------------------------------------------- origin-destination flow
+
+
+def trajectory_od(interleaved_ds, res: int = DEFAULT_RES,
+                  batch_size: int = 256, n_parts: int | None = None):
+    """Origin→destination flow matrix over document trajectories: each
+    document contributes ONE trip from the cell of its FIRST span to the
+    cell of its LAST span (offset order), counted per (o_cell, d_cell) —
+    the classic geospatial OD-matrix aggregate, built on the same
+    map-only flatten as ``doc_trajectory``.
+
+    Scale shape: interleaved rows hold whole documents, so origin/dest
+    extraction is map-only (one lexsort per batch, segment first/last);
+    batch-local (o, d) partial counts then cross ONE coarse int-keyed
+    range shuffle with a vectorized pandas sum — pair cardinality is
+    bounded by occupied-cell² in the worst case but by corpus structure
+    in practice; the key hashes uniformly either way."""
+    from ..util import user_range_groupby
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        col = batch["spans"].combine_chunks()
+        flat = pc.list_flatten(col)
+        parent = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+        off = pc.struct_field(flat, "offset").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = pc.extract_regex(pc.struct_field(flat, "text"),
+                             r"@geo=(?P<glat>-?\d+\.\d+),(?P<glng>-?\d+\.\d+)")
+        lat = pc.fill_null(pc.cast(pc.struct_field(m, "glat"), pa.float64()),
+                           0.0).to_numpy(zero_copy_only=False)
+        lng = pc.fill_null(pc.cast(pc.struct_field(m, "glng"), pa.float64()),
+                           0.0).to_numpy(zero_copy_only=False)
+        if len(parent) == 0:
+            return pa.table({"o_cell": pa.array([], pa.int64()),
+                             "d_cell": pa.array([], pa.int64()),
+                             "part_n": pa.array([], pa.int64())})
+        ix, iy = geo.cell_xy(lat, lng, res)
+        cid = geo.cell_id(ix, iy, res)
+        order = np.lexsort((off, parent))
+        p, c = parent[order], cid[order]
+        first = np.r_[True, p[1:] != p[:-1]]
+        last = np.r_[p[1:] != p[:-1], True]
+        od = pd.DataFrame({"o_cell": c[first], "d_cell": c[last]})
+        g = od.groupby(["o_cell", "d_cell"], sort=False).size().reset_index(
+            name="part_n")
+        g["part_n"] = g["part_n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["o_cell", "d_cell"], sort=False)["part_n"].sum()
+             .reset_index(name="n_docs"))
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return g
+
+    parts = interleaved_ds.map_batches(per_batch, batch_format="pyarrow",
+                                       batch_size=batch_size)
+    return user_range_groupby(parts, merge, key="o_cell", n_parts=n_parts)
+
+
+# ------------------------------------------------- host concentration (HHI)
+
+
+def tile_hhi(flat_ds, res: int = DEFAULT_RES, n_parts: int | None = None):
+    """Per-tile host CONCENTRATION in exact integers — the
+    Herfindahl-Hirschman components: for every cell, the number of spans
+    ``n_total``, the number of distinct hosts ``n_hosts``, and the sum of
+    squared per-host span counts ``sum_sq`` (HHI = sum_sq / n_total² left
+    to the consumer, keeping the compare integer-exact like
+    host_clustering's ratio).  "Is this map tile one host's territory or
+    contested ground" — the diversity analytics of the tile family.
+
+    Scale shape: batch-local (cell, host) partial counts → ONE crc32
+    cell-range shuffle (a cell's (host, n) rows co-locate; group size =
+    hosts-per-cell, bounded by geography not corpus) → vectorized
+    per-range squared-sum."""
+    from ..util import user_range_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        ix, iy = geo.cell_xy(lat, lng, res)
+        t = pa.table({"cell_id": pa.array(geo.cell_id(ix, iy, res)),
+                      "hostname": batch["hostname"]})
+        t = t.filter(pc.not_equal(t["hostname"], ""))
+        g = t.group_by(["cell_id", "hostname"]).aggregate(
+            [("hostname", "count")])
+        return g.rename_columns(["cell_id", "hostname", "part_n"])
+
+    def per_range(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df.groupby(["cell_id", "hostname"], sort=False)["part_n"].sum()
+             .reset_index(name="n"))
+        h["n"] = h["n"].astype("int64")
+        g = h.groupby("cell_id", sort=False).agg(
+            n_total=("n", "sum"), n_hosts=("n", "size"),
+            sum_sq=("n", lambda s: int((s.to_numpy() ** 2).sum())))
+        out = g.reset_index()
+        for c in ("n_total", "n_hosts", "sum_sq"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    parts = flat_ds.map_batches(partial, batch_format="pyarrow")
+    return user_range_groupby(parts, per_range, key="cell_id",
+                              n_parts=n_parts)
+
+
+def tile_hhi_sql(flat_path: str, res: int = DEFAULT_RES) -> str:
+    n = 1 << res
+    return f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+), f AS (
+    SELECT COALESCE(TRY_CAST(regexp_extract(s.text, '@geo=(-?\\d+\\.\\d+),(-?\\d+\\.\\d+)', 1) AS DOUBLE), 0.0) AS lat,
+           COALESCE(TRY_CAST(regexp_extract(s.text, '@geo=(-?\\d+\\.\\d+),(-?\\d+\\.\\d+)', 2) AS DOUBLE), 0.0) AS lng,
+           CASE WHEN regexp_matches(s.media_ref, '^https?://')
+                THEN regexp_extract(s.media_ref, '^https?://([^/?#]+)', 1)
+                ELSE '' END AS hostname
+    FROM ex
+), c AS (
+    SELECT LEAST(GREATEST(CAST(FLOOR((90.0 - lat) / 180.0 * {n}.0) AS BIGINT), 0), {n} - 1) * {n}
+         + LEAST(GREATEST(CAST(FLOOR((lng + 180.0) / 360.0 * {n}.0) AS BIGINT), 0), {n} - 1) AS cell_id,
+           hostname
+    FROM f WHERE hostname <> ''
+), h AS (
+    SELECT cell_id, hostname, CAST(COUNT(*) AS BIGINT) AS n
+    FROM c GROUP BY 1, 2
+)
+SELECT cell_id, CAST(SUM(n) AS BIGINT) AS n_total,
+       CAST(COUNT(*) AS BIGINT) AS n_hosts,
+       CAST(SUM(n * n) AS BIGINT) AS sum_sq
+FROM h GROUP BY cell_id
+"""

@@ -234,6 +234,27 @@ def q_doc_trajectory(sf_dir: str):
     return tiling.doc_trajectory(read_interleaved(sf_dir))
 
 
+def q_tile_hhi(sf_dir: str):
+    """Per-tile host concentration (HHI components in exact integers:
+    n_total, n_hosts, sum of squared per-host counts)."""
+    return tiling.tile_hhi(explode_spans(
+        read_interleaved(sf_dir), ["hostname", "lat", "lng"]), RES)
+
+
+def q_event_topk_users(sf_dir: str):
+    """Top-5 users by total spend per event type (exact cents; user-range
+    combiner + bounded finalist merge)."""
+    return events.topk_users(
+        _events(sf_dir, ["event_type", "user_id", "value"]))
+
+
+def q_trajectory_od(sf_dir: str):
+    """Origin→destination flow matrix: one trip per document from its
+    first span's cell to its last span's cell (map-only extraction + one
+    int-keyed range shuffle)."""
+    return tiling.trajectory_od(read_interleaved(sf_dir))
+
+
 def q_host_topk_urls(sf_dir: str):
     """Distributed top-k per group: the 3 most-referenced URLs of every
     hostname (one host-range shuffle, partial-count combiner)."""
@@ -641,6 +662,12 @@ def q_event_window_distinct(sf_dir: str):
     (composite-key dedup shuffle; the COUNT(DISTINCT) window member)."""
     return events.window_distinct(
         _events(sf_dir, ["ts", "event_type", "user_id"]))
+
+
+def q_event_burst_windows(sf_dir: str):
+    """Tumbling-window burst detection: (window, type) whose count exceeds
+    2x the previous window's (two bounded int-keyed range exchanges)."""
+    return events.burst_windows(_events(sf_dir, ["ts", "event_type"]))
 
 
 def q_event_transitions(sf_dir: str):
@@ -1117,6 +1144,23 @@ GROUP BY hostname
 """
 
 
+def _oracle_trajectory_od(path: str, res: int = RES) -> str:
+    n = 1 << res
+    return (_FLAT_CTE.format(path=path) + "," + _CELL_CTE.format(n=n) + f"""
+, o AS (
+    SELECT doc_id, cell_y * {n} + cell_x AS cell,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY "offset") AS ra,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY "offset" DESC) AS rd
+    FROM cells
+)
+SELECT a.cell AS o_cell, d.cell AS d_cell,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM (SELECT doc_id, cell FROM o WHERE ra = 1) a
+JOIN (SELECT doc_id, cell FROM o WHERE rd = 1) d USING (doc_id)
+GROUP BY 1, 2
+""")
+
+
 def _oracle_tile_topk_hosts(path: str, res: int = RES, k: int = 3) -> str:
     n = 1 << res
     return (_FLAT_CTE.format(path=path) + "," + _CELL_CTE.format(n=n) + f"""
@@ -1422,6 +1466,8 @@ _TABLE_ORACLES = {
     "event_running_total": lambda _p: events.running_total_sql(),
     "event_window_sliding": lambda _p: events.window_sliding_sql(),
     "event_window_distinct": lambda _p: events.window_distinct_sql(),
+    "event_burst_windows": lambda _p: events.burst_windows_sql(),
+    "event_topk_users": lambda _p: events.topk_users_sql(),
     "event_window_agg": lambda _p: events.window_agg_sql(),
     "event_asof": lambda _p: events.asof_error_click_sql(),
     "event_props_rollup": lambda _p: events.props_rollup_sql(),
@@ -1462,6 +1508,8 @@ _INTERLEAVED_ORACLES = {
     "host_topk_urls": stats.host_topk_urls_sql,
     "host_boxes": _oracle_host_boxes,
     "tile_topk_hosts": _oracle_tile_topk_hosts,
+    "trajectory_od": _oracle_trajectory_od,
+    "tile_hhi": lambda p: tiling.tile_hhi_sql(p),
     "host_octagon": _oracle_host_octagon,
     "nn_media_host": _oracle_nn_media_host,
     "boundary_overlap": _oracle_boundary_overlap,
@@ -1545,6 +1593,8 @@ def _queries_registry() -> dict[str, Callable]:
         "pip_media_in_host": q_pip_media_in_host,
         "host_boxes": q_host_boxes,
         "tile_topk_hosts": q_tile_topk_hosts,    # top-k hosts per tile
+        "trajectory_od": q_trajectory_od,        # OD flow matrix
+        "tile_hhi": q_tile_hhi,                  # host concentration per tile
         "host_octagon": q_host_octagon,          # 8-DOP boundary
         "nn_media_host": q_nn_media_host,        # nearest-boundary join
         "boundary_overlap": q_boundary_overlap,  # box-overlap self-join
@@ -1630,6 +1680,8 @@ def _queries_registry() -> dict[str, Callable]:
         "event_running_total": q_event_running_total,  # ordered prefix window
         "event_window_sliding": q_event_window_sliding,
         "event_window_distinct": q_event_window_distinct,  # exact distinct users
+        "event_burst_windows": q_event_burst_windows,      # burst detection
+        "event_topk_users": q_event_topk_users,            # spend leaderboard
         "event_window_agg": q_event_window_agg,
         "event_asof": q_event_asof,
         "event_props_rollup": q_event_props_rollup,

@@ -169,3 +169,64 @@ def test_window_distinct_bruteforce():
     assert len(got_s) == len(want_s) and len(got_s) > 0
     pd.testing.assert_frame_equal(got_s[want_s.columns.tolist()], want_s,
                                   check_dtype=False)
+
+
+def test_burst_windows_bruteforce():
+    import pandas as pd
+
+    from har2tree_ray.pipelines import events as ev
+    from har2tree_ray.sources.interleaved import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = ev.burst_windows(
+        read_table(sf, "events", columns=["ts", "event_type"])).to_pandas()
+    df = read_table(sf, "events", columns=["ts", "event_type"]).to_pandas()
+    width_us = 60 * 60 * 1_000_000
+    us = df["ts"].astype("int64")
+    c = (pd.DataFrame({"w": (us // width_us) * width_us,
+                       "event_type": df["event_type"]})
+         .groupby(["w", "event_type"]).size().reset_index(name="n"))
+    prev = c.rename(columns={"n": "pn"}).copy()
+    prev["w"] += width_us
+    m = c.merge(prev, on=["w", "event_type"], how="left")
+    m["pn"] = m["pn"].fillna(0).astype("int64")
+    m = m[m["n"] > 2 * m["pn"]]
+    want = pd.DataFrame({
+        "window_start": m["w"].astype("datetime64[us]"),
+        "event_type": m["event_type"],
+        "n_events": m["n"].astype("int64"),
+        "prev_n": m["pn"]})
+    key = ["window_start", "event_type"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(want_s) and len(got_s) > 0
+    pd.testing.assert_frame_equal(got_s[want_s.columns.tolist()], want_s,
+                                  check_dtype=False)
+    # both burst causes present: silence->activity and genuine 2x jumps
+    assert (got_s["prev_n"] == 0).any()
+
+
+def test_topk_users_bruteforce():
+    import pandas as pd
+
+    from har2tree_ray.pipelines import events as ev
+    from har2tree_ray.sources.interleaved import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = ev.topk_users(
+        read_table(sf, "events",
+                   columns=["event_type", "user_id", "value"])).to_pandas()
+    df = read_table(sf, "events",
+                    columns=["event_type", "user_id", "value"]).to_pandas()
+    df["cents"] = (df["value"] * 100).round().astype("int64")
+    t = (df.groupby(["event_type", "user_id"])["cents"].sum()
+         .reset_index(name="total_cents"))
+    t = t.sort_values(["event_type", "total_cents", "user_id"],
+                      ascending=[True, False, True], kind="mergesort")
+    t["rank"] = (t.groupby("event_type").cumcount() + 1).astype("int64")
+    want = t[t["rank"] <= 5][["event_type", "rank", "user_id", "total_cents"]]
+    key = ["event_type", "rank"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(want_s) and len(got_s) > 0
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)

@@ -47,6 +47,10 @@ SQL_CHECKED = [
     "event_window_distinct",
     "tile_topk_hosts",
     "host_reciprocity",
+    "event_burst_windows",
+    "trajectory_od",
+    "tile_hhi",
+    "event_topk_users",
     "rendered_urls_canonical",
 ]
 

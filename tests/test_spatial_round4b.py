@@ -208,3 +208,47 @@ def test_tile_topk_hosts_matches_bruteforce():
     pd.testing.assert_frame_equal(got_s[["cell_id", "rank", "hostname", "n"]],
                                   want_s[["cell_id", "rank", "hostname", "n"]],
                                   check_dtype=False)
+
+
+def test_trajectory_od_matches_bruteforce():
+    got = tiling.trajectory_od(read_interleaved(SF)).to_pandas()
+    res = tiling.DEFAULT_RES
+    df = _flat(["doc_id", "offset", "lat", "lng"])
+    ix, iy = geo.cell_xy(df["lat"].to_numpy(), df["lng"].to_numpy(), res)
+    df = df.assign(cell=geo.cell_id(ix, iy, res)).sort_values(
+        ["doc_id", "offset"], kind="mergesort")
+    first = df.groupby("doc_id")["cell"].first()
+    last = df.groupby("doc_id")["cell"].last()
+    want = (pd.DataFrame({"o_cell": first, "d_cell": last})
+            .groupby(["o_cell", "d_cell"]).size().reset_index(name="n_docs"))
+    key = ["o_cell", "d_cell"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(want_s) and len(got_s) > 0
+    pd.testing.assert_frame_equal(got_s[want_s.columns.tolist()], want_s,
+                                  check_dtype=False)
+    # trips sum to the document count
+    assert got_s["n_docs"].sum() == df["doc_id"].nunique()
+
+
+def test_tile_hhi_matches_bruteforce():
+    cols = ["hostname", "lat", "lng"]
+    res = tiling.DEFAULT_RES
+    got = tiling.tile_hhi(
+        explode_spans(read_interleaved(SF), cols), res).to_pandas()
+    df = _flat(cols)
+    df = df[df["hostname"] != ""].copy()
+    ix, iy = geo.cell_xy(df["lat"].to_numpy(), df["lng"].to_numpy(), res)
+    df["cell_id"] = geo.cell_id(ix, iy, res)
+    h = df.groupby(["cell_id", "hostname"]).size().reset_index(name="n")
+    want = h.groupby("cell_id").agg(
+        n_total=("n", "sum"), n_hosts=("n", "size"),
+        sum_sq=("n", lambda s: int((s.to_numpy() ** 2).sum()))).reset_index()
+    got_s = got.sort_values("cell_id").reset_index(drop=True)
+    want_s = want.sort_values("cell_id").reset_index(drop=True)
+    assert len(got_s) == len(want_s) and len(got_s) > 0
+    pd.testing.assert_frame_equal(got_s[want_s.columns.tolist()], want_s,
+                                  check_dtype=False)
+    # HHI components sane: sum_sq between n_total (all distinct) and n_total^2
+    assert (got_s["sum_sq"] >= got_s["n_total"]).all()
+    assert (got_s["sum_sq"] <= got_s["n_total"] ** 2).all()
