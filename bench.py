@@ -155,6 +155,9 @@ BENCH_QUERIES = [
     "trajectory_od",
     "tile_hhi",
     "event_topk_users",
+    "tile_morans",
+    "event_rfm",
+    "host_assortativity",
 ]
 
 

@@ -837,3 +837,45 @@ WITH t AS (
 SELECT event_type, CAST(rank AS BIGINT) AS rank, user_id, total_cents
 FROM r WHERE rank <= {k}
 """
+
+
+def rfm(events_ds, n_parts: int | None = None):
+    """Per-user RFM profile (recency / frequency / monetary) in exact
+    units: last event timestamp, event count, total spend in integer
+    cents — the classic user-segmentation aggregate.
+
+    Scale shape: batch-local per-user partials (max ts, count, cent sum —
+    all mergeable) → ONE crc32 user-range shuffle → vectorized per-range
+    merge.  Nothing but user-cardinality partials cross the exchange."""
+    from ..util import user_range_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = (df["value"] * 100).round().astype("int64")
+        g = df.groupby("user_id", sort=False).agg(
+            part_last=("ts", "max"), part_n=("cents", "size"),
+            part_cents=("cents", "sum")).reset_index()
+        g["part_n"] = g["part_n"].astype("int64")
+        g["part_cents"] = g["part_cents"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_range(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False).agg(
+            last_ts=("part_last", "max"), n_events=("part_n", "sum"),
+            total_cents=("part_cents", "sum")).reset_index()
+        g["n_events"] = g["n_events"].astype("int64")
+        g["total_cents"] = g["total_cents"].astype("int64")
+        return g
+
+    return user_range_groupby(events_ds.map_batches(
+        partial, batch_format="pyarrow"), per_range, n_parts=n_parts)
+
+
+def rfm_sql() -> str:
+    return """
+SELECT user_id, MAX(ts) AS last_ts,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM events GROUP BY user_id
+"""

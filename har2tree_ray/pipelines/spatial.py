@@ -532,6 +532,11 @@ def nn_media_host(flat_ds, eps: float = PIP_EPS):
             lat = sel["lat"].to_numpy(zero_copy_only=False)
             lng = sel["lng"].to_numpy(zero_copy_only=False)
             b = self.b
+            if len(b["hostname"]) == 0:   # boundary-less corpus: no neighbor
+                return pa.table({"doc_id": pa.array([], pa.string()),
+                                 "offset": pa.array([], pa.int64()),
+                                 "nn_host": pa.array([], pa.string()),
+                                 "d2": pa.array([], pa.float64())})
             nn = np.empty(len(lat), np.int64)
             d2o = np.empty(len(lat), np.float64)
             for i0 in range(0, len(lat), 4096):

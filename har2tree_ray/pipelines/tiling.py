@@ -741,6 +741,17 @@ def grid_dbscan(flat_ds, res: int = DEFAULT_RES, minpts: int = DBSCAN_MINPTS):
     counts = partials.groupby("cell_id").aggregate(
         Sum("partial_n", alias_name="n_spans"))
     core = counts.filter(expr=f"n_spans >= {minpts}").to_pandas()
+
+    import ray.data as rd
+
+    if not len(core):   # no cell reaches minpts: typed empty, stable schema
+        # (an all-filtered Dataset loses its columns in to_pandas, so the
+        # guard must precede any column access)
+        return rd.from_arrow(pa.table({
+            "cell_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64()),
+            "n_spans": pa.array([], pa.int64())}))
+
     core = core.sort_values("cell_id", kind="mergesort").reset_index(drop=True)
 
     ids = core["cell_id"].to_numpy(np.int64)
@@ -780,8 +791,6 @@ def grid_dbscan(flat_ds, res: int = DEFAULT_RES, minpts: int = DBSCAN_MINPTS):
     roots = np.fromiter((find(i) for i in range(len(ids))),
                         dtype=np.int64, count=len(ids))
     cluster = ids[roots]
-
-    import ray.data as rd
 
     return rd.from_pandas(pd.DataFrame({
         "cell_id": ids, "cluster_id": cluster,
@@ -970,4 +979,114 @@ SELECT cell_id, CAST(SUM(n) AS BIGINT) AS n_total,
        CAST(COUNT(*) AS BIGINT) AS n_hosts,
        CAST(SUM(n * n) AS BIGINT) AS sum_sq
 FROM h GROUP BY cell_id
+"""
+
+
+# --------------------------------------------- spatial autocorrelation
+
+
+def tile_morans(flat_ds, res: int = DEFAULT_RES, n_parts: int | None = None):
+    """Global spatial-autocorrelation components (Moran's I numerator /
+    denominator pieces) over the occupied-cell raster, in EXACT integers:
+    one row ``(n_cells, sum_x, sum_x2, sum_w, sum_wxy)`` where x is the
+    per-cell span count, w is 8-connectivity (lng wraps, lat clamps,
+    binary weights), ``sum_w`` counts ordered adjacent occupied pairs and
+    ``sum_wxy = Σ_adjacent x_i·x_j`` (ordered).  The float assembly
+    ``I = (n/Σw)·(Σw(x-x̄)(y-x̄))/Σ(x-x̄)²`` expands into these integer
+    moments, so the engine emits only BIGINTs (the host_clustering
+    philosophy) and the oracle compare is exact.
+
+    Scale shape: per-cell exact counts (one bounded-key shuffle) → each
+    occupied cell SCATTERS its count to its 8 neighbors (the
+    tile_neighbor_density pattern) → the scatter side co-partitions with
+    the counts side on the cell key (ONE more bounded exchange); per-range
+    products accumulate batch-locally and a final 1-row reduce sums five
+    integers."""
+    from ..util import user_range_groupby
+
+    counts = pre_shuffle_coalesce(flat_ds.map_batches(
+        lambda b: _cell_count_partial(b, res), batch_format="pyarrow")
+    ).groupby("cell_id").aggregate(Sum("partial_n", alias_name="n_spans"))
+
+    n = np.int64(1) << res
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cid = t["cell_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t["n_spans"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = cid % n, cid // n
+        cells, vals = [], []
+        for dx, dy in ((-1, -1), (0, -1), (1, -1), (-1, 0),
+                       (1, 0), (-1, 1), (0, 1), (1, 1)):
+            ny = cy + dy
+            ok = (ny >= 0) & (ny < n)
+            cells.append(ny[ok] * n + (cx[ok] + dx) % n)
+            vals.append(cnt[ok])
+        return pa.table({
+            "cell_id": pa.array(np.concatenate(cells)),
+            "x_nbr": pa.array(np.concatenate(vals)),
+            "x_self": pa.array(np.zeros(sum(len(c) for c in cells), np.int64)),
+        })
+
+    def self_side(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cell_id": t["cell_id"],
+            "x_nbr": pa.array(np.zeros(t.num_rows, np.int64)),
+            "x_self": t["n_spans"],
+        })
+
+    both = counts.map_batches(self_side, batch_format="pyarrow").union(
+        counts.map_batches(scatter, batch_format="pyarrow"))
+
+    def per_range(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cell_id", sort=False).agg(
+            x=("x_self", "sum"), s_nbr=("x_nbr", "sum"),
+            w=("x_nbr", lambda s: int((s.to_numpy() > 0).sum())))
+        g = g[g["x"] > 0]   # products only for OCCUPIED cells
+        x = g["x"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n_cells": [np.int64(len(g))],
+            "sum_x": [np.int64(x.sum())],
+            "sum_x2": [np.int64((x * x).sum())],
+            "sum_w": [np.int64(g["w"].to_numpy(np.int64).sum())],
+            "sum_wxy": [np.int64((x * g["s_nbr"].to_numpy(np.int64)).sum())],
+        })
+
+    parts = user_range_groupby(both, per_range, key="cell_id",
+                               n_parts=n_parts)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({c: [np.int64(df[c].sum())] for c in
+                             ("n_cells", "sum_x", "sum_x2", "sum_w", "sum_wxy")})
+
+    return parts.repartition(1).map_batches(final, batch_format="pandas",
+                                            batch_size=None)
+
+
+def tile_morans_sql(flat_path: str, res: int = DEFAULT_RES) -> str:
+    n = 1 << res
+    return f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+), f AS (
+    SELECT COALESCE(TRY_CAST(regexp_extract(s.text, '@geo=(-?\\d+\\.\\d+),(-?\\d+\\.\\d+)', 1) AS DOUBLE), 0.0) AS lat,
+           COALESCE(TRY_CAST(regexp_extract(s.text, '@geo=(-?\\d+\\.\\d+),(-?\\d+\\.\\d+)', 2) AS DOUBLE), 0.0) AS lng
+    FROM ex
+), c AS (
+    SELECT LEAST(GREATEST(CAST(FLOOR((lng + 180.0) / 360.0 * {n}.0) AS BIGINT), 0), {n} - 1) AS cx,
+           LEAST(GREATEST(CAST(FLOOR((90.0 - lat) / 180.0 * {n}.0) AS BIGINT), 0), {n} - 1) AS cy
+    FROM f
+), cnt AS (
+    SELECT cy * {n} + cx AS cell_id, cx, cy, CAST(COUNT(*) AS BIGINT) AS x
+    FROM c GROUP BY 1, 2, 3
+), adj AS (
+    SELECT a.x AS xa, b.x AS xb
+    FROM cnt a JOIN cnt b ON a.cell_id <> b.cell_id
+     AND GREATEST(LEAST(ABS(a.cx - b.cx), {n} - ABS(a.cx - b.cx)),
+                  ABS(a.cy - b.cy)) <= 1
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cnt) AS n_cells,
+       (SELECT CAST(SUM(x) AS BIGINT) FROM cnt) AS sum_x,
+       (SELECT CAST(SUM(x * x) AS BIGINT) FROM cnt) AS sum_x2,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM adj) AS sum_w,
+       (SELECT CAST(COALESCE(SUM(xa * xb), 0) AS BIGINT) FROM adj) AS sum_wxy
 """

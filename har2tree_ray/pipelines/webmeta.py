@@ -1934,3 +1934,114 @@ SELECT e.s AS hostname,
 FROM e LEFT JOIN e b ON b.s = e.t AND b.t = e.s
 GROUP BY e.s
 """
+
+
+def host_assortativity(flat_ds):
+    """Degree-assortativity components of the undirected host graph in
+    EXACT integers — one row ``(m, sum_a, sum_b, sum_ab, sum_a2, sum_b2)``
+    over the canonical (a < b) edge list with da/db the endpoints'
+    undirected degrees: the Pearson degree-degree correlation assembles
+    from these six moments (Newman 2002, public), so only BIGINTs cross
+    the oracle compare (the host_clustering philosophy).
+
+    Scale shape: the canonical distinct edge list (one bounded pair-key
+    groupby off host_link_graph) + the per-host degree table broadcast via
+    ``ray.put`` (ST5 small side, exactly host_triangles' step 2); moments
+    accumulate batch-locally into 1-row partials and a driver-free 1-block
+    reduce sums them."""
+    import numpy as np
+    import ray as _ray
+
+    from ..util import pre_shuffle_coalesce, worker_cached_stage
+
+    edges = host_link_graph(flat_ds).select_columns(["src_host", "dst_host"])
+
+    def canon(t: pa.Table) -> pa.Table:
+        src = t["src_host"].to_numpy(zero_copy_only=False)
+        dst = t["dst_host"].to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+        out = pa.table({"a": pa.array(lo, pa.string()),
+                        "b": pa.array(hi, pa.string())})
+        return out.group_by(["a", "b"]).aggregate([("a", "count")]).select(["a", "b"])
+
+    from ray.data.aggregate import Count
+
+    cedges = (pre_shuffle_coalesce(edges.map_batches(canon, batch_format="pyarrow"))
+              .groupby(["a", "b"]).aggregate(Count())
+              .select_columns(["a", "b"])).materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        hosts = pa.concat_arrays([t["a"].combine_chunks().cast(pa.string()),
+                                  t["b"].combine_chunks().cast(pa.string())])
+        g = pa.table({"h": hosts}).group_by("h").aggregate([("h", "count")])
+        return g.rename_columns(["h", "part_d"])
+
+    from ray.data.aggregate import Sum
+
+    deg_df = (pre_shuffle_coalesce(
+                  cedges.map_batches(deg_partial, batch_format="pyarrow"))
+              .groupby("h").aggregate(Sum("part_d", alias_name="deg"))
+              .to_pandas())
+    deg_ref = _ray.put(dict(zip(deg_df["h"], deg_df["deg"].astype(int))))
+
+    class Moments:
+        def __init__(self, ref) -> None:
+            self.deg = _ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            a = t["a"].to_pylist()
+            b = t["b"].to_pylist()
+            da = np.array([self.deg[x] for x in a], np.int64)
+            db = np.array([self.deg[x] for x in b], np.int64)
+            return pa.table({
+                "m": pa.array([np.int64(len(a))]),
+                "sum_a": pa.array([da.sum()]),
+                "sum_b": pa.array([db.sum()]),
+                "sum_ab": pa.array([(da * db).sum()]),
+                "sum_a2": pa.array([(da * da).sum()]),
+                "sum_b2": pa.array([(db * db).sum()]),
+            })
+
+    parts = cedges.map_batches(
+        worker_cached_stage(Moments, deg_ref, cache_key=deg_ref.hex() + "-ass"),
+        batch_format="pyarrow")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ("m", "sum_a", "sum_b", "sum_ab", "sum_a2", "sum_b2")
+        import numpy as _np
+
+        return pd.DataFrame({c: [_np.int64(df[c].sum())] for c in cols})
+
+    return parts.repartition(1).map_batches(final, batch_format="pandas",
+                                            batch_size=None)
+
+
+def host_assortativity_sql(flat_path: str) -> str:
+    return f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{flat_path}/*.parquet')
+), r AS (
+    SELECT CASE WHEN regexp_matches(regexp_extract(s.text, '@referer=(\\S+)', 1), '^https?://')
+                THEN regexp_extract(regexp_extract(s.text, '@referer=(\\S+)', 1), '^https?://([^/?#]+)', 1)
+                ELSE '' END AS src_host,
+           CASE WHEN regexp_matches(s.media_ref, '^https?://')
+                THEN regexp_extract(s.media_ref, '^https?://([^/?#]+)', 1)
+                ELSE '' END AS dst_host
+    FROM ex WHERE regexp_matches(s.text, '@referer=')
+), e0 AS (
+    SELECT DISTINCT src_host AS sh, dst_host AS dh FROM r
+    WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+), e AS (
+    SELECT DISTINCT LEAST(sh, dh) AS a, GREATEST(sh, dh) AS b FROM e0
+), d AS (
+    SELECT h, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT a AS h FROM e UNION ALL SELECT b FROM e) GROUP BY h
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS m,
+       CAST(SUM(da.deg) AS BIGINT) AS sum_a,
+       CAST(SUM(db.deg) AS BIGINT) AS sum_b,
+       CAST(SUM(da.deg * db.deg) AS BIGINT) AS sum_ab,
+       CAST(SUM(da.deg * da.deg) AS BIGINT) AS sum_a2,
+       CAST(SUM(db.deg * db.deg) AS BIGINT) AS sum_b2
+FROM e JOIN d da ON da.h = e.a JOIN d db ON db.h = e.b
+"""

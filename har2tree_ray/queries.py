@@ -234,6 +234,26 @@ def q_doc_trajectory(sf_dir: str):
     return tiling.doc_trajectory(read_interleaved(sf_dir))
 
 
+def q_tile_morans(sf_dir: str):
+    """Global spatial-autocorrelation (Moran's I) components in exact
+    integers over the occupied-cell raster (scatter + co-partition)."""
+    return tiling.tile_morans(explode_spans(
+        read_interleaved(sf_dir), ["lat", "lng"]), RES)
+
+
+def q_event_rfm(sf_dir: str):
+    """Per-user recency/frequency/monetary profile (exact cents; one
+    user-range shuffle of mergeable partials)."""
+    return events.rfm(_events(sf_dir, ["user_id", "ts", "value"]))
+
+
+def q_host_assortativity(sf_dir: str):
+    """Degree-assortativity moments of the undirected host graph in exact
+    integers (broadcast degree table + 1-row batch partials)."""
+    return webmeta.host_assortativity(explode_spans(
+        read_interleaved(sf_dir), ["text", "hostname"]))
+
+
 def q_tile_hhi(sf_dir: str):
     """Per-tile host concentration (HHI components in exact integers:
     n_total, n_hosts, sum of squared per-host counts)."""
@@ -1468,6 +1488,7 @@ _TABLE_ORACLES = {
     "event_window_distinct": lambda _p: events.window_distinct_sql(),
     "event_burst_windows": lambda _p: events.burst_windows_sql(),
     "event_topk_users": lambda _p: events.topk_users_sql(),
+    "event_rfm": lambda _p: events.rfm_sql(),
     "event_window_agg": lambda _p: events.window_agg_sql(),
     "event_asof": lambda _p: events.asof_error_click_sql(),
     "event_props_rollup": lambda _p: events.props_rollup_sql(),
@@ -1510,6 +1531,8 @@ _INTERLEAVED_ORACLES = {
     "tile_topk_hosts": _oracle_tile_topk_hosts,
     "trajectory_od": _oracle_trajectory_od,
     "tile_hhi": lambda p: tiling.tile_hhi_sql(p),
+    "tile_morans": lambda p: tiling.tile_morans_sql(p),
+    "host_assortativity": webmeta.host_assortativity_sql,
     "host_octagon": _oracle_host_octagon,
     "nn_media_host": _oracle_nn_media_host,
     "boundary_overlap": _oracle_boundary_overlap,
@@ -1595,6 +1618,8 @@ def _queries_registry() -> dict[str, Callable]:
         "tile_topk_hosts": q_tile_topk_hosts,    # top-k hosts per tile
         "trajectory_od": q_trajectory_od,        # OD flow matrix
         "tile_hhi": q_tile_hhi,                  # host concentration per tile
+        "tile_morans": q_tile_morans,            # spatial autocorrelation
+        "host_assortativity": q_host_assortativity,  # degree correlation
         "host_octagon": q_host_octagon,          # 8-DOP boundary
         "nn_media_host": q_nn_media_host,        # nearest-boundary join
         "boundary_overlap": q_boundary_overlap,  # box-overlap self-join
@@ -1682,6 +1707,7 @@ def _queries_registry() -> dict[str, Callable]:
         "event_window_distinct": q_event_window_distinct,  # exact distinct users
         "event_burst_windows": q_event_burst_windows,      # burst detection
         "event_topk_users": q_event_topk_users,            # spend leaderboard
+        "event_rfm": q_event_rfm,                          # RFM segmentation
         "event_window_agg": q_event_window_agg,
         "event_asof": q_event_asof,
         "event_props_rollup": q_event_props_rollup,

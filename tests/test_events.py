@@ -230,3 +230,24 @@ def test_topk_users_bruteforce():
     want_s = want.sort_values(key).reset_index(drop=True)
     assert len(got_s) == len(want_s) and len(got_s) > 0
     pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+
+
+def test_rfm_bruteforce():
+    import pandas as pd
+
+    from har2tree_ray.pipelines import events as ev
+    from har2tree_ray.sources.interleaved import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = ev.rfm(read_table(sf, "events",
+                            columns=["user_id", "ts", "value"])).to_pandas()
+    df = read_table(sf, "events",
+                    columns=["user_id", "ts", "value"]).to_pandas()
+    df["cents"] = (df["value"] * 100).round().astype("int64")
+    want = df.groupby("user_id").agg(
+        last_ts=("ts", "max"), n_events=("cents", "size"),
+        total_cents=("cents", "sum")).reset_index()
+    got_s = got.sort_values("user_id").reset_index(drop=True)
+    want_s = want.sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s[want_s.columns.tolist()], want_s,
+                                  check_dtype=False)

@@ -51,6 +51,9 @@ SQL_CHECKED = [
     "trajectory_od",
     "tile_hhi",
     "event_topk_users",
+    "tile_morans",
+    "event_rfm",
+    "host_assortativity",
     "rendered_urls_canonical",
 ]
 

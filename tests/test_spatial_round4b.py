@@ -252,3 +252,47 @@ def test_tile_hhi_matches_bruteforce():
     # HHI components sane: sum_sq between n_total (all distinct) and n_total^2
     assert (got_s["sum_sq"] >= got_s["n_total"]).all()
     assert (got_s["sum_sq"] <= got_s["n_total"] ** 2).all()
+
+
+def test_grid_dbscan_empty_when_no_core():
+    """minpts above every cell count → empty output (no crash on the
+    column access that an all-filtered to_pandas would otherwise hit).
+    Note: Ray Data's to_pandas drops the schema of a fully-empty Dataset,
+    so only row emptiness is assertable here; the engine-side return is
+    still a TYPED empty block (stable schema for downstream Ray stages)."""
+    import ray.data as rd
+
+    ds = rd.from_pandas(pd.DataFrame({"lat": [0.0, 10.0], "lng": [0.0, 10.0]}))
+    out_ds = tiling.grid_dbscan(ds, 8, minpts=99)
+    assert out_ds.schema().names == ["cell_id", "cluster_id", "n_spans"]
+    assert len(out_ds.to_pandas()) == 0
+
+
+def test_tile_morans_matches_bruteforce():
+    res = tiling.DEFAULT_RES
+    got = tiling.tile_morans(
+        explode_spans(read_interleaved(SF), ["lat", "lng"]), res).to_pandas()
+    df = _flat(["lat", "lng"])
+    ix, iy = geo.cell_xy(df["lat"].to_numpy(), df["lng"].to_numpy(), res)
+    cid = geo.cell_id(ix, iy, res)
+    uniq, counts = np.unique(cid, return_counts=True)
+    x = {int(c): int(k) for c, k in zip(uniq, counts)}
+    n = 1 << res
+    sum_w = sum_wxy = 0
+    for c, xc in x.items():
+        cx, cy = c % n, c // n
+        for dx, dy in ((-1, -1), (0, -1), (1, -1), (-1, 0),
+                       (1, 0), (-1, 1), (0, 1), (1, 1)):
+            yy = cy + dy
+            if yy < 0 or yy >= n:
+                continue
+            nb = yy * n + (cx + dx) % n
+            if nb in x:
+                sum_w += 1
+                sum_wxy += xc * x[nb]
+    row = got.iloc[0]
+    assert row["n_cells"] == len(x)
+    assert row["sum_x"] == sum(x.values())
+    assert row["sum_x2"] == sum(v * v for v in x.values())
+    assert row["sum_w"] == sum_w
+    assert row["sum_wxy"] == sum_wxy

@@ -384,3 +384,35 @@ def test_host_reciprocity_known_graph():
         "out_deg": [2, 1, 1],
         "n_reciprocal": [1, 1, 0]})
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_host_assortativity_known_graph():
+    """Path graph a-b-c: degrees a=1 b=2 c=1; canonical edges (a,b), (b,c);
+    moments: m=2, sum_a=1+2=3, sum_b=2+1=3, sum_ab=2+2=4, sum_a2=1+4=5,
+    sum_b2=4+1=5."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from har2tree_ray.pipelines import webmeta as W
+    from har2tree_ray.stages.normalize import explode_spans
+
+    def span(ref, referer):
+        return {"kind": "document", "text": f"x @referer={referer}",
+                "media_ref": ref, "offset": 0}
+
+    span_type = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                           ("media_ref", pa.string()), ("offset", pa.int32())])
+    docs = {
+        "d1": [span("http://b/x", "http://a/")],
+        "d2": [span("http://c/y", "http://b/")],
+    }
+    tbl = pa.table({
+        "doc_id": pa.array(list(docs), pa.string()),
+        "spans": pa.array(list(docs.values()), pa.list_(span_type)),
+    })
+    flat = explode_spans(rd.from_arrow(tbl), ["text", "hostname"])
+    got = W.host_assortativity(flat).to_pandas()
+    want = pd.DataFrame({"m": [2], "sum_a": [3], "sum_b": [3],
+                         "sum_ab": [4], "sum_a2": [5], "sum_b2": [5]})
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
