@@ -1004,9 +1004,15 @@ def tile_morans(flat_ds, res: int = DEFAULT_RES, n_parts: int | None = None):
     integers."""
     from ..util import user_range_groupby
 
-    counts = pre_shuffle_coalesce(flat_ds.map_batches(
+    # counts feeds BOTH union sides below; without materialize the whole
+    # explode→count→aggregate upstream executes twice.  The table is
+    # cell-cardinality (≤ 4^res rows — bounded by the grid, not the
+    # corpus), so pinning it is the host_triangles working-set contract,
+    # not a big-data materialize.  A/B at sf0.1: 8.9 → 3.0 s.
+    counts = (pre_shuffle_coalesce(flat_ds.map_batches(
         lambda b: _cell_count_partial(b, res), batch_format="pyarrow")
     ).groupby("cell_id").aggregate(Sum("partial_n", alias_name="n_spans"))
+    ).materialize()
 
     n = np.int64(1) << res
 

