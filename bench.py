@@ -158,6 +158,8 @@ BENCH_QUERIES = [
     "tile_morans",
     "event_rfm",
     "host_assortativity",
+    "doc_term_cooccur",
+    "event_session_histogram",
 ]
 
 

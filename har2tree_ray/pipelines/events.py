@@ -879,3 +879,41 @@ SELECT user_id, MAX(ts) AS last_ts,
            AS total_cents
 FROM events GROUP BY user_id
 """
+
+
+def session_histogram(events_ds, gap_min: int = SESSION_GAP_MIN,
+                      n_parts: int | None = None):
+    """Session-LENGTH distribution — the composition demo of the event
+    family: ``sessionize`` (one user-range shuffle) feeds a bounded
+    histogram reduce (sessions per n_events bucket).  Bucket cardinality
+    is the max session length, so batch-local partial counts + one tiny
+    int-keyed range merge finish it; nothing user-sized crosses the
+    second exchange."""
+    from ..util import user_range_groupby
+
+    sessions = sessionize(events_ds, gap_min=gap_min, n_parts=n_parts)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("n_events", sort=False).size().reset_index(
+            name="part_n")
+        g["part_n"] = g["part_n"].astype("int64")
+        return pa.Table.from_pandas(g[["n_events", "part_n"]],
+                                    preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_events", sort=False)["part_n"].sum().reset_index(
+            name="n_sessions")
+        g["n_sessions"] = g["n_sessions"].astype("int64")
+        return g
+
+    return user_range_groupby(
+        sessions.map_batches(partial, batch_format="pyarrow"),
+        merge, key="n_events", n_parts=n_parts)
+
+
+def session_histogram_sql(gap_min: int = SESSION_GAP_MIN) -> str:
+    return f"""
+SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM ({sessionize_sql(gap_min)}) GROUP BY n_events
+"""

@@ -241,6 +241,19 @@ def q_tile_morans(sf_dir: str):
         read_interleaved(sf_dir), ["lat", "lng"]), RES)
 
 
+def q_doc_term_cooccur(sf_dir: str):
+    """Fixed-vocabulary term co-occurrence matrix with PMI components in
+    exact integers (constant-size partials, zero shuffles)."""
+    return text.doc_term_cooccur(_docs(sf_dir))
+
+
+def q_event_session_histogram(sf_dir: str):
+    """Session-length distribution: sessionize composed with a bounded
+    histogram reduce."""
+    return events.session_histogram(
+        _events(sf_dir, ["user_id", "ts", "event_id", "value"]))
+
+
 def q_event_rfm(sf_dir: str):
     """Per-user recency/frequency/monetary profile (exact cents; one
     user-range shuffle of mergeable partials)."""
@@ -1489,6 +1502,8 @@ _TABLE_ORACLES = {
     "event_burst_windows": lambda _p: events.burst_windows_sql(),
     "event_topk_users": lambda _p: events.topk_users_sql(),
     "event_rfm": lambda _p: events.rfm_sql(),
+    "event_session_histogram": lambda _p: events.session_histogram_sql(),
+    "doc_term_cooccur": lambda _p: text.doc_term_cooccur_sql(),
     "event_window_agg": lambda _p: events.window_agg_sql(),
     "event_asof": lambda _p: events.asof_error_click_sql(),
     "event_props_rollup": lambda _p: events.props_rollup_sql(),
@@ -1708,6 +1723,8 @@ def _queries_registry() -> dict[str, Callable]:
         "event_burst_windows": q_event_burst_windows,      # burst detection
         "event_topk_users": q_event_topk_users,            # spend leaderboard
         "event_rfm": q_event_rfm,                          # RFM segmentation
+        "event_session_histogram": q_event_session_histogram,  # composition
+        "doc_term_cooccur": q_doc_term_cooccur,            # PMI components
         "event_window_agg": q_event_window_agg,
         "event_asof": q_event_asof,
         "event_props_rollup": q_event_props_rollup,

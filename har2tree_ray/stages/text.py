@@ -1818,3 +1818,101 @@ SELECT doc_id, token AS term, tf, dl,
            // 1000000 AS score_micro
 FROM s
 """
+
+
+# --------------------------------------------------------- term co-occurrence
+
+
+COOCCUR_TERMS = ("query", "dup", "merge", "scan", "sort", "join", "hash",
+                 "stream")
+
+
+def doc_term_cooccur(ds, terms: tuple[str, ...] = COOCCUR_TERMS):
+    """Document-level term CO-OCCURRENCE matrix over a FIXED vocabulary —
+    the PMI/collocation-components aggregate: for every term pair (a < b),
+    the number of documents containing BOTH, denormalized with each
+    term's own document count and the corpus size so PMI assembles
+    downstream in exact integers.
+
+    Scale shape: the fixed |terms| bounds the pair domain to |terms|²
+    regardless of corpus size, so per-batch dict partials (pair counts,
+    term counts, doc count) are constant-sized and a single-block merge
+    finishes the job — zero shuffles.  The unbounded-vocabulary
+    escalation is the DF-capped pair generation of doc_jaccard_pairs
+    (same combiner discipline, documented there)."""
+    from itertools import combinations
+
+    terms = tuple(terms)
+    tset = set(terms)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        pair_n: dict[tuple[str, str], int] = {}
+        term_n = dict.fromkeys(terms, 0)
+        for t in texts:
+            present = sorted(tset.intersection(_WS_TOKEN.findall(t)))
+            for w in present:
+                term_n[w] += 1
+            for a, b in combinations(present, 2):
+                pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+        rows_a = [a for a, _ in pair_n] + list(terms) + [""]
+        rows_b = [b for _, b in pair_n] + [""] * len(terms) + [""]
+        rows_n = ([pair_n[k] for k in pair_n] + [term_n[w] for w in terms]
+                  + [len(texts)])
+        return pa.table({
+            "a": pa.array(rows_a, pa.string()),
+            "b": pa.array(rows_b, pa.string()),
+            "part_n": pa.array(rows_n, pa.int64()),
+        })
+
+    def merge(df):
+        import pandas as pd
+
+        g = df.groupby(["a", "b"], sort=False)["part_n"].sum()
+        n_docs = int(g.get(("", ""), 0))
+        term_n = {w: int(g.get((w, ""), 0)) for w in terms}
+        rows = []
+        for (a, b), n in g.items():
+            if a == "" or b == "":
+                continue
+            rows.append({"term_a": a, "term_b": b, "n_both": int(n),
+                         "n_a": term_n[a], "n_b": term_n[b],
+                         "n_docs": n_docs})
+        if not rows:
+            return pd.DataFrame({c: pd.Series(dtype="int64" if c.startswith("n") else object)
+                                 for c in ("term_a", "term_b", "n_both",
+                                           "n_a", "n_b", "n_docs")})
+        out = pd.DataFrame(rows)
+        for c in ("n_both", "n_a", "n_b", "n_docs"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return ds.map_batches(partial, batch_format="pyarrow").repartition(
+        1).map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def doc_term_cooccur_sql(rel: str = "documents",
+                         terms: tuple[str, ...] = COOCCUR_TERMS) -> str:
+    tlist = ", ".join(f"'{w}'" for w in terms)
+    return f"""
+WITH p AS (
+    SELECT DISTINCT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS tok
+    FROM {rel}
+), f AS (
+    SELECT doc_id, tok FROM p WHERE tok IN ({tlist})
+), tc AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY tok
+), n AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {rel}
+)
+SELECT x.tok AS term_a, y.tok AS term_b,
+       CAST(COUNT(*) AS BIGINT) AS n_both,
+       ANY_VALUE(ta.n) AS n_a, ANY_VALUE(tb.n) AS n_b,
+       ANY_VALUE(n.n_docs) AS n_docs
+FROM f x
+JOIN f y ON y.doc_id = x.doc_id AND x.tok < y.tok
+JOIN tc ta ON ta.tok = x.tok
+JOIN tc tb ON tb.tok = y.tok
+CROSS JOIN n
+GROUP BY 1, 2
+"""

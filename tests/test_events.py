@@ -251,3 +251,26 @@ def test_rfm_bruteforce():
     want_s = want.sort_values("user_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got_s[want_s.columns.tolist()], want_s,
                                   check_dtype=False)
+
+
+def test_session_histogram_consistency():
+    """The histogram must be exactly the value_counts of sessionize's
+    n_events column (composition correctness)."""
+    import pandas as pd
+
+    from har2tree_ray.pipelines import events as ev
+    from har2tree_ray.sources.interleaved import read_table
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["user_id", "ts", "event_id", "value"]
+    sessions = ev.sessionize(read_table(sf, "events", columns=cols)).to_pandas()
+    got = ev.session_histogram(
+        read_table(sf, "events", columns=cols)).to_pandas()
+    want = (sessions["n_events"].value_counts().rename_axis("n_events")
+            .reset_index(name="n_sessions"))
+    got_s = got.sort_values("n_events").reset_index(drop=True)
+    want_s = want.sort_values("n_events").reset_index(drop=True)
+    assert len(got_s) > 0
+    pd.testing.assert_frame_equal(got_s, want_s[got_s.columns],
+                                  check_dtype=False)
+    assert got_s["n_sessions"].sum() == len(sessions)

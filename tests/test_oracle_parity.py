@@ -54,6 +54,8 @@ SQL_CHECKED = [
     "tile_morans",
     "event_rfm",
     "host_assortativity",
+    "doc_term_cooccur",
+    "event_session_histogram",
     "rendered_urls_canonical",
 ]
 

@@ -662,3 +662,34 @@ def test_doc_bm25_matches_bruteforce():
     common = max(df, key=df.get)
     if rare in m.columns and common in m.columns and len(m):
         assert (m[rare] >= m[common]).all()
+
+
+def test_doc_term_cooccur_bruteforce():
+    from itertools import combinations
+
+    import pandas as pd
+
+    from har2tree_ray.sources.interleaved import read_table
+    from har2tree_ray.stages import text as T
+
+    got = T.doc_term_cooccur(
+        read_table(SF, "documents", columns=["doc_id", "text"])).to_pandas()
+    docs = read_table(SF, "documents", columns=["doc_id", "text"]).to_pandas()
+    tset = set(T.COOCCUR_TERMS)
+    pair_n, term_n = {}, dict.fromkeys(T.COOCCUR_TERMS, 0)
+    for t in docs["text"]:
+        present = sorted(tset.intersection(t.split()))
+        for w in present:
+            term_n[w] += 1
+        for a, b in combinations(present, 2):
+            pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    want = pd.DataFrame([
+        {"term_a": a, "term_b": b, "n_both": n,
+         "n_a": term_n[a], "n_b": term_n[b], "n_docs": len(docs)}
+        for (a, b), n in pair_n.items()])
+    key = ["term_a", "term_b"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(want_s) and len(got_s) > 0
+    pd.testing.assert_frame_equal(got_s[want_s.columns.tolist()], want_s,
+                                  check_dtype=False)
