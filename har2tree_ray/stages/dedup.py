@@ -144,31 +144,24 @@ def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarra
     return a, b
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Word k-gram shingles → stable 64-bit hashes (blake2b, not Python hash)."""
-    words = text.split()
-    if len(words) < k:
-        grams = [" ".join(words)] if words else [""]
-    else:
-        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        out[i] = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "little")
-    return out
-
-
 class MinHasher:
     """Stateful signer: text → MinHash signature + LSH band keys.
 
-    Permutation parameters and the gram memo live in ``__init__`` state;
-    batches are signed in ``__call__``.  Deployed as plain tasks with a
-    per-worker instance memo (``_worker_cached_minhasher``) — see the note
-    there for why this beats an actor pool for microsecond-setup state.
+    Permutation parameters live in ``__init__`` state; batches are signed
+    in ``__call__``.  Deployed as plain tasks with a per-worker instance
+    memo (``_worker_cached_minhasher``) — see the note there for why this
+    beats an actor pool for microsecond-setup state.
     Emits one row per (doc, band): ``(id, band, band_hash, bh_part)`` where
     ``bh_part`` is a hash-range partition of ``band_hash`` — the LSH
     candidate shuffle keys on (band, bh_part), so no reducer ever sees a
     whole band (group size is O(corpus / n_parts), not O(corpus)).
-    """
+
+    Shingling is the batch-vectorized ``text.shingle_hash_batch`` pass
+    (tokenize once per doc, siphash unique tokens, k-window uint64
+    polynomial) — the per-GRAM blake2b + join loop this replaces was the
+    hot call of every LSH run; band keys are likewise a vectorized uint64
+    polynomial over each band's signature rows, not a per-(doc, band)
+    blake2b."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text",
                  num_perm: int = 64, bands: int = 16, k: int = 3,
@@ -179,58 +172,41 @@ class MinHasher:
         self.n_parts = n_parts
         self.rows_per_band = num_perm // bands
         self.a, self.b = _minhash_params(num_perm)
-        # per-actor shingle-hash memo: boilerplate/common grams repeat
-        # heavily across documents, and blake2 per gram is the hot call
-        self._gram_cache: dict[str, int] = {}
-
-    def _hashes(self, text: str) -> np.ndarray:
-        words = text.split()
-        if len(words) < self.k:
-            grams = [" ".join(words)] if words else [""]
-        else:
-            grams = [" ".join(words[i:i + self.k])
-                     for i in range(len(words) - self.k + 1)]
-        cache = self._gram_cache
-        out = np.empty(len(grams), dtype=np.uint64)
-        for i, g in enumerate(grams):
-            h = cache.get(g)
-            if h is None:
-                h = cache[g] = int.from_bytes(
-                    hashlib.blake2b(g.encode(), digest_size=8).digest(), "little")
-            out[i] = h
-        if len(cache) > 2_000_000:  # bound actor memory
-            cache.clear()
-        return out
-
-    def signature(self, text: str) -> np.ndarray:
-        sh = self._hashes(text)
-        vals = (self.a[None, :] * sh[:, None] + self.b[None, :]) % _MERSENNE
-        return vals.min(axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
+        from .text import _SH_B1, shingle_hash_batch
+
         texts = batch[self.text_col].to_pylist()
+        ndocs = len(texts)
+        doc_idx, _pos, sh_all, _ = shingle_hash_batch(
+            texts, self.k, short="whole", dual=False)
+        bounds = np.zeros(ndocs + 1, dtype=np.int64)
+        np.cumsum(np.bincount(doc_idx, minlength=ndocs), out=bounds[1:])
         # per-doc affine+min: the (shingles × perms) intermediate stays
         # L2-resident per document — a single flat batch matmul measured
         # ~10x SLOWER (numpy uint64 modulo over a 50 MB intermediate)
-        sigs = [self.signature(t) for t in texts]
-        out_id, out_band, out_bh, out_part = [], [], [], []
-        r = self.rows_per_band
-        for row, i in enumerate(ids):
-            sig = sigs[row]
-            for b in range(self.bands):
-                bh = hashlib.blake2b(sig[b * r:(b + 1) * r].tobytes(),
-                                     digest_size=8).hexdigest()
-                out_id.append(i)
-                out_band.append(b)
-                out_bh.append(bh)
-                out_part.append(int(bh[:4], 16) % self.n_parts)
+        sig = np.empty((ndocs, self.num_perm), dtype=np.uint64)
+        for d in range(ndocs):
+            sh = sh_all[bounds[d]:bounds[d + 1]]
+            vals = (self.a[None, :] * sh[:, None] + self.b[None, :]) % _MERSENNE
+            sig[d] = vals.min(axis=0)
+        r, b1 = self.rows_per_band, np.uint64(_SH_B1)
+        s3 = sig.reshape(ndocs, self.bands, r)
+        bh = np.zeros((ndocs, self.bands), dtype=np.uint64)
+        for j in range(r):
+            bh = bh * b1 + s3[:, :, j]
+        flat_bh = bh.ravel()
+        ids = batch[self.id_col].take(
+            pa.array(np.repeat(np.arange(ndocs, dtype=np.int64), self.bands)))
         return pa.table(
             {
-                "id": pa.array(out_id),
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_bh, pa.string()),
-                "bh_part": pa.array(out_part, pa.int32()),
+                "id": ids,
+                "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32),
+                                         ndocs), pa.int32()),
+                "band_hash": pa.array(flat_bh, pa.uint64()),
+                "bh_part": pa.array(
+                    (flat_bh % np.uint64(self.n_parts)).astype(np.int32),
+                    pa.int32()),
             }
         )
 
@@ -268,25 +244,20 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
     def bucket_pairs(t: pa.Table) -> pa.Table:
         # one (band, bh_part) hash-range per group — the per-bucket fan-out
-        # is a vectorized pandas groupby inside the batch, never a Ray group
-        # per (band, bucket) hash (that would be ~n_docs tiny groups)
-        df = t.to_pandas()
-        out_a, out_b = [], []
-        for bh, g in df.groupby("band_hash", sort=False):
-            ids = g["id"].unique()
-            if len(ids) < 2:
-                continue
-            if len(ids) > max_bucket:
-                logging.getLogger("har2tree_ray.dedup").warning(
-                    "minhash bucket %s dropped: %d ids > max_bucket=%d",
-                    bh, len(ids), max_bucket)
-                continue
-            ids = sorted(ids.tolist())
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        return pa.table({"id_a": pa.array(out_a), "id_b": pa.array(out_b)})
+        # is ONE vectorized pandas self-merge inside the group, never a Ray
+        # group per (band, bucket) hash (that would be ~n_docs tiny groups)
+        id_type = t.schema.field("id").type
+        df = t.select(["band_hash", "id"]).to_pandas().drop_duplicates()
+        sz = df.groupby("band_hash")["id"].transform("size")
+        for bh, n in df.loc[sz > max_bucket].groupby("band_hash").size().items():
+            logging.getLogger("har2tree_ray.dedup").warning(
+                "minhash bucket %s dropped: %d ids > max_bucket=%d",
+                bh, int(n), max_bucket)
+        df = df[(sz >= 2) & (sz <= max_bucket)]
+        m = df.merge(df, on="band_hash", suffixes=("_a", "_b"))
+        m = m[m["id_a"] < m["id_b"]]
+        return pa.table({"id_a": pa.array(m["id_a"].tolist(), id_type),
+                         "id_b": pa.array(m["id_b"].tolist(), id_type)})
 
     pairs = sigs.groupby(["band", "bh_part"]).map_groups(
         bucket_pairs, batch_format="pyarrow")

@@ -245,6 +245,116 @@ SELECT doc_id, MIN(h) AS fingerprint FROM g GROUP BY doc_id
 """
 
 
+# ----------------------------------------- vectorized shingle hashing (r5)
+#
+# The gram-explode family (dup_spans, jaccard explode, MinHash shingles) was
+# the engine's largest remaining Python inner loop: per-GRAM ``" ".join`` +
+# ``hashlib`` calls, O(total words) Python work per batch.  Replaced by one
+# batch-level pass: tokenize once per doc (a single C-level regex call),
+# siphash the UNIQUE tokens of the whole batch (pandas ``hash_array`` with
+# ``categorize=True`` — C-speed, words are Zipfian so uniques << total),
+# then combine each k-window with a vectorized uint64 polynomial (k numpy
+# gather+fma passes over the whole batch, wraparound multiplicative mixing).
+# Two independent 64-bit hashes (different sip keys AND bases) give a
+# 128-bit shingle identity: the engine-side dup/intersection tests key on
+# (h1, h2), so an md5-vs-polynomial disagreement with the DuckDB oracle
+# needs a 128-bit collision (~1e-14 at 1e12 grams).  The oracles keep md5 —
+# the hash never appears in any output column, only positions/counts do.
+
+_SHINGLE_KEY1 = "graft-shingle-h1"  # 16-byte siphash keys (pandas contract)
+_SHINGLE_KEY2 = "graft-shingle-h2"
+_SH_B1 = 0x9E3779B97F4A7C15  # odd 64-bit mixing bases (splitmix64 / xxhash)
+_SH_B2 = 0xC2B2AE3D27D4EB4F
+
+
+def shingle_hash_batch(texts, k: int, short: str = "drop", dual: bool = True):
+    """Vectorized k-word shingle hashes for a batch of documents.
+
+    Returns ``(doc_idx, pos, h1, h2)`` numpy arrays: int64 index into
+    ``texts``, 1-based word position of the shingle start, and one or two
+    (``dual``) uint64 shingle hashes.  ``short`` picks the under-k-words
+    edge rule: ``"drop"`` emits nothing for docs with < k words (dup_spans
+    semantics), ``"whole"`` emits ONE shingle covering all the doc's words,
+    the empty doc hashing the empty sequence (jaccard / minhash semantics).
+    Identical word sequences hash identically across batches and modes."""
+    import numpy as np
+    import pandas as pd
+
+    # str.split() emits the identical token stream to the oracles'
+    # regexp_extract_all('\\S+') and is ~2x faster than re.findall
+    toks = [t.split() for t in texts]
+    lens = np.fromiter((len(w) for w in toks), dtype=np.int64, count=len(toks))
+    total = int(lens.sum())
+    flat = np.empty(total, dtype=object)
+    o = 0
+    for w in toks:
+        flat[o:o + len(w)] = w
+        o += len(w)
+    # categorize=False: the factorize pre-pass loses badly when uniques are
+    # a large fraction of the batch (1.65 s vs 0.34 s on a 500k-vocab 2M-word
+    # batch) and saves only ~0.03 s on a fully repetitive one
+    wh1 = pd.util.hash_array(flat, hash_key=_SHINGLE_KEY1, categorize=False)
+    wh2 = (pd.util.hash_array(flat, hash_key=_SHINGLE_KEY2, categorize=False)
+           if dual else None)
+    offsets = np.zeros(len(toks), dtype=np.int64)
+    if len(toks) > 1:
+        offsets[1:] = np.cumsum(lens)[:-1]
+
+    n_sh = np.maximum(lens - k + 1, 0)
+    tot = int(n_sh.sum())
+    doc_idx = np.repeat(np.arange(len(toks), dtype=np.int64), n_sh)
+    excl = np.zeros(len(toks), dtype=np.int64)
+    if len(toks) > 1:
+        excl[1:] = np.cumsum(n_sh)[:-1]
+    seg = np.arange(tot, dtype=np.int64) - np.repeat(excl, n_sh)
+    gstart = np.repeat(offsets, n_sh) + seg
+    b1, b2 = np.uint64(_SH_B1), np.uint64(_SH_B2)
+    # polynomial over CONTIGUOUS slices of the flat word-hash array (windows
+    # that straddle a doc boundary are computed too, then discarded by the
+    # single gather at the end) — k slice-fmas beat k fancy-index gathers
+    nwin = max(total - k + 1, 0)
+    s1 = np.zeros(nwin, dtype=np.uint64)
+    s2 = np.zeros(nwin, dtype=np.uint64) if dual else None
+    for i in range(k):
+        s1 = s1 * b1 + wh1[i:nwin + i]
+        if dual:
+            s2 = s2 * b2 + wh2[i:nwin + i]
+    h1 = s1[gstart]
+    h2 = s2[gstart] if dual else None
+    pos = seg + 1
+
+    if short == "whole":
+        short_docs = np.flatnonzero(lens < k)
+        if len(short_docs):
+            s1 = np.zeros(len(short_docs), dtype=np.uint64)
+            s2 = np.zeros(len(short_docs), dtype=np.uint64) if dual else None
+            # rare path: one Python iteration per SHORT DOC (not per gram);
+            # Python-int arithmetic + mask avoids numpy SCALAR overflow
+            # warnings (array ops above wrap silently by contract)
+            mask = (1 << 64) - 1
+            for row, d in enumerate(short_docs):
+                sl = slice(offsets[d], offsets[d] + lens[d])
+                v1 = 0
+                for x in wh1[sl].tolist():
+                    v1 = (v1 * _SH_B1 + x) & mask
+                s1[row] = v1
+                if dual:
+                    v2 = 0
+                    for x in wh2[sl].tolist():
+                        v2 = (v2 * _SH_B2 + x) & mask
+                    s2[row] = v2
+            doc_idx = np.concatenate([doc_idx, short_docs])
+            pos = np.concatenate([pos, np.ones(len(short_docs), np.int64)])
+            h1 = np.concatenate([h1, s1])
+            if dual:
+                h2 = np.concatenate([h2, s2])
+            order = np.argsort(doc_idx, kind="stable")
+            doc_idx, pos, h1 = doc_idx[order], pos[order], h1[order]
+            if dual:
+                h2 = h2[order]
+    return doc_idx, pos, h1, h2
+
+
 # -------------------------------------------------- n-gram Jaccard near-dup
 
 
@@ -268,6 +378,27 @@ def _explode_grams(batch: pa.Table) -> pa.Table:
         "doc_id": pa.array(out_id),
         "gram": pa.array(out_gram, pa.string()),
         "n_grams": pa.array(out_n, pa.int64()),
+    })
+
+
+def _explode_gram_hashes(batch: pa.Table) -> pa.Table:
+    """128-bit-hash twin of ``_explode_grams`` for the jaccard join: one row
+    per (doc, DISTINCT shingle hash), the doc's distinct count denormalized
+    onto every row.  Gram text never leaves the batch — only ``ngram_topk``
+    (output-facing gram strings) still uses the string explode."""
+    import numpy as np
+    import pandas as pd
+
+    doc_idx, _pos, h1, h2 = shingle_hash_batch(
+        batch["text"].to_pylist(), JACCARD_GRAM, short="whole")
+    df = pd.DataFrame({"d": doc_idx, "h1": h1, "h2": h2}).drop_duplicates()
+    n = df.groupby("d")["h1"].transform("size").to_numpy(np.int64)
+    ids = batch["doc_id"].take(pa.array(df["d"].to_numpy(), pa.int64()))
+    return pa.table({
+        "doc_id": ids,
+        "h1": pa.array(df["h1"].to_numpy(), pa.uint64()),
+        "h2": pa.array(df["h2"].to_numpy(), pa.uint64()),
+        "n_grams": pa.array(n, pa.int64()),
     })
 
 
@@ -303,11 +434,11 @@ def ngram_jaccard_pairs(ds, tau: float = JACCARD_TAU, df_cap: int = JACCARD_DF_C
         n_parts = max(32, cpus * 2)
 
     def explode(batch: pa.Table) -> pa.Table:
-        t = _explode_grams(batch)
+        t = _explode_gram_hashes(batch)
         from ..util import key_partition_ids
 
         return t.append_column(
-            "gpart", pa.array(key_partition_ids(t["gram"], n_parts)))
+            "gpart", pa.array(key_partition_ids(t["h1"], n_parts)))
 
     grams = pre_shuffle_coalesce(ds.map_batches(explode, batch_format="pyarrow"))
 
@@ -315,14 +446,15 @@ def ngram_jaccard_pairs(ds, tau: float = JACCARD_TAU, df_cap: int = JACCARD_DF_C
                     "n_a": "int64", "n_b": "int64", "ppart": "int32"}
 
     def pairs_per_range(df: pd.DataFrame) -> pd.DataFrame:
-        # exact DF per gram: all rows of a gram are in this range by key
-        cnt = df.groupby("gram")["doc_id"].transform("size")
+        # exact DF per gram: all rows of a 128-bit gram hash are in this
+        # range by key (gpart derives from h1 alone, so (h1, h2) co-locate)
+        cnt = df.groupby(["h1", "h2"])["doc_id"].transform("size")
         df = df[(cnt >= 2) & (cnt <= df_cap)]
         if df.empty:
             return pd.DataFrame({c: pd.Series([], dtype=t)
                                  for c, t in _EMPTY_PAIRS.items()})
-        m = df[["gram", "doc_id", "n_grams"]].merge(
-            df[["gram", "doc_id", "n_grams"]], on="gram",
+        m = df[["h1", "h2", "doc_id", "n_grams"]].merge(
+            df[["h1", "h2", "doc_id", "n_grams"]], on=["h1", "h2"],
             suffixes=("_a", "_b"))
         m = m[m["doc_id_a"] < m["doc_id_b"]]
         a = m["doc_id_a"].to_numpy(dtype=np.int64)
@@ -1088,28 +1220,23 @@ def dup_spans(ds, k: int = DUPSPAN_GRAM):
     from ..util import user_range_groupby
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        texts = batch["text"].to_pylist()
-        o_doc, o_pos, o_h = [], [], []
-        for d, t in zip(ids, texts):
-            words = _WS_TOKEN.findall(t)
-            for j in range(len(words) - k + 1):
-                o_doc.append(d)
-                o_pos.append(j + 1)
-                o_h.append(hashlib.md5(
-                    " ".join(words[j:j + k]).encode("utf-8")).hexdigest())
-        return pa.table({"doc_id": pa.array(o_doc),
-                         "pos": pa.array(o_pos, pa.int64()),
-                         "h": pa.array(o_h, pa.string())})
+        # vectorized 128-bit shingle hashes (see shingle_hash_batch) — the
+        # md5 stays in the SQL oracle; the hash never reaches the output
+        doc_idx, pos, h1, h2 = shingle_hash_batch(
+            batch["text"].to_pylist(), k, short="drop")
+        ids = batch["doc_id"].take(pa.array(doc_idx, pa.int64()))
+        return pa.table({"doc_id": ids,
+                         "pos": pa.array(pos, pa.int64()),
+                         "h1": pa.array(h1, pa.uint64()),
+                         "h2": pa.array(h2, pa.uint64())})
 
     grams = ds.map_batches(explode, batch_format="pyarrow")
 
     def dup_positions(df: pd.DataFrame) -> pd.DataFrame:
-        ndocs = df.groupby("h")["doc_id"].nunique()
-        dup = ndocs[ndocs >= 2].index
-        return df.loc[df["h"].isin(dup), ["doc_id", "pos"]]
+        dup = df.groupby(["h1", "h2"])["doc_id"].transform("nunique") >= 2
+        return df.loc[dup, ["doc_id", "pos"]]
 
-    marked = user_range_groupby(grams, dup_positions, key="h")
+    marked = user_range_groupby(grams, dup_positions, key="h1")
 
     def merge_spans(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["doc_id", "pos"], kind="mergesort")
