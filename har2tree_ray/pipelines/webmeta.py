@@ -871,8 +871,30 @@ GROUP BY src_host, dst_host
 
 
 
+def _graph_node_partials(pair_ds, col_a: str, col_b: str):
+    """Batch-local distinct endpoints of a materialized pair table — a
+    (host,) dataset bounded by hosts × blocks, materialized because both
+    the route decision (count) and the chosen route (gather or exact
+    distinct) consume it."""
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"host": pd.unique(
+            pd.concat([df[col_a], df[col_b]], ignore_index=True))})
+
+    return pair_ds.map_batches(uniq, batch_format="pandas").materialize()
+
+
+def _distinct_nodes_ds(node_part):
+    """Exact distinct node table — ONE bounded host-key exchange, reused by
+    every escalated iteration (seed + zero/own rows)."""
+    from ..util import user_range_groupby
+
+    return user_range_groupby(
+        node_part, lambda df: df.drop_duplicates(), key="host").materialize()
+
+
 def host_rank(flat_ds, iters: int = 3, mass: int = 1_000_000,
-              base: int = 150_000):
+              base: int = 150_000, broadcast_max: int = 2_000_000):
     """Iterative damped link-mass propagation (PageRank-style) over the
     cross-host referral graph — the canonical *iterative* distributed
     algorithm over ``host_link_graph`` edges.
@@ -900,11 +922,16 @@ def host_rank(flat_ds, iters: int = 3, mass: int = 1_000_000,
     broadcast of the current ranks + one map-only pass over the
     (materialized, never re-shuffled) edge partitions emitting batch-local
     per-destination partial sums, gathered and summed on the driver
-    (partials are bounded by hosts × blocks).  If the host table ever
-    outgrew the broadcast contract, each iteration escalates to the
-    co-partition form: union(edges, ranks) → src-range shuffle → contribs
-    → dst-range shuffle — the documented ST5 escalation, at 2 exchanges
-    per iteration.
+    (partials are bounded by hosts × blocks).
+
+    When the node table outgrows the broadcast contract (the batch-local
+    unique partial COUNT — an upper bound on distinct hosts, so the router
+    errs toward escalating — exceeds ``broadcast_max``), each iteration
+    runs the CODED co-partition form ``_rank_copart``: union(edges, ranks)
+    → src-range shuffle → contribs → dst-range shuffle — the documented
+    ST5 escalation, at 2 exchanges per iteration with no driver gather and
+    no broadcast (the ``dedup_clusters`` size-routing precedent,
+    dedup.py:339+).
     """
     import numpy as np
     import ray as _ray
@@ -925,12 +952,12 @@ def host_rank(flat_ds, iters: int = 3, mass: int = 1_000_000,
     edges_aug = user_range_groupby(edges, with_outdeg,
                                    key="src_host").materialize()
 
+    node_part = _graph_node_partials(edges_aug, "src_host", "dst_host")
+    if node_part.count() > broadcast_max:
+        return _rank_copart(edges_aug, node_part, iters, mass, base)
+
     # node set: host-cardinality driver gather (ST5 small-side contract)
-    nodes_df = edges_aug.map_batches(
-        lambda df: pd.DataFrame({"host": pd.unique(
-            pd.concat([df["src_host"], df["dst_host"]], ignore_index=True))}),
-        batch_format="pandas").to_pandas()
-    nodes = pd.unique(nodes_df["host"])
+    nodes = pd.unique(node_part.to_pandas()["host"])
 
     class ContribPartial:
         """Per-worker: fetch the broadcast rank vector once, then emit
@@ -964,7 +991,76 @@ def host_rank(flat_ds, iters: int = 3, mass: int = 1_000_000,
          "rank": ranks.to_numpy(dtype=np.int64)}))
 
 
-def host_components(flat_ds, max_iters: int = 64):
+def _rank_copart(edges_aug, node_part, iters: int, mass: int, base: int):
+    """Co-partition escalation of ``host_rank`` for node tables too large to
+    broadcast: each iteration is union(edges, ranks) → ONE src-key range
+    shuffle (every src's edges AND its rank row co-locate, so the per-edge
+    contribution is a range-local vectorized map) → ONE dst-key range
+    shuffle summing contributions + a zero row per node (so sinks keep
+    their base).  No driver gather, no ``ray.put`` — the rank vector lives
+    as a Dataset, materialized per iteration (the bounded iterative working
+    set; at 100 TB this is the parquet checkpoint).  Sentinel values (-1
+    mass / outdeg 0) keep every column int64 through pandas — typed NULLs
+    would decay to float64 inside the range resolver and break BIGINT
+    exactness past 2^53."""
+    import numpy as np
+
+    from ..util import user_range_groupby
+
+    nodes_ds = _distinct_nodes_ds(node_part)
+
+    def seed(t: pa.Table) -> pa.Table:
+        return pa.table({"host": t["host"],
+                         "m": pa.array(np.full(len(t), mass, np.int64))})
+
+    ranks = nodes_ds.map_batches(seed, batch_format="pyarrow").materialize()
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["src_host"], "dst": t["dst_host"],
+                         "outdeg": t["outdeg"],
+                         "m": pa.array(np.full(len(t), -1, np.int64))})
+
+    def tag_ranks(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["host"],
+                         "dst": pa.array([""] * len(t), pa.string()),
+                         "outdeg": pa.array(np.zeros(len(t), np.int64)),
+                         "m": t["m"]})
+
+    def contribs(df: pd.DataFrame) -> pd.DataFrame:
+        r = df.loc[df["outdeg"] == 0].set_index("key")["m"]
+        e = df.loc[df["outdeg"] > 0]
+        if e.empty:
+            return pd.DataFrame({"dst": pd.Series(dtype=object),
+                                 "c": pd.Series(dtype="int64")})
+        mvals = e["key"].map(r).to_numpy(dtype=np.int64)
+        c = (mvals * 85) // (100 * e["outdeg"].to_numpy(dtype=np.int64))
+        return (pd.DataFrame({"dst": e["dst"], "c": c})
+                .groupby("dst", sort=False, as_index=False)["c"].sum())
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"dst": t["host"],
+                         "c": pa.array(np.zeros(len(t), np.int64))})
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("dst", sort=False, as_index=False)["c"].sum()
+        return pd.DataFrame({"host": g["dst"],
+                             "m": (base + g["c"]).astype("int64")})
+
+    zero = nodes_ds.map_batches(zero_rows, batch_format="pyarrow")
+    for _ in range(iters):
+        u = edges_aug.map_batches(tag_edges, batch_format="pyarrow").union(
+            ranks.map_batches(tag_ranks, batch_format="pyarrow"))
+        part = user_range_groupby(u, contribs, key="key")
+        ranks = user_range_groupby(part.union(zero), total,
+                                   key="dst").materialize()
+
+    return ranks.map_batches(
+        lambda t: pa.table({"hostname": t["host"], "rank": t["m"]}),
+        batch_format="pyarrow")
+
+
+def host_components(flat_ds, max_iters: int = 64,
+                    broadcast_max: int = 2_000_000):
     """Connected components of the (undirected) cross-host referral graph
     via synchronous min-label propagation — the graph-analytics companion
     of ``host_rank``: each host's component id is the MINIMUM hostname
@@ -980,9 +1076,12 @@ def host_components(flat_ds, max_iters: int = 64):
     iteration via ``ray.put``; each iteration is ONE map-only pass over
     the edge partitions emitting batch-local (dst, min incoming label)
     partials, gathered and min-merged on the driver.  Iterations stop at
-    the fixpoint (bounded by graph diameter; ``max_iters`` is a runaway
-    guard).  The co-partition escalation for oversized host tables is the
-    same one documented on ``host_rank``.
+    the fixpoint (bounded by the eccentricity of each component's
+    minimum-label node; ``max_iters`` is a runaway guard and hitting it
+    UNCONVERGED raises rather than returning wrong components).  When the
+    node table outgrows the broadcast contract (router as in
+    ``host_rank``), iterations run the CODED co-partition form
+    ``_components_copart`` — 2 exchanges per iteration, no driver gather.
     """
     import numpy as np
     import ray as _ray
@@ -1003,11 +1102,11 @@ def host_components(flat_ds, max_iters: int = 64):
 
     und = edges.map_batches(undirect, batch_format="pyarrow").materialize()
 
-    nodes_df = und.map_batches(
-        lambda df: pd.DataFrame({"host": pd.unique(
-            pd.concat([df["src"], df["dst"]], ignore_index=True))}),
-        batch_format="pandas").to_pandas()
-    nodes = pd.unique(nodes_df["host"])
+    node_part = _graph_node_partials(und, "src", "dst")
+    if node_part.count() > broadcast_max:
+        return _components_copart(und, node_part, max_iters)
+
+    nodes = pd.unique(node_part.to_pandas()["host"])
 
     class MinLabelPartial:
         def __init__(self, labels_ref) -> None:
@@ -1020,7 +1119,8 @@ def host_components(flat_ds, max_iters: int = 64):
             return g
 
     labels = pd.Series(nodes, index=nodes)   # own hostname
-    for _ in range(max_iters):
+    converged = len(nodes) == 0
+    for _ in range(0 if converged else max_iters):
         ref = _ray.put(labels)
         partials = und.map_batches(
             worker_cached_stage(MinLabelPartial, ref, cache_key=ref.hex()),
@@ -1031,14 +1131,99 @@ def host_components(flat_ds, max_iters: int = 64):
                          incoming.to_numpy(dtype=object))
         new.loc[incoming.index] = upd
         if new.equals(labels):
+            converged = True
             break
         labels = new
+    if not converged:
+        raise RuntimeError(
+            f"host_components did not converge within max_iters={max_iters} "
+            "iterations (labels still changing) — raise max_iters; returning "
+            "the unconverged labeling would be silently wrong")
 
     import ray.data as rd
 
     return rd.from_pandas(pd.DataFrame(
         {"hostname": labels.index.to_numpy(dtype=object),
          "component": labels.to_numpy(dtype=object)}))
+
+
+def _components_copart(und, node_part, max_iters: int):
+    """Co-partition escalation of ``host_components``: per iteration,
+    union(edges, labels) → ONE src-key range shuffle resolving each edge's
+    source label batch-locally → ONE host-key range shuffle taking the min
+    of (own label, incoming partial mins) per node and flagging changes.
+    The label vector is a Dataset materialized per iteration; convergence
+    is an exact distributed ``sum(changed)`` over it — no driver gather of
+    labels, ever.  Raises on hitting ``max_iters`` unconverged."""
+    import numpy as np
+
+    from ..util import user_range_groupby
+
+    nodes_ds = _distinct_nodes_ds(node_part)
+
+    def seed(t: pa.Table) -> pa.Table:
+        return pa.table({"host": t["host"], "label": t["host"]})
+
+    labels = nodes_ds.map_batches(seed, batch_format="pyarrow").materialize()
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["src"], "dst": t["dst"],
+                         "lbl": pa.array([""] * len(t), pa.string()),
+                         "is_lbl": pa.array([0] * len(t), pa.int8())})
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["host"],
+                         "dst": pa.array([""] * len(t), pa.string()),
+                         "lbl": t["label"],
+                         "is_lbl": pa.array([1] * len(t), pa.int8())})
+
+    _EMPTY_MIN = {"host": object, "lbl": object, "own": "int8"}
+
+    def edge_mins(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df.loc[df["is_lbl"] == 1].set_index("key")["lbl"]
+        e = df.loc[df["is_lbl"] == 0]
+        if e.empty:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in _EMPTY_MIN.items()})
+        g = (pd.DataFrame({"host": e["dst"], "lbl": e["key"].map(lab)})
+             .groupby("host", sort=False, as_index=False)["lbl"].min())
+        g["own"] = np.int8(0)
+        return g[["host", "lbl", "own"]]
+
+    def own_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"host": t["host"], "lbl": t["label"],
+                         "own": pa.array([1] * len(t), pa.int8())})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        new = df.groupby("host", sort=False)["lbl"].min()
+        old = df.loc[df["own"] == 1].set_index("host")["lbl"]
+        changed = (new != old.reindex(new.index)).astype("int64")
+        return pd.DataFrame({"host": new.index.to_numpy(dtype=object),
+                             "label": new.to_numpy(dtype=object),
+                             "changed": changed.to_numpy()})
+
+    converged = nodes_ds.count() == 0
+    for _ in range(max_iters):
+        u = und.map_batches(tag_edges, batch_format="pyarrow").union(
+            labels.map_batches(tag_labels, batch_format="pyarrow"))
+        part = user_range_groupby(u, edge_mins, key="key")
+        nxt = user_range_groupby(
+            part.union(labels.map_batches(own_rows, batch_format="pyarrow")),
+            resolve, key="host").materialize()
+        n_changed = nxt.sum("changed") or 0
+        labels = nxt.select_columns(["host", "label"]).materialize()
+        if n_changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"host_components (co-partition route) did not converge within "
+            f"max_iters={max_iters} iterations — raise max_iters; returning "
+            "the unconverged labeling would be silently wrong")
+
+    return labels.map_batches(
+        lambda t: pa.table({"hostname": t["host"], "component": t["label"]}),
+        batch_format="pyarrow")
 
 
 def host_components_sql(flat_path: str) -> str:

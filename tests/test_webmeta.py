@@ -416,3 +416,71 @@ def test_host_assortativity_known_graph():
     want = pd.DataFrame({"m": [2], "sum_a": [3], "sum_b": [3],
                          "sum_ab": [4], "sum_a2": [5], "sum_b2": [5]})
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_host_graph_copart_route_parity(monkeypatch):
+    """Size-routed co-partition escalation (broadcast_max) must produce
+    bit-identical ranks/components to the broadcast path, and the router
+    must actually take the escalated branch when the node bound exceeds
+    the threshold (skewed hub graph)."""
+    import ray.data as rd
+
+    from har2tree_ray.pipelines import webmeta
+
+    def span(host, ref):
+        return {"text": f"@referer=https://{ref}/x body", "hostname": host}
+
+    # skewed synthetic: hub h00 feeds 12 spokes, plus a 4-chain and a 2-cycle
+    rows = ([span(f"s{i:02d}.ex", "h00.ex") for i in range(12)]
+            + [span("h00.ex", "s00.ex")]
+            + [span(f"c{i+1}.ex", f"c{i}.ex") for i in range(3)]
+            + [span("m.ex", "n.ex"), span("n.ex", "m.ex")])
+
+    called = {"rank": 0, "comp": 0}
+    orig_rank, orig_comp = webmeta._rank_copart, webmeta._components_copart
+
+    def spy_rank(*a, **k):
+        called["rank"] += 1
+        return orig_rank(*a, **k)
+
+    def spy_comp(*a, **k):
+        called["comp"] += 1
+        return orig_comp(*a, **k)
+
+    monkeypatch.setattr(webmeta, "_rank_copart", spy_rank)
+    monkeypatch.setattr(webmeta, "_components_copart", spy_comp)
+
+    bc = to_pandas(webmeta.host_rank(rd.from_items(rows)))
+    assert called["rank"] == 0  # default threshold keeps the broadcast route
+    cp = to_pandas(webmeta.host_rank(rd.from_items(rows), broadcast_max=0))
+    assert called["rank"] == 1  # node bound > 0 routes to the coded escalation
+    assert (sorted(map(tuple, bc.values.tolist()))
+            == sorted(map(tuple, cp.values.tolist())))
+
+    bc = to_pandas(webmeta.host_components(rd.from_items(rows)))
+    assert called["comp"] == 0
+    cp = to_pandas(webmeta.host_components(rd.from_items(rows),
+                                           broadcast_max=0))
+    assert called["comp"] == 1
+    assert (sorted(map(tuple, bc.values.tolist()))
+            == sorted(map(tuple, cp.values.tolist())))
+
+
+def test_host_components_unconverged_raises():
+    """Min-label propagation needs ~eccentricity iterations; exhausting
+    max_iters mid-propagation must raise on BOTH routes, never return a
+    wrong labeling silently."""
+    import ray.data as rd
+
+    from har2tree_ray.pipelines import webmeta
+
+    chain = [{"text": f"@referer=https://h{i:03d}.ex/x body",
+              "hostname": f"h{i + 1:03d}.ex"} for i in range(10)]
+    for kw in ({}, {"broadcast_max": 0}):
+        with pytest.raises(RuntimeError, match="did not converge"):
+            to_pandas(webmeta.host_components(rd.from_items(chain),
+                                              max_iters=3, **kw))
+        # and the same graph converges fine with enough headroom
+        out = to_pandas(webmeta.host_components(rd.from_items(chain),
+                                                max_iters=64, **kw))
+        assert set(out["component"]) == {"h000.ex"}
