@@ -16,49 +16,104 @@ import pyarrow as pa
 import ray
 
 
-def orders_by_nation(sf_dir: str):
-    """Per-nation order rollup: broadcast customer→nation map, probe per
-    batch of orders, partial-agg, tiny final shuffle."""
+def orders_by_nation(sf_dir: str, broadcast_max: int = 5_000_000):
+    """Per-nation order rollup, SIZE-ROUTED on the dimension side (the
+    ``corpus_keep_auto`` precedent): customer row count (parquet metadata
+    only — no data read) ≤ ``broadcast_max`` takes the broadcast route —
+    ``ray.put`` a sorted-key array ONCE, probe each orders batch with one
+    vectorized ``np.searchsorted`` (the per-row ``dict.get`` loop this
+    replaces was the batch cost) — else the ``util.hash_join`` shuffle
+    route, since a customer table that grows with SF eventually fits no
+    worker heap.  Both routes partial-agg on the int nation key and
+    resolve names once on the bounded (≤ nations) result."""
+    import pyarrow.parquet as pq
     import ray.data as rd
 
     from ray.data.aggregate import Sum
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey", "c_nationkey"]).to_pandas()
     nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
                              columns=["n_nationkey", "n_name"]).to_pandas()
-    cust2nation = dict(zip(
-        cust["c_custkey"].to_numpy(),
-        cust["c_nationkey"].map(dict(zip(nation["n_nationkey"], nation["n_name"]))).to_numpy(),
-    ))
-    ref = ray.put(cust2nation)
+    nkeys = nation["n_nationkey"].to_numpy(dtype=np.int64)
+    order_nk = np.argsort(nkeys, kind="stable")
+    nkeys_sorted = nkeys[order_nk]
+    nnames_sorted = nation["n_name"].to_numpy(dtype=object)[order_nk]
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
 
-    def probe(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)
-        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        names = [lookup.get(int(k), "") for k in keys]
-        cents = np.round(batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-        t = pa.table({"n_name": pa.array(names, pa.string()),
-                      "cents": pa.array(cents, pa.int64())})
-        g = t.group_by("n_name").aggregate([("cents", "sum"), ("cents", "count")])
-        return g.rename_columns(["n_name", "part_cents", "part_n"])
+    n_cust = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    if n_cust <= broadcast_max:
+        cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_nationkey"]).to_pandas()
+        order_c = np.argsort(cust["c_custkey"].to_numpy(), kind="stable")
+        ckeys = cust["c_custkey"].to_numpy(dtype=np.int64)[order_c]
+        cnats = cust["c_nationkey"].to_numpy(dtype=np.int64)[order_c]
+        ref = ray.put((ckeys, cnats))
 
-    partials = orders.map_batches(probe, batch_format="pyarrow")
-    agg = partials.groupby("n_name").aggregate(
+        def probe(batch: pa.Table) -> pa.Table:
+            ckeys_s, cnats_s = ray.get(ref)
+            if len(ckeys_s) == 0:
+                return pa.table({"nk": pa.array([], pa.int64()),
+                                 "part_cents": pa.array([], pa.int64()),
+                                 "part_n": pa.array([], pa.int64())})
+            k = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(ckeys_s, k), len(ckeys_s) - 1)
+            ok = ckeys_s[pos] == k  # inner-join semantics: drop unmatched
+            cents = np.round(batch["o_totalprice"].to_numpy(
+                zero_copy_only=False) * 100).astype(np.int64)
+            t = pa.table({"nk": pa.array(cnats_s[pos][ok], pa.int64()),
+                          "cents": pa.array(cents[ok], pa.int64())})
+            g = t.group_by("nk").aggregate([("cents", "sum"),
+                                            ("cents", "count")])
+            return g.rename_columns(["nk", "part_cents", "part_n"])
+
+        partials = orders.map_batches(probe, batch_format="pyarrow")
+    else:
+        from ..util import hash_join
+
+        def prep_orders(t: pa.Table) -> pa.Table:
+            cents = np.round(t["o_totalprice"].to_numpy(
+                zero_copy_only=False) * 100).astype(np.int64)
+            return pa.table({"o_custkey": t["o_custkey"],
+                             "cents": pa.array(cents, pa.int64())})
+
+        cust_ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                                  columns=["c_custkey", "c_nationkey"])
+        joined = hash_join(orders.map_batches(prep_orders,
+                                              batch_format="pyarrow"),
+                           cust_ds, "o_custkey", "c_custkey")
+
+        def partial(df) -> pa.Table:
+            g = (df.groupby("c_nationkey", sort=False)
+                 .agg(part_cents=("cents", "sum"), part_n=("cents", "size"))
+                 .reset_index())
+            return pa.table({
+                "nk": pa.array(g["c_nationkey"].astype(np.int64), pa.int64()),
+                "part_cents": pa.array(g["part_cents"].astype(np.int64)),
+                "part_n": pa.array(g["part_n"].astype(np.int64)),
+            })
+
+        partials = joined.map_batches(partial, batch_format="pandas")
+
+    agg = partials.groupby("nk").aggregate(
         Sum("part_cents", alias_name="total_cents"),
         Sum("part_n", alias_name="n_orders"),
     )
-    return agg.map_batches(
-        lambda t: pa.table({
-            "n_name": t["n_name"],
-            "total_cents": t["total_cents"],
-            "n_orders": t["n_orders"],
-        }),
-        batch_format="pyarrow",
-    )
+
+    def name_out(t: pa.Table) -> pa.Table:
+        nk = t["nk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(nkeys_sorted, nk)
+        return pa.table({
+            "n_name": pa.array(nnames_sorted[pos], pa.string()),
+            "total_cents": pa.array(
+                t["total_cents"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+            "n_orders": pa.array(
+                t["n_orders"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+        })
+
+    return agg.map_batches(name_out, batch_format="pyarrow")
 
 
 def revenue_by_month(sf_dir: str):

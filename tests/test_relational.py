@@ -47,3 +47,24 @@ def test_oracle_parity_revenue():
     from tests.oracle_utils import assert_matches_oracle
 
     assert_matches_oracle("revenue_by_month", "/root/testdata/sf0.001")
+
+
+def test_orders_by_nation_size_routes():
+    """Both routes — broadcast searchsorted probe and hash_join shuffle —
+    must produce identical rollups; broadcast_max=0 forces the shuffle
+    route (customer row count from parquet metadata exceeds 0)."""
+    import pandas as pd
+
+    from har2tree_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+
+    def canon(d):
+        return (d[sorted(d.columns)]
+                .sort_values(by=sorted(d.columns), kind="mergesort")
+                .reset_index(drop=True))
+
+    bc = canon(relational.orders_by_nation(sf).to_pandas())
+    hj = canon(relational.orders_by_nation(sf, broadcast_max=0).to_pandas())
+    pd.testing.assert_frame_equal(bc, hj, check_dtype=False)
+    assert_matches_oracle("orders_by_nation", sf)
