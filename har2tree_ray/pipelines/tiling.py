@@ -654,6 +654,30 @@ def tile_zonal_stats(flat_ds, res: int = DEFAULT_RES, n_parts: int | None = None
 
 HLL_REGS = 256  # 2 hex digits of register address
 
+# worker-level hostname → (reg, rho) memo: hot hostnames recur across
+# batches, and the per-batch dict the explode used to build re-hashed them
+# every batch.  Module-level = once per worker process (the
+# _WORKER_STAGE_CACHE pattern); bounded, cleared wholesale on overflow.
+_HLL_REG_CACHE: dict[str, str] = {}
+_HLL_RHO_CACHE: dict[str, int] = {}
+_HLL_CACHE_MAX = 2_000_000
+
+
+def _hll_host_memo(hostnames):
+    """Return (reg_map, rho_map) dicts covering ``hostnames``, md5-hashing
+    only the ones this worker has never seen."""
+    import hashlib
+
+    if len(_HLL_REG_CACHE) > _HLL_CACHE_MAX:
+        _HLL_REG_CACHE.clear()
+        _HLL_RHO_CACHE.clear()
+    for s in hostnames:
+        if s not in _HLL_REG_CACHE:
+            h = hashlib.md5(s.encode("utf-8")).hexdigest()
+            _HLL_REG_CACHE[s] = h[:2]
+            _HLL_RHO_CACHE[s] = 31 - len(h[2:32].lstrip("0"))
+    return _HLL_REG_CACHE, _HLL_RHO_CACHE
+
 
 def tile_host_hll(flat_ds, res: int = DEFAULT_RES):
     """Per-tile HyperLogLog-style distinct-hostname register sketch — the
@@ -669,8 +693,6 @@ def tile_host_hll(flat_ds, res: int = DEFAULT_RES):
     Mergeable by construction (register-wise MAX), so batch partials
     shrink to ≤ 256 rows per (batch, cell) before one bounded-key native
     Max aggregate — never a distinct-count over an unbounded domain."""
-    import hashlib
-
     from ray.data.aggregate import Max
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -685,13 +707,11 @@ def tile_host_hll(flat_ds, res: int = DEFAULT_RES):
             return pa.table({"cell_id": pa.array([], pa.int64()),
                              "reg": pa.array([], pa.string()),
                              "part_rho": pa.array([], pa.int64())})
-        uniq = {s: hashlib.md5(s.encode("utf-8")).hexdigest()
-                for s in set(df["hostname"])}
-        h = df["hostname"].map(uniq)
+        reg_c, rho_c = _hll_host_memo(set(df["hostname"]))
         df = pd.DataFrame({
             "cell_id": df["cell_id"].to_numpy(),
-            "reg": h.str[:2].to_numpy(),
-            "rho": (31 - h.str[2:32].str.lstrip("0").str.len()).to_numpy(),
+            "reg": df["hostname"].map(reg_c).to_numpy(),
+            "rho": df["hostname"].map(rho_c).to_numpy(),
         })
         g = df.groupby(["cell_id", "reg"], as_index=False)["rho"].max()
         return pa.table({"cell_id": pa.array(g["cell_id"], pa.int64()),
@@ -732,6 +752,13 @@ def grid_dbscan(flat_ds, res: int = DEFAULT_RES, minpts: int = DBSCAN_MINPTS):
     propagation of ``webmeta.host_components`` over the same pairs.
     Min-label clustering is order-independent, hence exactly
     oracle-checkable (recursive-CTE reachability closure + MIN)."""
+    if res < 2:
+        # with n <= 2 the mod-n neighbor ring wraps dx=-1 and dx=+1 onto
+        # the SAME cell, double-counting adjacency vs the oracle's
+        # wrapped-Chebyshev (which counts each ordered pair once) — the
+        # same aliasing range_join guards against
+        raise ValueError("8-neighbor ring cells must be distinct: "
+                         "res >= 2 required")
     from ray.data.aggregate import Sum
 
     from ..util import pre_shuffle_coalesce
@@ -1002,6 +1029,12 @@ def tile_morans(flat_ds, res: int = DEFAULT_RES, n_parts: int | None = None):
     the counts side on the cell key (ONE more bounded exchange); per-range
     products accumulate batch-locally and a final 1-row reduce sums five
     integers."""
+    if res < 2:
+        # the scatter emits dx=-1 and dx=+1 as the same wrapped cell when
+        # n <= 2, double-counting sum_w / sum_wxy vs the oracle's
+        # wrapped-Chebyshev adjacency — same aliasing range_join guards
+        raise ValueError("8-neighbor scatter cells must be distinct: "
+                         "res >= 2 required")
     from ..util import user_range_groupby
 
     # counts feeds BOTH union sides below; without materialize the whole

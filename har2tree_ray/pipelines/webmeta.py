@@ -1796,7 +1796,7 @@ def _host_triangles_impl(flat_ds, n_parts: int | None = None):
     import numpy as np
     import pyarrow.compute as pc
     import ray
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from ..util import default_n_parts, key_partition_ids, pre_shuffle_coalesce
 
@@ -1821,13 +1821,18 @@ def _host_triangles_impl(flat_ds, n_parts: int | None = None):
     # bounded working set — host-pair-sized, not span-sized — the same
     # contract as host_rank's materialized edge+outdeg table.  Without this
     # each consumer re-executes the whole explode→canonicalize upstream
-    # (measured 18.8 s → 6.5 s at sf0.1).
-    canon = (pre_shuffle_coalesce(
-                 flat_ds.select_columns(["text", "hostname"]).map_batches(
-                     canon_partial, batch_format="pyarrow"))
-             .groupby(["a", "b"]).aggregate(Count())
-             .select_columns(["a", "b"])
-             .materialize())
+    # (measured 18.8 s → 6.5 s at sf0.1).  The global distinct is ONE
+    # crc32 range on "a" (all copies of a pair share a, so the per-range
+    # drop_duplicates is exact) — the native multi-key string groupby it
+    # replaces cost 6.3 s of the 11 s wall at sf0.1 (execution lesson (a))
+    from ..util import user_range_groupby
+
+    canon = user_range_groupby(
+        pre_shuffle_coalesce(
+            flat_ds.select_columns(["text", "hostname"]).map_batches(
+                canon_partial, batch_format="pyarrow")),
+        lambda df: df.drop_duplicates(["a", "b"])[["a", "b"]],
+        key="a").materialize()
 
     # degree table: one row per host (bounded small side, like host_rank's
     # rank vector) — gathered once, shipped once via ray.put
@@ -1841,22 +1846,29 @@ def _host_triangles_impl(flat_ds, n_parts: int | None = None):
                   canon.map_batches(deg_partial, batch_format="pyarrow"))
               .groupby("h").aggregate(Sum("part_d", alias_name="deg"))
               .to_pandas())
-    deg_ref = ray.put(dict(zip(deg_df["h"], deg_df["deg"].astype(int))))
+    deg_ref = ray.put((deg_df["h"].to_numpy(dtype=object),
+                       deg_df["deg"].to_numpy(dtype=np.int64)))
 
     class Orient:
+        """Degree lookups via pd.Index.get_indexer (one C hashtable probe
+        per column) and an Arrow string compare — no per-edge Python."""
+
         def __init__(self, ref) -> None:
-            self.deg = ray.get(ref)
+            hosts, degs = ray.get(ref)
+            self.idx = pd.Index(hosts)
+            self.degs = degs
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            a = t["a"].to_pylist()
-            b = t["b"].to_pylist()
-            if not a:
+            if len(t) == 0:
                 return pa.table({"src": pa.array([], pa.string()),
                                  "dst": pa.array([], pa.string()),
                                  "spart": pa.array([], pa.int32())})
-            da = np.array([self.deg[x] for x in a])
-            db = np.array([self.deg[x] for x in b])
-            fwd = (da < db) | ((da == db) & (np.array(a) < np.array(b)))
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            da = self.degs[self.idx.get_indexer(a)]
+            db = self.degs[self.idx.get_indexer(b)]
+            name_lt = pc.less(t["a"], t["b"]).to_numpy(zero_copy_only=False)
+            fwd = (da < db) | ((da == db) & name_lt)
             src = np.where(fwd, a, b)
             dst = np.where(fwd, b, a)
             out = pa.table({"src": pa.array(src, pa.string()),

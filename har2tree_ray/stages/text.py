@@ -1843,9 +1843,12 @@ def doc_bm25(make_docs_ds, terms: tuple[str, ...] = BM25_TERMS,
       all — BM25 against a fixed query is embarrassingly parallel once
       the corpus constants exist.
 
-    int64 headroom: idf_micro ≤ 1e6·N and tf_part_micro ≤ ~2.2e6, so the
-    product needs N ≲ 4e9 docs per scored corpus partition; beyond that,
-    rescale idf to milli (documented knob, same formula shape)."""
+    int64 headroom: idf_micro can reach ~1e6·N/2 (df = 1) and
+    tf_part_micro ~2.2e6, so ``idf_micro * tf_part_micro`` stays inside
+    int64 only for N ≲ 8e6 docs per scored corpus partition; beyond that,
+    rescale idf to milli (same formula shape, bound rises ~1000× to
+    N ≲ 8e9) — mirror the rescale in the SQL oracle, whose BIGINT errors
+    at the same point."""
     import numpy as np
     import pandas as pd
 

@@ -296,3 +296,20 @@ def test_tile_morans_matches_bruteforce():
     assert row["sum_x2"] == sum(v * v for v in x.values())
     assert row["sum_w"] == sum_w
     assert row["sum_wxy"] == sum_wxy
+
+
+def test_low_res_neighbor_aliasing_guarded():
+    """res <= 1 wraps dx=-1 and dx=+1 onto the same mod-n cell, which would
+    double-count adjacency vs the wrapped-Chebyshev oracles — tile_morans
+    and grid_dbscan must refuse exactly like range_join does."""
+    import pytest
+    import ray.data as rd
+
+    from har2tree_ray.pipelines import tiling
+
+    ds = rd.from_items([{"hostname": "a.ex", "lat": 0.0, "lng": 0.0}])
+    for res in (0, 1):
+        with pytest.raises(ValueError, match="res >= 2"):
+            tiling.grid_dbscan(ds, res=res)
+        with pytest.raises(ValueError, match="res >= 2"):
+            tiling.tile_morans(ds, res=res)
