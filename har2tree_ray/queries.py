@@ -412,8 +412,19 @@ def q_har_edges(_sf_dir: str):
 # (training-data pipeline operators — text analysis, dedup family, ANN)
 
 
-def _docs(sf_dir: str):
-    return read_table(sf_dir, "documents", columns=["doc_id", "text"])
+def _docs(sf_dir: str, min_blocks: int = 1):
+    """``min_blocks`` is the small-input compute hint (see read_table): the
+    MinHash family's 128-permutation hashing is heavy per BYTE, so those
+    callers floor the split at the CPU count; map-only text stats leave the
+    size-based default."""
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      min_blocks=min_blocks)
+
+
+def _docs_wide(sf_dir: str):
+    from .sources.interleaved import _cluster_cpus
+
+    return _docs(sf_dir, min_blocks=_cluster_cpus())
 
 
 def q_doc_tokens(sf_dir: str):
@@ -484,11 +495,11 @@ def q_doc_exact_dedup(sf_dir: str):
 
 
 def q_doc_minhash_pairs(sf_dir: str):
-    return dedup.minhash_candidate_pairs(_docs(sf_dir))
+    return dedup.minhash_candidate_pairs(_docs_wide(sf_dir))
 
 
 def q_doc_simhash(sf_dir: str):
-    return dedup.simhash_table(_docs(sf_dir))
+    return dedup.simhash_table(_docs_wide(sf_dir))
 
 
 def q_ngram_topk(sf_dir: str):
@@ -525,7 +536,7 @@ def q_doc_filter(sf_dir: str):
 
 
 def q_corpus_keep(sf_dir: str):
-    return corpus.corpus_keep(_docs(sf_dir))
+    return corpus.corpus_keep(_docs_wide(sf_dir))
 
 
 def q_corpus_keep_lsh(sf_dir: str):
@@ -533,7 +544,7 @@ def q_corpus_keep_lsh(sf_dir: str):
     exact verification over the candidate subset (corpus_keep_lsh).
     Approximate by the banding curve — rows-only, with a recall-vs-exact
     pytest (tests/test_training_ops.py)."""
-    return corpus.corpus_keep_lsh(_docs(sf_dir))
+    return corpus.corpus_keep_lsh(_docs_wide(sf_dir))
 
 
 def q_dedup_clusters(sf_dir: str):

@@ -32,12 +32,70 @@ def read_interleaved(sf_dir: str, columns: list[str] | None = None) -> rd.Datase
     (the north-star storage format) when the binding is importable; this
     sandbox has no Lance wheel, so the synthesized tier tables are Parquet
     with the identical Arrow schema and take the parquet branch.
+
+    The span table is the engine's compute-carrying source (parse +
+    cascade run over it), so the small-input block override keeps a floor
+    of one block per cluster CPU — bytes say "few blocks" at small tiers,
+    but the per-row work still wants every core (see ``_auto_blocks``).
     """
     path = ensure_interleaved(sf_dir)
-    return _read(path, columns or ["doc_id", "spans"])
+    return _read(path, columns or ["doc_id", "spans"],
+                 min_blocks=_cluster_cpus())
 
 
-def _read(path: str, columns: list[str] | None) -> rd.Dataset:
+# Small-input read sizing.  Ray's default read split floors the task count
+# at ~2 x cluster CPUs regardless of input size, so a 600 KB single-file
+# table fans out into 64 near-empty read tasks whose dispatch overhead
+# dominates the query (measured at sf0.1: a trivial read+map over
+# documents.parquet runs 1.2-2.7 s at 64 blocks vs 0.21 s at 1 block).
+# _auto_blocks overrides the split ONLY when the input is small enough that
+# the default split would produce blocks under the target size; for big
+# inputs it returns None and Ray's own splitting (which is correct at
+# scale — far MORE blocks than CPU slots, for pipelining and spill) is
+# untouched, so the override is self-disabling at 100 TB.  Sizes come from
+# local stat; non-local paths (s3://...) skip the probe and keep defaults.
+_TARGET_BLOCK_BYTES = 8 << 20
+# kill switch (A/B harness + escape hatch): when False, every read keeps
+# Ray's default split exactly as before this optimization
+AUTO_BLOCKS_ENABLED = True
+
+
+def _cluster_cpus() -> int:
+    import ray
+
+    try:
+        return max(1, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 8
+
+
+def _total_bytes(path: str) -> int | None:
+    import os
+
+    try:
+        if os.path.isdir(path):
+            return sum(e.stat().st_size for e in os.scandir(path)
+                       if e.name.endswith(".parquet"))
+        return os.path.getsize(path)
+    except OSError:
+        return None
+
+
+def _auto_blocks(path: str, min_blocks: int = 1) -> int | None:
+    import math
+
+    if not AUTO_BLOCKS_ENABLED:
+        return None
+    default_split = 2 * _cluster_cpus()
+    total = _total_bytes(path)
+    if total is None or total >= _TARGET_BLOCK_BYTES * default_split:
+        return None  # big (or unprobeable) input: Ray's default split wins
+    return max(min_blocks,
+               min(default_split, math.ceil(total / _TARGET_BLOCK_BYTES)))
+
+
+def _read(path: str, columns: list[str] | None,
+          min_blocks: int = 1) -> rd.Dataset:
     if str(path).endswith(".lance"):
         try:
             import lance  # noqa: F401  (optional north-star binding)
@@ -46,16 +104,23 @@ def _read(path: str, columns: list[str] | None) -> rd.Dataset:
                 "Lance dataset given but the 'lance' binding is not "
                 "installed in this environment") from e
         return rd.read_lance(path, columns=columns)
-    return rd.read_parquet(path, columns=columns)
+    return rd.read_parquet(path, columns=columns,
+                           override_num_blocks=_auto_blocks(path, min_blocks))
 
 
-def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
+               min_blocks: int = 1) -> rd.Dataset:
     """Read one of the driver-provided tables (documents, embeddings,
     events, lineitem, ...) with column pruning; a ``<name>.lance`` dataset
-    takes precedence when present (see ``read_interleaved``)."""
+    takes precedence when present (see ``read_interleaved``).
+
+    ``min_blocks`` is the compute hint for small-byte inputs whose per-row
+    work is heavy (shingle hashing, embedding matmuls): it floors the
+    size-based split so those stages keep their parallelism even when the
+    bytes alone would say one block."""
     import os
 
     lance_path = f"{sf_dir}/{name}.lance"
     if os.path.isdir(lance_path):
-        return _read(lance_path, columns)
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+        return _read(lance_path, columns, min_blocks)
+    return _read(f"{sf_dir}/{name}.parquet", columns, min_blocks)
