@@ -48,38 +48,57 @@ ORPHAN_CAP = 1000
 _CONTAINER_KINDS = ("document", "script", "iframe")
 
 
-def _effective_redirect(node: dict, url_index: dict) -> str:
+def _effective_redirect(node: dict, url_index: dict) -> "tuple[str, str]":
     """Effective redirect target with M21 partial-URL repair: every channel's
     target is rebuilt against the node's own URL + the doc's known-URL set
     (strict strategies 1-4 of ``rebuild_url`` — the reference rebuilds every
-    redirectURL the same way, nodes.py:626-641 / helper.py:130-201)."""
+    redirectURL the same way, nodes.py:626-641 / helper.py:130-201).
+
+    Returns (target, channel evidence) — evidence is the channel name plus
+    the RAW value it fired on (``channel=raw`` or ``channel=raw=>repaired``
+    when M21 rewrote it), consumed only by evidence-flagged runs."""
     base = node["media_ref"]
     if node["redirect_url"]:
         t = node["redirect_url"]
         if t in url_index:
-            return t
+            return t, f"redirect_url={t}"
         # unknown raw target: a repaired match attaches; otherwise keep the
         # raw target (no candidates — same no-attach outcome as before)
-        return rebuild_url(base, t, url_index, strict=True) or t
-    mr = node["meta_refresh"]
-    if mr:
-        t = mr if mr in url_index else rebuild_url(base, mr, url_index, strict=True)
-        if t:
-            return t
-    for t in node["jsloc_urls"]:
-        if t in url_index:
-            return t
         rb = rebuild_url(base, t, url_index, strict=True)
         if rb:
-            return rb
-    return ""
+            return rb, f"redirect_url={t}=>{rb}"
+        return t, f"redirect_url={t}"
+    mr = node["meta_refresh"]
+    if mr:
+        if mr in url_index:
+            return mr, f"meta_refresh={mr}"
+        t = rebuild_url(base, mr, url_index, strict=True)
+        if t:
+            return t, f"meta_refresh={mr}=>{t}"
+    for t in node["jsloc_urls"]:
+        if t in url_index:
+            return t, f"jsloc={t}"
+        rb = rebuild_url(base, t, url_index, strict=True)
+        if rb:
+            return rb, f"jsloc={t}=>{rb}"
+    return "", ""
 
 
-def build_doc_tree(nodes: list[dict]) -> tuple[list[dict], int]:
+def build_doc_tree(nodes: list[dict],
+                   evidence: bool = False) -> tuple[list[dict], int]:
     """Pure per-document cascade over parsed span dicts (offset-sorted).
 
     Returns (edge rows, n_dropped_orphans).  Separated from the Ray group
     function so unit tests and the graft stage can reuse it.
+
+    ``evidence=True`` adds an ``attach_evidence`` string to every edge —
+    the matched rule's raw evidence (redirect channel + target, frame URL
+    variant, matched referer/initiator URL, external-ref string, fallback
+    container choice) — the engine counterpart of the reference's
+    trace_make_subtree debug decorators (har2tree.py:46-87, enabled by
+    dropping files in a debug dir; here a structured column instead, so
+    one misattached doc is greppable without rerunning oracles).  Zero
+    cost when off: no evidence strings are built and the key is absent.
     """
     nodes = sorted(nodes, key=lambda r: r["offset"])
     # D1 status-0 retry dedup: drop status<=0 when a >0 twin of the same URL
@@ -115,41 +134,46 @@ def build_doc_tree(nodes: list[dict]) -> tuple[list[dict], int]:
 
     root = 0
     unattached = set(by_id) - {root}
-    edges: list[dict] = [
-        {"child_offset": nodes[root]["offset"], "parent_offset": -1,
-         "attach_rule": "root", "depth": 0,
-         "child_hostname": nodes[root]["hostname"], "parent_hostname": "",
-         "child_kind": nodes[root]["kind"]}
-    ]
+    root_edge = {"child_offset": nodes[root]["offset"], "parent_offset": -1,
+                 "attach_rule": "root", "depth": 0,
+                 "child_hostname": nodes[root]["hostname"],
+                 "parent_hostname": "", "child_kind": nodes[root]["kind"]}
+    if evidence:
+        root_edge["attach_evidence"] = ""
+    edges: list[dict] = [root_edge]
     depth = {root: 0}
 
     def referer_resolves(n: dict) -> bool:
         r = n["referer"]
         return bool(r) and (r in all_urls or strip_fragment(r) in all_urls)
 
-    def attach(child: int, parent: int, rule: str) -> None:
+    def attach(child: int, parent: int, rule: str, ev="") -> None:
         unattached.discard(child)
         depth[child] = depth[parent] + 1
-        edges.append(
-            {"child_offset": by_id[child]["offset"],
-             "parent_offset": by_id[parent]["offset"],
-             "attach_rule": rule, "depth": depth[child],
-             "child_hostname": by_id[child]["hostname"],
-             "parent_hostname": by_id[parent]["hostname"],
-             "child_kind": by_id[child]["kind"]}
-        )
+        row = {"child_offset": by_id[child]["offset"],
+               "parent_offset": by_id[parent]["offset"],
+               "attach_rule": rule, "depth": depth[child],
+               "child_hostname": by_id[child]["hostname"],
+               "parent_hostname": by_id[parent]["hostname"],
+               "child_kind": by_id[child]["kind"]}
+        if evidence:
+            # call sites pass `evidence and f"..."` so the string is only
+            # ever BUILT on flagged runs (short-circuit keeps the off path
+            # allocation-free)
+            row["attach_evidence"] = ev or ""
+        edges.append(row)
 
     def collect_children(u: int) -> list[int]:
         node = by_id[u]
         url = node["media_ref"]
         attached_now: list[int] = []
 
-        def take(cand: int, rule: str) -> None:
-            attach(cand, u, rule)
+        def take(cand: int, rule: str, ev="") -> None:
+            attach(cand, u, rule, ev)
             attached_now.append(cand)
 
         # 1. redirect (consume up to first status>0 — har2tree.py:914-923)
-        target = _effective_redirect(node, url_index)
+        target, red_ev = _effective_redirect(node, url_index)
         if target:
             cands = [i for i in url_index.get(target, []) if i in unattached]
             picked = []
@@ -158,24 +182,25 @@ def build_doc_tree(nodes: list[dict]) -> tuple[list[dict], int]:
                 if by_id[c]["status"] > 0:
                     break
             for c in picked:
-                take(c, "redirect")
+                take(c, "redirect", evidence and red_ev)
         # 2. frames (exact, then fragment-stripped — the reference matches
         # {cu, cu.split('#')[0]} against all_url_requests, har2tree.py:954)
         for fu in node["frame_urls"]:
             for v in dict.fromkeys((fu, strip_fragment(fu))):
                 for c in [i for i in url_index.get(v, []) if i in unattached]:
-                    take(c, "frame")
+                    take(c, "frame", evidence and f"frame_url={v}")
         # 3. initiator / 4. referer / 5. referer_nofrag — index lookups in
         # the same ascending order the sorted(unattached) scans used
         for c in initiator_index.get(url, ()):
             if c in unattached:
-                take(c, "initiator")
+                take(c, "initiator", evidence and f"initiator_url={url}")
         for c in referer_index.get(url, ()):
             if c in unattached:
-                take(c, "referer")
+                take(c, "referer", evidence and f"referer={url}")
         for c in nofrag_index.get(url, ()):
             if c in unattached:
-                take(c, "referer_nofrag")
+                take(c, "referer_nofrag",
+                     evidence and f"referer_stripped={url}")
         # 6. external resources by tag class (anti-join on resolvable
         # referer).  Channel order is part of the determinism contract:
         # src/href/url() first (the reference's tag walk), then the M19
@@ -189,7 +214,7 @@ def build_doc_tree(nodes: list[dict]) -> tuple[list[dict], int]:
                 for c in [i for i in url_index.get(ref, []) if i in unattached]:
                     if referer_resolves(by_id[c]):
                         continue
-                    take(c, f"external_{cls}")
+                    take(c, f"external_{cls}", evidence and f"{key}={ref}")
         return attached_now
 
     def dfs(start: int) -> None:
@@ -207,14 +232,17 @@ def build_doc_tree(nodes: list[dict]) -> tuple[list[dict], int]:
         o = min(unattached)
         processed += 1
         node = by_id[o]
-        parent, rule = root, "fallback_root"
+        parent, rule, ev = root, "fallback_root", ""
         r = node["referer"]
         if r:
             targets = [i for i in url_index.get(r, []) if i not in unattached]
+            matched_r = r
             if not targets:
-                targets = [i for i in url_index.get(strip_fragment(r), []) if i not in unattached]
+                matched_r = strip_fragment(r)
+                targets = [i for i in url_index.get(matched_r, []) if i not in unattached]
             if targets:
                 parent, rule = min(targets), "fallback_referer"
+                ev = evidence and f"referer={matched_r}"
             else:
                 _, ref_host, _ = split_url(r)
                 cands = [
@@ -226,7 +254,10 @@ def build_doc_tree(nodes: list[dict]) -> tuple[list[dict], int]:
                     # deepest container, tie-break smallest offset
                     parent = min(cands, key=lambda i: (-depth[i], i))
                     rule = "fallback_hostname"
-        attach(o, parent, rule)
+                    ev = (evidence and
+                          f"referer_host={ref_host};"
+                          f"container_depth={depth[parent]}")
+        attach(o, parent, rule, ev)
         dfs(o)
 
     return edges, len(unattached)
@@ -272,13 +303,14 @@ def build_edges(parsed_ds):
     return slim.groupby("doc_id").map_groups(_group_fn, batch_format="pandas")
 
 
-def doc_edge_rows(spans: list[dict]) -> list[dict]:
+def doc_edge_rows(spans: list[dict], evidence: bool = False) -> list[dict]:
     """One document's span structs → edge dicts (normalize + parse + cascade
     inline).  Shared by the shuffle-free edge builder and the JSON render."""
-    return doc_edges_and_drops(spans)[0]
+    return doc_edges_and_drops(spans, evidence)[0]
 
 
-def doc_edges_and_drops(spans: list[dict]) -> tuple[list[dict], int]:
+def doc_edges_and_drops(spans: list[dict],
+                        evidence: bool = False) -> tuple[list[dict], int]:
     """Like ``doc_edge_rows`` but also returns the A5 orphan-cap drop count
     (SURVEY §2.5: the cap must never be silent)."""
     from ..functions import parse
@@ -292,7 +324,7 @@ def doc_edges_and_drops(spans: list[dict]) -> tuple[list[dict], int]:
                  media_ref=s["media_ref"], hostname=host,
                  status=parse.parse_status(t))
         nodes.append(f)
-    return build_doc_tree(nodes)
+    return build_doc_tree(nodes, evidence)
 
 
 def _interleaved_batch_edges(batch: pa.Table) -> pa.Table:
@@ -301,22 +333,23 @@ def _interleaved_batch_edges(batch: pa.Table) -> pa.Table:
     co-partitioning the groupby path exists to create; shuffling flat spans
     (with 5 list<string> evidence columns) costs more than the cascade
     itself by an order of magnitude (measured at sf0.1)."""
+    return _batch_edges(batch, evidence=False)
+
+
+def _batch_edges(batch: pa.Table, evidence: bool) -> pa.Table:
     ids = batch["doc_id"].to_pylist()
     spans_col = batch["spans"].to_pylist()
-    out = {k: [] for k in ["doc_id", "child_offset", "parent_offset",
-                           "attach_rule", "depth", "child_hostname",
-                           "parent_hostname", "child_kind"]}
+    cols = ["doc_id", "child_offset", "parent_offset", "attach_rule",
+            "depth", "child_hostname", "parent_hostname", "child_kind"]
+    if evidence:
+        cols.append("attach_evidence")
+    out = {k: [] for k in cols}
     for did, spans in zip(ids, spans_col):
-        for e in doc_edge_rows(spans):
+        for e in doc_edge_rows(spans, evidence):
             out["doc_id"].append(did)
-            out["child_offset"].append(e["child_offset"])
-            out["parent_offset"].append(e["parent_offset"])
-            out["attach_rule"].append(e["attach_rule"])
-            out["depth"].append(e["depth"])
-            out["child_hostname"].append(e["child_hostname"])
-            out["parent_hostname"].append(e["parent_hostname"])
-            out["child_kind"].append(e["child_kind"])
-    return pa.table({
+            for k in cols[1:]:
+                out[k].append(e[k])
+    t = {
         "doc_id": pa.array(out["doc_id"], pa.string()),
         "child_offset": pa.array(out["child_offset"], pa.int32()),
         "parent_offset": pa.array(out["parent_offset"], pa.int32()),
@@ -325,11 +358,23 @@ def _interleaved_batch_edges(batch: pa.Table) -> pa.Table:
         "child_hostname": pa.array(out["child_hostname"], pa.string()),
         "parent_hostname": pa.array(out["parent_hostname"], pa.string()),
         "child_kind": pa.array(out["child_kind"], pa.string()),
-    })
+    }
+    if evidence:
+        t["attach_evidence"] = pa.array(out["attach_evidence"], pa.string())
+    return pa.table(t)
 
 
-def build_edges_interleaved(interleaved_ds, batch_size: int = 64):
-    """Interleaved docs → EDGE_SCHEMA Dataset, shuffle-free fast path."""
+def build_edges_interleaved(interleaved_ds, batch_size: int = 64,
+                            evidence: bool = False):
+    """Interleaved docs → EDGE_SCHEMA Dataset, shuffle-free fast path.
+
+    ``evidence=True`` appends the ``attach_evidence`` debug column (§2.10
+    trace parity — see ``build_doc_tree``); the default path is untouched.
+    """
+    if evidence:
+        return interleaved_ds.map_batches(
+            lambda b: _batch_edges(b, True),
+            batch_format="pyarrow", batch_size=batch_size)
     return interleaved_ds.map_batches(
         _interleaved_batch_edges, batch_format="pyarrow", batch_size=batch_size)
 

@@ -380,6 +380,17 @@ def q_edges(sf_dir: str):
     return _edges(sf_dir)
 
 
+def q_edges_evidence(sf_dir: str):
+    """Flagged variant of ``edges`` carrying the ``attach_evidence`` debug
+    column (§2.10 parity with the reference's trace_make_subtree hooks,
+    har2tree.py:46-87).  Rows-only: evidence strings embed raw channel
+    values no SQL re-parse reproduces; the golden pytest pins the format
+    (tests/test_tree.py) and the un-flagged ``edges`` oracle covers the
+    topology."""
+    return tree.build_edges_interleaved(read_interleaved(sf_dir),
+                                        evidence=True)
+
+
 def q_tree_stats(sf_dir: str):
     # zero-shuffle interleaved stats, incl. the A5 n_dropped_orphans column
     # (the edges→groupby path survives as tree.tree_stats for flat inputs)
@@ -1653,6 +1664,7 @@ def _queries_registry() -> dict[str, Callable]:
         # non-SQL-expressible (ordered consume-once cascade; pytest-verified
         # against an independent in-process implementation):
         "edges": q_edges,
+        "edges_evidence": q_edges_evidence,  # §2.10 debug column — rows-only
         "tree_stats": q_tree_stats,
         "host_edges": q_host_edges,
         "graft_edges": q_graft_edges,  # full SQL oracle (recursive chain CTE)

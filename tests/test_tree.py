@@ -261,3 +261,44 @@ def test_host_edges_equals_pandas_rollup():
         got[cols].sort_values(cols, kind="mergesort").reset_index(drop=True),
         exp[cols].sort_values(cols, kind="mergesort").reset_index(drop=True),
         check_dtype=False)
+
+
+def test_attach_evidence_golden():
+    """§2.10 debug column: flagged runs carry the matched evidence per edge
+    (engine counterpart of the reference's trace_make_subtree hooks,
+    har2tree.py:46-87); the default path has no such column."""
+    spans = [
+        _mk("document", "https://a.com/1", 0,
+            "@redirect=/hop @status=301"),                  # M21-repaired
+        _mk("document", "https://a.com/hop", 1,
+            '@frame=https://a.com/fr#x src="https://a.com/x.png"'),
+        _mk("iframe", "https://a.com/fr", 2),               # nofrag frame hit
+        _mk("img", "https://a.com/x.png", 3),               # external src
+        _mk("script", "https://a.com/i.js", 4,
+            "@initiator=https://a.com/hop"),                # initiator
+        _mk("css", "https://a.com/s.css", 5,
+            "@referer=https://a.com/hop"),                  # referer
+        _mk("img", "https://b.com/orphan.png", 6,
+            "@referer=https://a.com/gone"),                 # fallback_hostname
+        _mk("img", "https://c.com/lost.png", 7),            # fallback_root
+    ]
+    edges, dropped = build_doc_tree(_engine_rows(spans), evidence=True)
+    assert dropped == 0
+    ev = {e["child_offset"]: (e["attach_rule"], e["attach_evidence"])
+          for e in edges}
+    assert ev[0] == ("root", "")
+    assert ev[1] == ("redirect", "redirect_url=/hop=>https://a.com/hop")
+    assert ev[2] == ("frame", "frame_url=https://a.com/fr")
+    assert ev[3] == ("external_src", "ext_src=https://a.com/x.png")
+    assert ev[4] == ("initiator", "initiator_url=https://a.com/hop")
+    assert ev[5] == ("referer", "referer=https://a.com/hop")
+    # deepest a.com container is the iframe (depth 2), not the landing doc
+    assert ev[6] == ("fallback_hostname",
+                     "referer_host=a.com;container_depth=2")
+    assert ev[7] == ("fallback_root", "")
+    # off by default: the column is absent and topology is unchanged
+    plain, _ = build_doc_tree(_engine_rows(spans))
+    assert all("attach_evidence" not in e for e in plain)
+    strip = lambda es: [(e["child_offset"], e["parent_offset"],
+                         e["attach_rule"]) for e in es]
+    assert strip(plain) == strip(edges)
