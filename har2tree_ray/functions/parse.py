@@ -369,6 +369,308 @@ def decode_dns_wire(data: bytes) -> dict:
             "answers": answers}
 
 
+# --------------------------------------------------------------- text Ion
+
+_ION_ID = re.compile(r"[A-Za-z$_][A-Za-z0-9$_]*")
+_ION_TS = re.compile(
+    r"\d{4}(?:-\d{2}(?:-\d{2})?)?"                      # date (or year/month)
+    r"(?:[Tt](?:\d{2}:\d{2}(?::\d{2}(?:\.\d+)?)?"       # time
+    r"(?:[Zz]|[+-]\d{2}:\d{2})?)?)?")
+_ION_NUM = re.compile(r"[+-]?(?:0[xX][0-9a-fA-F_]+|0[bB][01_]+|"
+                      r"\d[\d_]*(?:\.[\d_]*)?(?:[eEdD][+-]?\d+)?)")
+_ION_OPER = re.compile(r"[!#%&*+\-./;<=>?@^`|~]+")
+_ION_ESC = {"n": "\n", "t": "\t", "r": "\r", "0": "\0", "a": "\a",
+            "b": "\b", "f": "\f", "v": "\v", '"': '"', "'": "'",
+            "\\": "\\", "/": "/", "?": "?"}
+
+
+class _IonReader:
+    """Recursive-descent reader for the PUBLIC Amazon Ion text grammar —
+    the full-fidelity recast of the reference's simpleion POST-body branch
+    (nodes.py:418-431; the reference parses with the amazon.ion binding,
+    this walker is stdlib).  Ion-only types map to JSON-serializable
+    sentinels so ``json.dumps(sort_keys)`` stays the storage contract:
+    symbol → {"$ion_symbol": s}, timestamp → {"$ion_timestamp": raw},
+    sexp → {"$ion_sexp": [...]}, blob → {"$ion_blob": b64},
+    clob → {"$ion_clob": text}, annotations →
+    {"$ion_annotations": [...], "value": v}.  Decimals parse as floats
+    (documented deviation — keeps the JSON-shaped subset byte-compatible
+    with the JSON tear this replaces).  Binary Ion (BVM E0 01 00 EA) is
+    out of scope and raises, falling back to the raw branch."""
+
+    def __init__(self, s: str) -> None:
+        self.s = s
+        self.i = 0
+        self.n = len(s)
+
+    def err(self, msg: str) -> "ValueError":
+        return ValueError(f"ion: {msg} at {self.i}")
+
+    def ws(self) -> None:
+        s, n = self.s, self.n
+        while self.i < n:
+            c = s[self.i]
+            if c in " \t\r\n":
+                self.i += 1
+            elif s.startswith("//", self.i):
+                j = s.find("\n", self.i)
+                self.i = n if j < 0 else j + 1
+            elif s.startswith("/*", self.i):
+                j = s.find("*/", self.i + 2)
+                if j < 0:
+                    raise self.err("unterminated comment")
+                self.i = j + 2
+            else:
+                return
+
+    def value(self):
+        self.ws()
+        if self.i >= self.n:
+            raise self.err("empty value")
+        # annotations: one or more `sym::`
+        anns = []
+        while True:
+            save = self.i
+            m = _ION_ID.match(self.s, self.i)
+            tok = None
+            if m:
+                tok, self.i = m.group(0), m.end()
+            elif self.s[self.i] == "'" and not self.s.startswith("'''", self.i):
+                tok = self._quoted_symbol()
+            if tok is None:
+                break
+            self.ws()
+            if self.s.startswith("::", self.i):
+                anns.append(tok)
+                self.i += 2
+                self.ws()
+                continue
+            self.i = save  # not an annotation — re-read as a value
+            break
+        v = self._bare_value()
+        if anns:
+            return {"$ion_annotations": anns, "value": v}
+        return v
+
+    def _bare_value(self):
+        s, c = self.s, self.s[self.i]
+        if c == "{":
+            if s.startswith("{{", self.i):
+                return self._lob()
+            return self._struct()
+        if c == "[":
+            return self._seq("]", list)
+        if c == "(":
+            return {"$ion_sexp": self._seq(")", list, sexp=True)}
+        if c == '"':
+            return self._string()
+        if s.startswith("'''", self.i):
+            return self._long_string()
+        if c == "'":
+            return {"$ion_symbol": self._quoted_symbol()}
+        # timestamp before number: both start with a digit
+        m = _ION_TS.match(s, self.i)
+        if m and len(m.group(0)) >= 5 and ("-" in m.group(0)):
+            self.i = m.end()
+            return {"$ion_timestamp": m.group(0)}
+        m = _ION_NUM.match(s, self.i)
+        if m and m.group(0) not in ("+", "-"):
+            return self._number(m)
+        m = _ION_ID.match(s, self.i)
+        if m:
+            tok = m.group(0)
+            self.i = m.end()
+            if tok == "null":
+                if s.startswith(".", self.i):
+                    self.i += 1
+                    t = _ION_ID.match(s, self.i)
+                    if not t:
+                        raise self.err("bad typed null")
+                    self.i = t.end()
+                return None
+            if tok == "true":
+                return True
+            if tok == "false":
+                return False
+            if tok in ("nan",):
+                raise self.err("nan unsupported in JSON storage")
+            return {"$ion_symbol": tok}
+        raise self.err(f"unexpected {c!r}")
+
+    def _number(self, m):
+        raw = m.group(0)
+        self.i = m.end()
+        t = raw.replace("_", "")
+        low = t.lower()
+        if low.startswith(("0x", "-0x", "+0x")):
+            return int(t, 16)
+        if low.startswith(("0b", "-0b", "+0b")):
+            return int(t, 2)
+        if "." in t or "e" in low or "d" in low:
+            return float(low.replace("d", "e"))
+        return int(t)
+
+    def _string(self) -> str:
+        out, s = [], self.s
+        self.i += 1
+        while True:
+            if self.i >= self.n:
+                raise self.err("unterminated string")
+            c = s[self.i]
+            if c == '"':
+                self.i += 1
+                return "".join(out)
+            if c == "\\":
+                out.append(self._escape())
+            else:
+                out.append(c)
+                self.i += 1
+
+    def _escape(self) -> str:
+        s = self.s
+        e = s[self.i + 1]
+        if e in _ION_ESC:
+            self.i += 2
+            return _ION_ESC[e]
+        if e == "x":
+            v = chr(int(s[self.i + 2:self.i + 4], 16))
+            self.i += 4
+            return v
+        if e == "u":
+            v = chr(int(s[self.i + 2:self.i + 6], 16))
+            self.i += 6
+            return v
+        if e == "U":
+            v = chr(int(s[self.i + 2:self.i + 10], 16))
+            self.i += 10
+            return v
+        if e == "\n":  # escaped newline joins lines
+            self.i += 2
+            return ""
+        raise self.err(f"bad escape \\{e}")
+
+    def _long_string(self) -> str:
+        # '''...''' segments; adjacent segments concatenate
+        parts = []
+        while True:
+            self.ws()
+            if not self.s.startswith("'''", self.i):
+                break
+            self.i += 3
+            j = self.s.find("'''", self.i)
+            if j < 0:
+                raise self.err("unterminated long string")
+            parts.append(self.s[self.i:j])
+            self.i = j + 3
+        return "".join(parts)
+
+    def _quoted_symbol(self) -> str:
+        out, s = [], self.s
+        self.i += 1
+        while True:
+            if self.i >= self.n:
+                raise self.err("unterminated symbol")
+            c = s[self.i]
+            if c == "'":
+                self.i += 1
+                return "".join(out)
+            if c == "\\":
+                out.append(self._escape())
+            else:
+                out.append(c)
+                self.i += 1
+
+    def _field_name(self) -> str:
+        self.ws()
+        c = self.s[self.i]
+        if c == '"':
+            return self._string()
+        if c == "'":
+            return self._quoted_symbol()
+        m = _ION_ID.match(self.s, self.i)
+        if not m:
+            raise self.err("bad field name")
+        self.i = m.end()
+        return m.group(0)
+
+    def _struct(self) -> dict:
+        self.i += 1
+        out: dict = {}
+        self.ws()
+        if self.s.startswith("}", self.i):
+            self.i += 1
+            return out
+        while True:
+            k = self._field_name()
+            self.ws()
+            if not self.s.startswith(":", self.i):
+                raise self.err("expected ':'")
+            self.i += 1
+            out[k] = self.value()  # duplicate field: last wins
+            self.ws()
+            if self.s.startswith(",", self.i):
+                self.i += 1
+                self.ws()
+                if self.s.startswith("}", self.i):  # trailing comma
+                    self.i += 1
+                    return out
+                continue
+            if self.s.startswith("}", self.i):
+                self.i += 1
+                return out
+            raise self.err("expected ',' or '}'")
+
+    def _seq(self, close: str, ctor, sexp: bool = False):
+        self.i += 1
+        out = []
+        while True:
+            self.ws()
+            if self.i >= self.n:
+                raise self.err(f"unterminated '{close}' sequence")
+            if self.s.startswith(close, self.i):
+                self.i += 1
+                return ctor(out)
+            if sexp:
+                m = _ION_OPER.match(self.s, self.i)
+                if m:
+                    out.append({"$ion_symbol": m.group(0)})
+                    self.i = m.end()
+                    continue
+            out.append(self.value())
+            if not sexp:
+                self.ws()
+                if self.s.startswith(",", self.i):
+                    self.i += 1
+
+    def _lob(self) -> dict:
+        j = self.s.find("}}", self.i + 2)
+        if j < 0:
+            raise self.err("unterminated lob")
+        body = self.s[self.i + 2:j].strip()
+        self.i = j + 2
+        if body.startswith('"'):  # clob (short form)
+            inner = _IonReader(body)
+            return {"$ion_clob": inner._string()}
+        return {"$ion_blob": re.sub(r"\s+", "", body)}
+
+
+def decode_ion_text(payload: str):
+    """Parse ONE top-level text-Ion value (after an optional $ion_1_0
+    version marker) into a JSON-serializable object; raises ValueError on
+    anything that is not well-formed text Ion (binary Ion included), which
+    the POST dispatch turns into the raw fallback — the same
+    decode-or-fall-through contract as every other M12 branch."""
+    r = _IonReader(payload)
+    r.ws()
+    if r.s.startswith("$ion_1_0", r.i):
+        r.i += len("$ion_1_0")
+    v = r.value()
+    r.ws()
+    if r.i != r.n:
+        raise r.err("trailing content after the top-level value")
+    return v
+
+
 _PROTOBUF_MIMES = ("application/grpc-web+proto", "application/x-protobuf",
                    "application/proto", "application/x-protobuffer")
 
@@ -429,10 +731,20 @@ def decode_posted_data(mimetype: str, payload: "str | bytes"):
         # boundary tokens are case-sensitive — extract from the raw mimetype
         parts = decode_multipart(mimetype or "", payload)
         return parts if parts is not None else payload
-    if (mt.startswith("application/atom+xml")
-            or mt.startswith("application/x-amzn-ion")):
-        # both observed carrying JSON blobs in the wild (nodes.py:363-377,
-        # 418-432) — tear as JSON, keep verbatim otherwise
+    if mt.startswith("application/x-amzn-ion"):
+        # full-fidelity TEXT-Ion parse (simpleion recast, nodes.py:418-431)
+        # — strictly widens the old JSON tear: JSON-shaped bodies parse to
+        # the same object (Ion structs/lists/strings/ints ⊇ JSON), while
+        # symbols, annotations, timestamps, sexps and lobs land as $ion_*
+        # sentinels instead of falling to raw.  Binary Ion / malformed
+        # text still falls through verbatim like every M12 branch.
+        try:
+            return decode_ion_text(payload)
+        except (ValueError, IndexError):
+            return payload
+    if mt.startswith("application/atom+xml"):
+        # observed carrying JSON blobs in the wild (nodes.py:363-377) —
+        # tear as JSON, keep verbatim otherwise
         try:
             return _json.loads(payload)
         except ValueError:

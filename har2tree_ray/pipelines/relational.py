@@ -15,6 +15,8 @@ import pyarrow as pa
 
 import ray
 
+from ..sources.interleaved import read_table
+
 
 def orders_by_nation(sf_dir: str, broadcast_max: int = 5_000_000):
     """Per-nation order rollup, SIZE-ROUTED on the dimension side (the
@@ -31,20 +33,20 @@ def orders_by_nation(sf_dir: str, broadcast_max: int = 5_000_000):
 
     from ray.data.aggregate import Sum
 
-    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
-                             columns=["n_nationkey", "n_name"]).to_pandas()
+    nation = read_table(sf_dir, "nation",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
     nkeys = nation["n_nationkey"].to_numpy(dtype=np.int64)
     order_nk = np.argsort(nkeys, kind="stable")
     nkeys_sorted = nkeys[order_nk]
     nnames_sorted = nation["n_name"].to_numpy(dtype=object)[order_nk]
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_custkey", "o_totalprice"])
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"])
 
     n_cust = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
     if n_cust <= broadcast_max:
-        cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                               columns=["c_custkey", "c_nationkey"]).to_pandas()
+        cust = read_table(sf_dir, "customer",
+                          columns=["c_custkey", "c_nationkey"]).to_pandas()
         order_c = np.argsort(cust["c_custkey"].to_numpy(), kind="stable")
         ckeys = cust["c_custkey"].to_numpy(dtype=np.int64)[order_c]
         cnats = cust["c_nationkey"].to_numpy(dtype=np.int64)[order_c]
@@ -77,7 +79,7 @@ def orders_by_nation(sf_dir: str, broadcast_max: int = 5_000_000):
             return pa.table({"o_custkey": t["o_custkey"],
                              "cents": pa.array(cents, pa.int64())})
 
-        cust_ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+        cust_ds = read_table(sf_dir, "customer",
                                   columns=["c_custkey", "c_nationkey"])
         joined = hash_join(orders.map_batches(prep_orders,
                                               batch_format="pyarrow"),
@@ -147,12 +149,12 @@ def revenue_by_month(sf_dir: str):
             "order_month": pc.strftime(t["o_orderdate"], format="%Y-%m"),
         })
 
-    li = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
+    li = read_table(
+        sf_dir, "lineitem",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     ).map_batches(prep_li, batch_format="pyarrow")
-    od = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"],
+    od = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate"],
     ).map_batches(prep_o, batch_format="pyarrow")
     joined = hash_join(li, od, "l_orderkey", "o_orderkey")
 

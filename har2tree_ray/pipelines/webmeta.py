@@ -545,6 +545,16 @@ SELECT doc_id, "offset", mime,
                list_filter((string_split({body}, '--' || {boundary}))[2:],
                            x -> NOT starts_with(x, '--')),
                x -> {part_json}), ',') || ']'
+         WHEN mime LIKE 'application/x-amzn-ion%'
+              AND starts_with(b64, 'ZXZ0Ojp7') THEN
+           -- 'ZXZ0Ojp7' = base64('evt::{{'): the WHEN must not decode the
+           -- blob (CASE conditions evaluate over ALL rows incl. the
+           -- invalid-UTF8 raw fixtures; THEN branches are selective)
+           '{{"$ion_annotations":["evt"],"value":{{"kind":{{"$ion_symbol":"'
+           || regexp_extract({body}, 'kind:([A-Za-z_0-9]+)', 1)
+           || '"}},"n":' || regexp_extract({body}, '[,{{]n:(\\d+)', 1)
+           || ',"ts":{{"$ion_timestamp":"'
+           || regexp_extract({body}, 'ts:([0-9TZ:.+-]+)', 1) || '"}}}}}}'
          WHEN mime LIKE 'application/atom+xml%'
               OR mime LIKE 'application/x-amzn-ion%' THEN {body}
          WHEN mime LIKE '%json%' THEN {body}

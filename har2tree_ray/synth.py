@@ -48,7 +48,7 @@ import pyarrow.parquet as pq
 
 from .schema import INTERLEAVED_SCHEMA
 
-SYNTH_VERSION = 18  # bump to invalidate /tmp caches when generation changes
+SYNTH_VERSION = 19  # bump to invalidate /tmp caches when generation changes
 
 _GTAG_ALPHABET = np.array(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"))
 
@@ -207,14 +207,28 @@ def _gen_post(rs: np.random.RandomState) -> str:
         raw = ("".join(segs) + "--bnd1--\r\n").encode()
         mime = "multipart/form-data;boundary=bnd1"
     elif r < 0.95:
-        # atom+xml / amazon-ion carrying a JSON blob (M12 exotic branches,
-        # nodes.py:363-377,418-432) — canonical-form JSON so decode →
-        # re-encode round-trips byte-identical for the SQL oracle
-        obj = {f"a{i}": int(rs.randint(0, 99))
-               for i in range(int(rs.randint(1, 3)))}
-        raw = json.dumps(obj, sort_keys=True, separators=(",", ":")).encode()
-        mime = ("application/atom+xml" if rs.random_sample() < 0.5
-                else "application/x-amzn-ion")
+        rv = rs.random_sample()
+        if rv < 0.6:
+            # atom+xml / amazon-ion carrying a JSON blob (M12 exotic
+            # branches, nodes.py:363-377,418-432) — canonical-form JSON so
+            # decode → re-encode round-trips byte-identical for the oracle
+            obj = {f"a{i}": int(rs.randint(0, 99))
+                   for i in range(int(rs.randint(1, 3)))}
+            raw = json.dumps(obj, sort_keys=True,
+                             separators=(",", ":")).encode()
+            mime = ("application/atom+xml" if rv < 0.3
+                    else "application/x-amzn-ion")
+        else:
+            # REAL text Ion beyond the JSON subset: annotation + symbol +
+            # timestamp fields (decode_ion_text full-fidelity branch; the
+            # oracle rebuilds the $ion_* sentinel JSON with regexps)
+            k = int(rs.randint(0, 9))
+            n = int(rs.randint(0, 99))
+            mo, dy, hh = (int(rs.randint(1, 13)), int(rs.randint(1, 29)),
+                          int(rs.randint(0, 24)))
+            raw = (f"evt::{{kind:click_{k},n:{n},"
+                   f"ts:2026-{mo:02d}-{dy:02d}T{hh:02d}:00:00Z}}").encode()
+            mime = "application/x-amzn-ion"
     else:
         # \xff\xfe prefix guarantees invalid UTF-8 → the raw-bytes branch
         raw = b"\xff\xfe" + bytes(

@@ -87,7 +87,7 @@ def test_registry_counts_and_ordering():
     import __ray_entry__ as m
 
     q, o = m.queries(), m.oracle_sql()
-    assert len(q) == 127, len(q)
+    assert len(q) == 128, len(q)
     assert len(o) == 112, len(o)
     assert set(o) <= set(q)
     names = list(q)
@@ -95,3 +95,34 @@ def test_registry_counts_and_ordering():
     # every oracled query precedes every rows-only query
     assert first_oracled == sorted(first_oracled, reverse=True)
     assert all(n in o for n in names[:50])
+
+
+def test_decode_ion_text_beyond_json():
+    """M12 full-fidelity ion branch (reference simpleion, nodes.py:418-431):
+    symbols, annotations, timestamps, sexps and lobs parse to $ion_*
+    sentinels; the JSON-shaped subset stays byte-compatible with the old
+    JSON tear; binary ion falls back to raw."""
+    from har2tree_ray.functions.parse import decode_ion_text, decode_posted_data
+
+    assert decode_ion_text('{"a0":5}') == {"a0": 5}
+    assert decode_ion_text(
+        "evt::{kind:click_3,n:17,ts:2026-01-05T07:00:00Z}") == {
+        "$ion_annotations": ["evt"],
+        "value": {"kind": {"$ion_symbol": "click_3"}, "n": 17,
+                  "ts": {"$ion_timestamp": "2026-01-05T07:00:00Z"}}}
+    assert decode_ion_text("$ion_1_0 {s:'q sym',v:[1,null.int,true]}") == {
+        "s": {"$ion_symbol": "q sym"}, "v": [1, None, True]}
+    assert decode_ion_text("(+ 1 2)") == {
+        "$ion_sexp": [{"$ion_symbol": "+"}, 1, 2]}
+    assert decode_ion_text("{{ dGVzdA== }}") == {"$ion_blob": "dGVzdA=="}
+    assert decode_ion_text('{{ "clob" }}') == {"$ion_clob": "clob"}
+    assert decode_ion_text("{h:0x1f,u:1_000,f:2d2}") == {
+        "h": 31, "u": 1000, "f": 200.0}
+    assert decode_ion_text("'''long''' ''' str'''") == "long str"
+    assert decode_ion_text("// c\n{x:1} /* t */") == {"x": 1}
+    # binary ion (BVM) → raw fallback through the POST dispatch
+    out = decode_posted_data("application/x-amzn-ion", b"\xe0\x01\x00\xea")
+    assert "_raw_b64" in out
+    import pytest
+    with pytest.raises(ValueError):
+        decode_ion_text("{x:1} trailing")
