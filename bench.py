@@ -165,18 +165,20 @@ BENCH_QUERIES = [
 
 # Queries that read the driver-provided tables (documents/events): the
 # synthetic scaling tiers (sf0.5+) carry only the interleaved table, so at
-# those tiers these queries run over the LARGEST driver tier instead — the
-# honest alternative to silently skipping the exchange-dominated families
-# the scaling suite exists to cover (the fallback is identical at both
-# parallelism levels of a pair, so the efficiency ratio stays valid).
-_TABLE_QUERY_FALLBACK_SF = "/root/testdata/sf0.1"
+# those tiers these queries run over SYNTHESIZED driver-shaped tables at
+# the tier's own scale (synth.ensure_scaled_tables — deterministic,
+# cached under /tmp).  The previous sf0.1 fallback made these queries
+# ~1 s of pure plan cost at EVERY parallelism level (measured eff ~0.2 at
+# sf0.5, scaling_r5_run1), which measured nothing about the exchanges the
+# suite exists to cover and dragged the suite ratio down.
 _TABLE_QUERIES = {"doc_jaccard_pairs", "event_window_distinct"}
 
 
 def _query_sf(sf_dir: str, name: str) -> str:
     if (name in _TABLE_QUERIES
             and not os.path.exists(os.path.join(sf_dir, "documents.parquet"))):
-        return _TABLE_QUERY_FALLBACK_SF
+        from har2tree_ray.synth import ensure_scaled_tables
+        return ensure_scaled_tables(os.path.basename(os.path.normpath(sf_dir)))
     return sf_dir
 
 
@@ -292,6 +294,12 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32, reps: int = 4) -> dict:
     and ceiling is reported so the number can be judged against the
     spread."""
     import statistics
+
+    if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        # synthesize the tier's documents/events ONCE in the parent so no
+        # child pays generation inside its own window
+        from har2tree_ray.synth import ensure_scaled_tables
+        ensure_scaled_tables(os.path.basename(os.path.normpath(sf_dir)))
 
     pairs, ceilings, per_query = [], [], []
     for _ in range(reps):

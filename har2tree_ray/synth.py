@@ -635,3 +635,120 @@ def ensure_interleaved(sf_dir: str, seed: int = 42) -> str:
         shutil.rmtree(out_dir)
     os.rename(tmp, out_dir)
     return out_dir
+
+
+# -------------------------------------------------- scaled driver tables
+#
+# The driver provides documents/events parquet only up to sf0.1; the
+# SYNTHETIC scaling tiers (sf0.5+) used by ``bench.py --scaling`` carry
+# only the interleaved table, so the exchange-dominated table-backed
+# queries (doc_jaccard_pairs, event_window_distinct) used to fall back to
+# the sf0.1 tables — at that size they run in ~1 s at EVERY parallelism
+# level (pure plan cost), which measures nothing and drags the suite
+# ratio down.  These generators synthesize documents/events at the tier's
+# own scale, matching the driver tables' measured shape (sf0.1: 5,000
+# docs / 100,000 events over 30 days / 1,500 users; 31-word vocab,
+# 10-100 words per doc, lang {en 41%, zh/es/fr/de ~15%}, source src0-19,
+# exponential-ish event deltas and values) so per-row work and key
+# cardinality scale the way the real tables do.  Scaling-bench only —
+# correctness oracles always run on the driver's own parquet.
+
+DOCS_PER_SF = 50_000
+EVENTS_PER_SF = 1_000_000
+USERS_PER_SF = 15_000
+EVENT_WINDOW_US = 30 * 24 * 3600 * 1_000_000  # driver: ~30 days at every sf
+
+_DOC_VOCAB = np.array([
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window"])
+_DOC_LANGS = np.array(["en", "zh", "es", "fr", "de"])
+_DOC_LANG_P = np.array([0.41, 0.1475, 0.1475, 0.1475, 0.1475])
+_EVENT_TYPES = np.array(["click", "error", "purchase", "signup", "view"])
+
+
+_TABLES_VERSION = 2  # near-dup cluster injection
+
+
+def _gen_documents(n_docs: int, seed: int) -> pa.Table:
+    rs = np.random.RandomState(seed ^ 0xD0C5)
+    n_words = rs.randint(10, 101, n_docs)
+    flat = _DOC_VOCAB[rs.randint(0, len(_DOC_VOCAB), int(n_words.sum()))]
+    bounds = np.concatenate([[0], np.cumsum(n_words)])
+    texts = [" ".join(flat[bounds[i]:bounds[i + 1]]) for i in range(n_docs)]
+    # Near-duplicate clusters, matching the driver tables' measured shape
+    # (sf0.1: 228 clusters covering 465 of 5,000 docs ≈ 4.6%; sizes
+    # {2: 220, 3: 7, 4: 1}; members are a shared base text with
+    # 1..size ' dup' tokens appended → 3-gram shingle Jaccard ≈ 0.98).
+    # Without these, uniform random text shares almost no shingles and
+    # doc_jaccard_pairs degenerates to an empty result.
+    n_clusters = int(n_docs * 0.046)
+    sizes = rs.choice([2, 3, 4], n_clusters, p=[0.965, 0.031, 0.004])
+    slots = rs.permutation(n_docs)[:int(sizes.sum())]
+    pos = 0
+    for size in sizes:
+        base = texts[rs.randint(0, n_docs)]
+        for j in range(1, int(size) + 1):
+            texts[slots[pos]] = base + " dup" * j
+            pos += 1
+    langs = _DOC_LANGS[rs.choice(len(_DOC_LANGS), n_docs, p=_DOC_LANG_P)]
+    return pa.table({
+        "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array([f"src{i % 20}" for i in rs.randint(0, 20, n_docs)],
+                           pa.string()),
+        "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64)),
+    })
+
+
+def _gen_events(n_events: int, n_users: int, seed: int) -> pa.Table:
+    rs = np.random.RandomState(seed ^ 0xE7E27)
+    deltas = rs.exponential(EVENT_WINDOW_US / n_events, n_events)
+    ts = np.cumsum(deltas).astype(np.int64) \
+        + np.int64(1704067200) * 1_000_000  # 2024-01-01 UTC
+    return pa.table({
+        "event_id": pa.array(np.arange(n_events, dtype=np.int64)),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(rs.randint(0, n_users, n_events).astype(np.int64)),
+        "event_type": pa.array(
+            _EVENT_TYPES[rs.randint(0, len(_EVENT_TYPES), n_events)],
+            pa.string()),
+        "value": pa.array(np.round(rs.exponential(50.0, n_events), 2)),
+        "props": pa.array([f'{{"k": {k}}}' for k in rs.randint(0, 100, n_events)],
+                          pa.string()),
+    })
+
+
+def ensure_scaled_tables(sf_name: str, seed: int = 42) -> str:
+    """Synthesize (once, cached under /tmp) driver-shaped documents.parquet
+    and events.parquet for a synthetic scaling tier; returns the directory.
+    Row-group sizes are set so Ray's parquet reader can split each file."""
+    sf = float(sf_name.removeprefix("sf"))
+    n_docs = int(DOCS_PER_SF * sf)
+    n_events = int(EVENTS_PER_SF * sf)
+    n_users = max(1, int(USERS_PER_SF * sf))
+    out_dir = os.path.join(CACHE_ROOT, f"{sf_name}_tables")
+    marker = os.path.join(out_dir, "_SUCCESS.json")
+    want = {"version": SYNTH_VERSION, "tables_version": _TABLES_VERSION,
+            "n_docs": n_docs, "n_events": n_events, "n_users": n_users,
+            "seed": seed}
+    if os.path.exists(marker):
+        try:
+            if json.load(open(marker)) == want:
+                return out_dir
+        except Exception:
+            pass
+    import shutil
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=CACHE_ROOT, prefix=f".{sf_name}_tables.")
+    pq.write_table(_gen_documents(n_docs, seed),
+                   os.path.join(tmp, "documents.parquet"), row_group_size=5_000)
+    pq.write_table(_gen_events(n_events, n_users, seed),
+                   os.path.join(tmp, "events.parquet"), row_group_size=50_000)
+    json.dump(want, open(os.path.join(tmp, "_SUCCESS.json"), "w"))
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.rename(tmp, out_dir)
+    return out_dir

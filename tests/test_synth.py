@@ -126,3 +126,31 @@ def test_decode_ion_text_beyond_json():
     import pytest
     with pytest.raises(ValueError):
         decode_ion_text("{x:1} trailing")
+
+
+def test_ensure_scaled_tables_driver_shape(tmp_path):
+    """Scaling-tier documents/events synth: driver-identical schemas,
+    deterministic cache, near-dup clusters present (without them
+    doc_jaccard_pairs degenerates to empty and the scaling suite measures
+    pure plan cost — scaling_r5_run1 postmortem)."""
+    import pyarrow.parquet as pq
+
+    from har2tree_ray.synth import ensure_scaled_tables
+
+    d = ensure_scaled_tables("sf0.02")
+    assert ensure_scaled_tables("sf0.02") == d  # cache hit
+    docs = pq.read_table(f"{d}/documents.parquet")
+    ev = pq.read_table(f"{d}/events.parquet")
+    driver_docs = pq.ParquetFile("/root/testdata/sf0.01/documents.parquet")
+    driver_ev = pq.ParquetFile("/root/testdata/sf0.01/events.parquet")
+    assert [(f.name, f.type) for f in docs.schema] == \
+           [(f.name, f.type) for f in driver_docs.schema_arrow]
+    assert [(f.name, f.type) for f in ev.schema] == \
+           [(f.name, f.type) for f in driver_ev.schema_arrow]
+    assert docs.num_rows == 1000 and ev.num_rows == 20000
+    txt = docs.column("text").to_pandas()
+    prefixes = txt.str.slice(0, 60).value_counts()
+    assert (prefixes > 1).sum() > 10  # near-dup clusters exist
+    assert txt.str.contains(" dup").any()
+    nchars = docs.column("n_chars").to_pandas()
+    assert (nchars == txt.str.len()).all()
