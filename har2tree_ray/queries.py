@@ -425,9 +425,13 @@ def q_har_edges(_sf_dir: str):
 
 def _docs(sf_dir: str, min_blocks: int = 1):
     """``min_blocks`` is the small-input compute hint (see read_table): the
-    MinHash family's 128-permutation hashing is heavy per BYTE, so those
-    callers floor the split at the CPU count; map-only text stats leave the
-    size-based default."""
+    MinHash family's 128-permutation hashing and the shingle-explode family
+    (jaccard pairs, dup_spans) are heavy per BYTE, so those callers floor
+    the split at the CPU count — measured at the sf0.5 scaling tier, the
+    3 MB documents file otherwise collapses to ONE read block and the
+    whole shingle stage runs serially at every cluster size
+    (BENCH/scaling_r5_run3: per-query eff 0.15-0.26).  Map-only text stats
+    leave the size-based default."""
     return read_table(sf_dir, "documents", columns=["doc_id", "text"],
                       min_blocks=min_blocks)
 
@@ -471,7 +475,7 @@ def q_doc_pii(sf_dir: str):
 
 
 def q_doc_dup_spans(sf_dir: str):
-    return text.dup_spans(_docs(sf_dir))
+    return text.dup_spans(_docs_wide(sf_dir))
 
 
 def q_doc_repetition(sf_dir: str):
@@ -498,7 +502,7 @@ def q_doc_pack(sf_dir: str):
 
 
 def q_doc_jaccard_pairs(sf_dir: str):
-    return text.ngram_jaccard_pairs(_docs(sf_dir))
+    return text.ngram_jaccard_pairs(_docs_wide(sf_dir))
 
 
 def q_doc_exact_dedup(sf_dir: str):
@@ -560,7 +564,7 @@ def q_corpus_keep_lsh(sf_dir: str):
 
 def q_dedup_clusters(sf_dir: str):
     return dedup.dedup_clusters(_docs(sf_dir),
-                                text.ngram_jaccard_pairs(_docs(sf_dir)))
+                                text.ngram_jaccard_pairs(_docs_wide(sf_dir)))
 
 
 def q_host_tree_json(sf_dir: str):
@@ -687,10 +691,15 @@ def q_revenue_by_month(sf_dir: str):
     return relational.revenue_by_month(sf_dir)
 
 
-def _events(sf_dir: str, columns: list[str] | None = None):
+def _events(sf_dir: str, columns: list[str] | None = None,
+            min_blocks: int = 1):
     # always pass columns= : the events table carries a JSON props string
-    # that must never cross a shuffle for queries that don't read it
-    return read_table(sf_dir, "events", columns=columns)
+    # that must never cross a shuffle for queries that don't read it.
+    # min_blocks: CPU floor for callers whose PRE-shuffle map is the bulk
+    # of the work (window replication + batch-local dedup) — a small-byte
+    # events file otherwise serializes that stage (see _docs).
+    return read_table(sf_dir, "events", columns=columns,
+                      min_blocks=min_blocks)
 
 
 def q_event_running_total(sf_dir: str):
@@ -715,8 +724,11 @@ def q_event_window_sliding(sf_dir: str):
 def q_event_window_distinct(sf_dir: str):
     """Exact distinct users per hopping 60/30-min window and event type
     (composite-key dedup shuffle; the COUNT(DISTINCT) window member)."""
+    from .sources.interleaved import _cluster_cpus
+
     return events.window_distinct(
-        _events(sf_dir, ["ts", "event_type", "user_id"]))
+        _events(sf_dir, ["ts", "event_type", "user_id"],
+                min_blocks=_cluster_cpus()))
 
 
 def q_event_burst_windows(sf_dir: str):

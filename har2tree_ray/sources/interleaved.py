@@ -40,7 +40,39 @@ def read_interleaved(sf_dir: str, columns: list[str] | None = None) -> rd.Datase
     """
     path = ensure_interleaved(sf_dir)
     return _read(path, columns or ["doc_id", "spans"],
-                 min_blocks=_cluster_cpus())
+                 min_blocks=_span_block_floor(path))
+
+
+# Blocks under this size carry too little cascade work to amortize task
+# dispatch, so the straggler-overlap headroom below is byte-gated at half
+# the target block size (_TARGET_BLOCK_BYTES below): 2x headroom only when
+# the doubled split still yields >= 4 MB per block (~0.1-0.3 s of cascade
+# compute each).
+_MIN_COMPUTE_BLOCK_BYTES = 4 << 20
+
+
+def _span_block_floor(path: str) -> int:
+    """Block floor for the compute-carrying span read: one block per CPU
+    slot, with 2x straggler-overlap headroom (Ray's own default ratio)
+    ONLY when the bytes keep each block above _MIN_COMPUTE_BLOCK_BYTES.
+    Measured at sf0.5/32 CPUs: 2x headroom cuts `edges` 7.2 -> 6.2 s
+    (pair efficiency 0.68 -> 0.81) because with exactly one block per slot
+    the slowest task gates the stage; at sf0.1 the same 2x floor REGRESSES
+    (64 near-empty 125 KB blocks: edges 1.5 -> 1.8 s), hence the byte gate.
+    Env knob GRAFT_READ_BLOCKS_PER_CPU forces the factor for A/B runs."""
+    import os
+
+    cpus = _cluster_cpus()
+    forced = os.environ.get("GRAFT_READ_BLOCKS_PER_CPU")
+    if forced:
+        try:
+            return cpus * max(1, int(forced))
+        except ValueError:
+            pass
+    total = _total_bytes(path)
+    if total is not None and total >= 2 * cpus * _MIN_COMPUTE_BLOCK_BYTES:
+        return cpus * 2
+    return cpus
 
 
 # Small-input read sizing.  Ray's default read split floors the task count
