@@ -68,6 +68,45 @@ def host_edges(edges_ds):
     return partials.groupby("dpart").map_groups(per_range, batch_format="pyarrow")
 
 
+def host_edges_interleaved(interleaved_ds, batch_size: int = 64):
+    """Shuffle-free host edges: every HOST_EDGE key contains ``doc_id`` and
+    an interleaved row holds a whole document, so the 5-key aggregate
+    FINALIZES inside the batch — the ``host_edges()`` exchange exists only
+    for flat edge tables that may split a doc across blocks.  One pass:
+    cascade + host projection + batch-local group_by (measured 4.1 → ~1.5 s
+    at sf0.1; same plan shape as ``host_rollup_interleaved``)."""
+    from .tree import doc_edge_rows
+
+    keys = ["doc_id", "host_level", "hostname", "parent_level",
+            "parent_hostname"]
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        spans_col = batch["spans"].to_pylist()
+        out = {k: [] for k in keys}
+        for did, spans in zip(ids, spans_col):
+            for e in doc_edge_rows(spans):
+                out["doc_id"].append(did)
+                out["host_level"].append(e["depth"])
+                out["hostname"].append(e["child_hostname"])
+                out["parent_level"].append(e["depth"] - 1)
+                out["parent_hostname"].append(e["parent_hostname"])
+        t = pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.string()),
+            "host_level": pa.array(out["host_level"], pa.int32()),
+            "hostname": pa.array(out["hostname"], pa.string()),
+            "parent_level": pa.array(out["parent_level"], pa.int32()),
+            "parent_hostname": pa.array(out["parent_hostname"], pa.string()),
+        })
+        g = t.group_by(keys).aggregate([("hostname", "count")])
+        g = g.rename_columns(keys + ["n_urls"])
+        return pa.table({**{k: g[k] for k in keys},
+                         "n_urls": pc.cast(g["n_urls"], pa.int64())})
+
+    return interleaved_ds.map_batches(per_batch, batch_format="pyarrow",
+                                      batch_size=batch_size)
+
+
 def host_rollup_interleaved(interleaved_ds, batch_size: int = 64):
     """Shuffle-free host rollup: the (doc, hostname) key is doc-local, and
     interleaved rows already hold whole documents — aggregate inside the

@@ -398,7 +398,10 @@ def q_tree_stats(sf_dir: str):
 
 
 def q_host_edges(sf_dir: str):
-    return hosttree.host_edges(_edges(sf_dir))
+    # every HOST_EDGE key contains doc_id and interleaved rows hold whole
+    # docs, so the aggregate finalizes batch-locally — zero shuffle
+    # (hosttree.host_edges stays the general path for flat edge tables)
+    return hosttree.host_edges_interleaved(read_interleaved(sf_dir))
 
 
 def q_graft_edges(sf_dir: str):

@@ -262,6 +262,16 @@ def test_host_edges_equals_pandas_rollup():
         exp[cols].sort_values(cols, kind="mergesort").reset_index(drop=True),
         check_dtype=False)
 
+    # the zero-shuffle interleaved fast path (all keys contain doc_id, so
+    # the aggregate finalizes batch-locally) must match the same rollup
+    from har2tree_ray.sources.interleaved import read_interleaved
+
+    fast = hosttree.host_edges_interleaved(read_interleaved(sf)).to_pandas()
+    pd.testing.assert_frame_equal(
+        fast[cols].sort_values(cols, kind="mergesort").reset_index(drop=True),
+        exp[cols].sort_values(cols, kind="mergesort").reset_index(drop=True),
+        check_dtype=False)
+
 
 def test_attach_evidence_golden():
     """§2.10 debug column: flagged runs carry the matched evidence per edge
