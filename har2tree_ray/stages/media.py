@@ -231,15 +231,38 @@ class MediaDecoder:
         )
 
 
-def media_features(flat_ds, concurrency=None):
-    """payload attach → actor-pool decode → feature columns (oracled)."""
-    from .parser import default_pool_size
+def _codec_available() -> bool:
+    try:  # the actor-pool gate: a REAL codec is heavy per-process state
+        import PIL.Image  # noqa: F401
+        return True
+    except ImportError:
+        return False
 
+
+def media_features(flat_ds, concurrency=None):
+    """payload attach → decode → feature columns (oracled).
+
+    Deployment is routed on setup weight, the same policy as
+    ``util.worker_cached_stage``: with a real codec importable the decoder
+    is an ACTOR POOL (codec loads once per actor — the case the pool
+    exists for); the stub decoder's setup is microseconds, so it runs as
+    plain tasks with a per-worker memo — the pool's cpus//2 fresh
+    processes per Dataset execution cost ~1-2 s per QUERY for nothing."""
+    from .parser import default_pool_size
+    from ..util import task_concurrency, worker_cached_stage
+
+    if _codec_available():
+        return media_payloads(flat_ds).map_batches(
+            MediaDecoder,
+            batch_format="pyarrow",
+            batch_size=PAYLOAD_BATCH,
+            concurrency=concurrency or default_pool_size(),
+        )
     return media_payloads(flat_ds).map_batches(
-        MediaDecoder,
+        worker_cached_stage(MediaDecoder),
         batch_format="pyarrow",
         batch_size=PAYLOAD_BATCH,
-        concurrency=concurrency or default_pool_size(),
+        **task_concurrency(concurrency),
     )
 
 
@@ -340,14 +363,23 @@ def media_resize(flat_ds, max_side: int = RESIZE_MAX_SIDE, concurrency=None):
     drops the binary column (DuckDB cannot recompute the keystream bytes —
     their LENGTH is the oracled contract)."""
     from .parser import default_pool_size
+    from ..util import task_concurrency, worker_cached_stage
 
-    resized = media_payloads(flat_ds).map_batches(
-        MediaResizer,
-        fn_constructor_kwargs={"max_side": max_side},
-        batch_format="pyarrow",
-        batch_size=PAYLOAD_BATCH,
-        concurrency=concurrency or default_pool_size(),
-    )
+    if _codec_available():
+        resized = media_payloads(flat_ds).map_batches(
+            MediaResizer,
+            fn_constructor_kwargs={"max_side": max_side},
+            batch_format="pyarrow",
+            batch_size=PAYLOAD_BATCH,
+            concurrency=concurrency or default_pool_size(),
+        )
+    else:  # stub resampler: microsecond setup — plain tasks, per-worker memo
+        resized = media_payloads(flat_ds).map_batches(
+            worker_cached_stage(MediaResizer, max_side=max_side),
+            batch_format="pyarrow",
+            batch_size=PAYLOAD_BATCH,
+            **task_concurrency(concurrency),
+        )
     return resized.drop_columns(["payload_out"])
 
 

@@ -55,7 +55,8 @@ def worker_cached_stage(cls, *args, cache_key=None, **kwargs):
 
     The actor-pool contract (build state in ``__init__``, use it per
     ``__call__``) is right when setup is genuinely heavy — a model, a
-    codec (``media.MediaDecoder`` keeps it).  But for cheap-to-build state
+    codec (``media.MediaDecoder`` keeps it when a real codec is
+    importable).  But for cheap-to-build state
     (compiled regexes, a small randn matrix, a broadcast-side index) the
     pool's spin-up cost dominates: cpus//2 fresh actor processes per
     Dataset execution measured 3-6 s, paid again by EVERY query, while
