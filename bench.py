@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "tile_vectorize",
     "tile_pyramid",
     "tile_neighbor_density",
+    "tile_compact",
     "host_rollup",
     "cookie_asof",
     "knn_referrer",

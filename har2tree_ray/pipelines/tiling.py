@@ -251,6 +251,55 @@ def _cell_count_partial(batch: pa.Table, res: int) -> pa.Table:
     return pa.table({"cell_id": pa.array(uniq), "partial_n": pa.array(counts.astype(np.int64))})
 
 
+def tile_compact(flat_ds, res: int = DEFAULT_RES):
+    """H3/S2-style covering COMPACTION: the minimal mixed-resolution cell
+    set whose union equals the covered res-``res`` cells — a parent
+    replaces its four children iff ALL FOUR are fully covered, applied
+    recursively up to res 0 (the ``h3.compact`` / S2 covering
+    normalization primitive; the cheap storage/transmission form of a
+    covering, inverse of expanding every cell to res-``res`` leaves).
+
+    Scale shape: the only corpus-sized work is the reduction to DISTINCT
+    covered cells (per-batch uniques → the ONE bounded-key shuffle every
+    tile_* rollup pays); that set is bounded by the GRID (≤ 4^res rows —
+    a constant in the corpus size, the ST5 small-side contract), so the
+    log-depth promote loop runs vectorized on the driver over ≤ 4^res
+    int64 pairs.  Output: (res, cell_id) — cell ids in each emitted
+    cell's OWN resolution (iy·2^r + ix)."""
+    from ray.data.aggregate import Sum
+
+    partials = pre_shuffle_coalesce(flat_ds.map_batches(
+        lambda b: _cell_count_partial(b, res), batch_format="pyarrow"))
+    counts = partials.groupby("cell_id").aggregate(
+        Sum("partial_n", alias_name="_n"))
+    df = counts.to_pandas()   # ≤ 4^res rows by construction
+    cells = (df["cell_id"].to_numpy(dtype=np.int64) if len(df)
+             else np.array([], np.int64))
+
+    n = np.int64(1) << res
+    ix = cells & (n - 1)
+    iy = cells >> res
+    out_res, out_cid = [], []
+    for r in range(res, 0, -1):
+        half = np.int64(1) << (r - 1)
+        pk = (iy >> 1) * half + (ix >> 1)
+        uniq, inv, cnt = np.unique(pk, return_inverse=True,
+                                   return_counts=True)
+        keep = cnt[inv] < 4              # siblings incomplete: emit at r
+        kept_cid = (iy[keep] << r) + ix[keep]
+        out_res.append(np.full(len(kept_cid), r, np.int32))
+        out_cid.append(kept_cid)
+        promoted = uniq[cnt == 4]        # fully-covered parents: recurse
+        ix = promoted & (half - 1)
+        iy = promoted >> (r - 1)
+    out_res.append(np.zeros(len(ix), np.int32))   # res-0 grid is 1×1
+    out_cid.append(iy + ix)
+    return pa.table({
+        "res": pa.array(np.concatenate(out_res), pa.int32()),
+        "cell_id": pa.array(np.concatenate(out_cid), pa.int64()),
+    })
+
+
 # ------------------------------------------------------------- KMV sketch
 
 

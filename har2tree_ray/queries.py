@@ -133,6 +133,13 @@ def q_tile_neighbor_density(sf_dir: str):
         read_interleaved(sf_dir), ["lat", "lng"]), RES)
 
 
+def q_tile_compact(sf_dir: str):
+    """Minimal mixed-resolution covering of the occupied res-RES cells
+    (H3 ``compact`` / S2 covering normalization)."""
+    return tiling.tile_compact(explode_spans(
+        read_interleaved(sf_dir), ["lat", "lng"]), RES)
+
+
 def _parsed(sf_dir: str):
     return parse_spans(flat_spans(read_interleaved(sf_dir)))
 
@@ -966,6 +973,31 @@ FROM lv GROUP BY res, cell_id
 
 
 
+def _oracle_tile_compact(path: str, res: int = RES) -> str:
+    """Level-chained compaction: l{r} = fully-covered cells promoted to
+    level r, k{r} = cells emitted AT level r (their sibling set is
+    incomplete), one CTE pair per level — the exact SQL mirror of the
+    engine's bottom-up promote loop."""
+    n = 1 << res
+    parts = [f"l{res} AS (SELECT DISTINCT cell_x AS ix, cell_y AS iy FROM cells)"]
+    for r in range(res, 0, -1):
+        parts.append(
+            f"p{r} AS (SELECT ix // 2 AS ix, iy // 2 AS iy, COUNT(*) AS nc "
+            f"FROM l{r} GROUP BY 1, 2)")
+        parts.append(
+            f"k{r} AS (SELECT l.ix, l.iy FROM l{r} l JOIN p{r} p "
+            f"ON p.ix = l.ix // 2 AND p.iy = l.iy // 2 WHERE p.nc < 4)")
+        parts.append(
+            f"l{r - 1} AS (SELECT ix, iy FROM p{r} WHERE nc = 4)")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INTEGER) AS res, iy * {1 << r} + ix AS cell_id "
+        f"FROM k{r}" for r in range(res, 0, -1))
+    unions += ("\nUNION ALL\nSELECT CAST(0 AS INTEGER) AS res, "
+               "iy + ix AS cell_id FROM l0")
+    return (_FLAT_CTE.format(path=path) + "," + _CELL_CTE.format(n=n)
+            + ", " + ",\n".join(parts) + "\n" + unions)
+
+
 def _oracle_tile_neighbors(path: str, res: int = RES) -> str:
     n = 1 << res
     return (_FLAT_CTE.format(path=path) + "," + _CELL_CTE.format(n=n) + f"""
@@ -1563,6 +1595,7 @@ _INTERLEAVED_ORACLES = {
     "tile_vectorize": _oracle_tile_vectorize,
     "tile_pyramid": _oracle_tile_pyramid,
     "tile_neighbor_density": _oracle_tile_neighbors,
+    "tile_compact": _oracle_tile_compact,
     "tile_rasterize": _oracle_tile_rasterize,
     "tile_share": lambda p: tiling.tile_share_sql(p),
     "range_join": _oracle_range_join,
@@ -1649,6 +1682,7 @@ def _queries_registry() -> dict[str, Callable]:
         "tile_vectorize": q_tile_vectorize,
         "tile_pyramid": q_tile_pyramid,
         "tile_neighbor_density": q_tile_neighbor_density,
+        "tile_compact": q_tile_compact,         # H3-compact covering (exact oracle)
         "tile_rasterize": q_tile_rasterize,     # vector→raster (exact oracle)
         "tile_share": q_tile_share,             # pyramid parent-share join
         "range_join": q_range_join,             # big×big spatial range join

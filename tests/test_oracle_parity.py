@@ -15,6 +15,7 @@ SQL_CHECKED = [
     "tile_vectorize",
     "tile_pyramid",
     "tile_neighbor_density",
+    "tile_compact",
     "tile_rasterize",
     "tile_share",
     "range_join",

@@ -313,3 +313,70 @@ def test_low_res_neighbor_aliasing_guarded():
             tiling.grid_dbscan(ds, res=res)
         with pytest.raises(ValueError, match="res >= 2"):
             tiling.tile_morans(ds, res=res)
+
+
+def test_tile_compact_roundtrip_and_minimality():
+    """H3-compact invariants against the real corpus: (1) expanding every
+    emitted cell back to res-R leaves reproduces EXACTLY the covered set
+    (lossless); (2) no emitted cell's four siblings are all present — i.e.
+    the cover is minimal (anything promotable was promoted); (3) emitted
+    cells are pairwise disjoint (no emitted cell is an ancestor of
+    another)."""
+    res = tiling.DEFAULT_RES
+    got = tiling.tile_compact(explode_spans(read_interleaved(SF),
+                                            ["lat", "lng"]), res)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+
+    df = _flat(["lat", "lng"])
+    ix, iy = geo.cell_xy(df["lat"].to_numpy(), df["lng"].to_numpy(), res)
+    covered = set(geo.cell_id(ix, iy, res).tolist())
+
+    # (1) lossless expansion
+    leaves = set()
+    for r, cid in zip(got["res"], got["cell_id"]):
+        x, y = int(cid) % (1 << r), int(cid) >> r
+        s = res - int(r)
+        for dy in range(1 << s):
+            for dx in range(1 << s):
+                leaves.add(((y << s) + dy) * (1 << res) + (x << s) + dx)
+    assert leaves == covered
+
+    # (2) minimality: at every level, no parent has all 4 children emitted
+    for r, grp in got.groupby("res"):
+        if r == 0:
+            continue
+        x = grp["cell_id"].to_numpy(np.int64) % (1 << r)
+        y = grp["cell_id"].to_numpy(np.int64) >> r
+        pk = (y >> 1) * (1 << (r - 1)) + (x >> 1)
+        _, counts = np.unique(pk, return_counts=True)
+        assert (counts < 4).all()
+
+    # (3) disjoint: no emitted cell is an ancestor of another emitted cell
+    emitted = set(zip(got["res"].astype(int), got["cell_id"].astype(int)))
+    for r, cid in emitted:
+        x, y = cid % (1 << r), cid >> r
+        for up in range(1, r + 1):
+            anc = ((y >> up) << (r - up)) + (x >> up)
+            assert (r - up, anc) not in emitted
+
+
+def test_tile_compact_deep_promotion():
+    """A fully-covered 4x4 block at res R must compact through TWO levels
+    into one res-(R-2) cell; a lone extra cell stays at res R."""
+    import ray.data as rd
+
+    res = 4
+    n = 1 << res
+    rows = []
+    # cover cells (ix, iy) for ix in 0..3, iy in 0..3 -> one res-2 cell 0
+    for cx in range(4):
+        for cy in range(4):
+            lng = (cx + 0.5) / n * 360.0 - 180.0
+            lat = 90.0 - (cy + 0.5) / n * 180.0
+            rows.append({"lat": lat, "lng": lng})
+    # lone cell at (8, 8): sibling set incomplete at every level
+    rows.append({"lat": 90.0 - 8.5 / n * 180.0, "lng": 8.5 / n * 360.0 - 180.0})
+    out = tiling.tile_compact(rd.from_items(rows), res)
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    got = sorted(zip(out["res"].astype(int), out["cell_id"].astype(int)))
+    assert got == [(2, 0), (4, 8 * n + 8)]
