@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "tile_pyramid",
     "tile_neighbor_density",
     "tile_compact",
+    "tile_outline",
     "host_rollup",
     "cookie_asof",
     "knn_referrer",

@@ -300,6 +300,78 @@ def tile_compact(flat_ds, res: int = DEFAULT_RES):
     })
 
 
+def tile_outline(flat_ds, res: int = DEFAULT_RES):
+    """Raster→vector BOUNDARY extraction: the oriented edge set of the
+    covered-cell region — a cell edge is a boundary segment iff the cell
+    across it is NOT covered (longitude wraps; beyond the poles counts as
+    outside).  The marching-squares / polygonize primitive: downstream,
+    chaining these segments yields the region's vector outline, which is
+    what a vector-tile sink ships instead of the raster.  Output:
+    (cell_id, side ∈ N/S/E/W, x0, y0, x1, y1) with endpoints in exact
+    binary-fraction degrees (``geo.cell_bounds`` forms — bit-identical to
+    the SQL oracle's arithmetic, the ``tile_vectorize`` parity contract).
+
+    Scale shape: identical to ``tile_compact`` — the corpus reduces to
+    DISTINCT covered cells via the one bounded-key shuffle every tile
+    rollup pays; the neighbor tests then run vectorized (sorted-array
+    ``searchsorted`` membership) over the grid-bounded (≤ 4^res) set."""
+    from ray.data.aggregate import Sum
+
+    partials = pre_shuffle_coalesce(flat_ds.map_batches(
+        lambda b: _cell_count_partial(b, res), batch_format="pyarrow"))
+    counts = partials.groupby("cell_id").aggregate(
+        Sum("partial_n", alias_name="_n"))
+    df = counts.to_pandas()   # ≤ 4^res rows by construction
+    cells = np.sort(df["cell_id"].to_numpy(dtype=np.int64)) if len(df) \
+        else np.array([], np.int64)
+
+    n = np.int64(1) << res
+    ix = cells & (n - 1)
+    iy = cells >> res
+
+    def _covered(nid: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(cells, nid)
+        pos = np.minimum(pos, len(cells) - 1) if len(cells) else pos
+        return (cells[pos] == nid) if len(cells) else np.zeros(len(nid), bool)
+
+    # neighbor ids per side; pole rows have no N/S neighbor (outside)
+    b_n = np.where(iy > 0, ~_covered(((iy - 1) << res) + ix), True)
+    b_s = np.where(iy < n - 1, ~_covered(((iy + 1) << res) + ix), True)
+    b_e = ~_covered((iy << res) + ((ix + 1) % n))
+    b_w = ~_covered((iy << res) + ((ix - 1) % n))
+
+    fx = ix.astype(np.float64)
+    fy = iy.astype(np.float64)
+    nf = float(n)
+    min_lng = fx / nf * 360.0 - 180.0
+    max_lng = (fx + 1.0) / nf * 360.0 - 180.0
+    max_lat = 90.0 - fy / nf * 180.0
+    min_lat = 90.0 - (fy + 1.0) / nf * 180.0
+
+    sides = [
+        ("N", b_n, min_lng, max_lat, max_lng, max_lat),
+        ("S", b_s, min_lng, min_lat, max_lng, min_lat),
+        ("E", b_e, max_lng, min_lat, max_lng, max_lat),
+        ("W", b_w, min_lng, min_lat, min_lng, max_lat),
+    ]
+    out = {"cell_id": [], "side": [], "x0": [], "y0": [], "x1": [], "y1": []}
+    for name, mask, x0, y0, x1, y1 in sides:
+        out["cell_id"].append(cells[mask])
+        out["side"].append(np.full(int(mask.sum()), name, dtype=object))
+        out["x0"].append(x0[mask])
+        out["y0"].append(y0[mask])
+        out["x1"].append(x1[mask])
+        out["y1"].append(y1[mask])
+    return pa.table({
+        "cell_id": pa.array(np.concatenate(out["cell_id"]), pa.int64()),
+        "side": pa.array(np.concatenate(out["side"]), pa.string()),
+        "x0": pa.array(np.concatenate(out["x0"]), pa.float64()),
+        "y0": pa.array(np.concatenate(out["y0"]), pa.float64()),
+        "x1": pa.array(np.concatenate(out["x1"]), pa.float64()),
+        "y1": pa.array(np.concatenate(out["y1"]), pa.float64()),
+    })
+
+
 # ------------------------------------------------------------- KMV sketch
 
 

@@ -140,6 +140,13 @@ def q_tile_compact(sf_dir: str):
         read_interleaved(sf_dir), ["lat", "lng"]), RES)
 
 
+def q_tile_outline(sf_dir: str):
+    """Raster→vector boundary edge set of the covered region (marching-
+    squares / polygonize primitive)."""
+    return tiling.tile_outline(explode_spans(
+        read_interleaved(sf_dir), ["lat", "lng"]), RES)
+
+
 def _parsed(sf_dir: str):
     return parse_spans(flat_spans(read_interleaved(sf_dir)))
 
@@ -998,6 +1005,41 @@ def _oracle_tile_compact(path: str, res: int = RES) -> str:
             + ", " + ",\n".join(parts) + "\n" + unions)
 
 
+def _oracle_tile_outline(path: str, res: int = RES) -> str:
+    """Four NOT-EXISTS branches (one per side) over the distinct covered
+    set; endpoint doubles use the exact tile_vectorize float forms."""
+    n = 1 << res
+    min_lng = f"CAST(ix AS DOUBLE) / {n}.0 * 360.0 - 180.0"
+    max_lng = f"(CAST(ix AS DOUBLE) + 1.0) / {n}.0 * 360.0 - 180.0"
+    max_lat = f"90.0 - CAST(iy AS DOUBLE) / {n}.0 * 180.0"
+    min_lat = f"90.0 - (CAST(iy AS DOUBLE) + 1.0) / {n}.0 * 180.0"
+    branches = [
+        ("N", f"c.iy = 0 OR NOT EXISTS (SELECT 1 FROM cov o "
+              f"WHERE o.ix = c.ix AND o.iy = c.iy - 1)",
+         min_lng, max_lat, max_lng, max_lat),
+        ("S", f"c.iy = {n} - 1 OR NOT EXISTS (SELECT 1 FROM cov o "
+              f"WHERE o.ix = c.ix AND o.iy = c.iy + 1)",
+         min_lng, min_lat, max_lng, min_lat),
+        ("E", f"NOT EXISTS (SELECT 1 FROM cov o "
+              f"WHERE o.ix = (c.ix + 1) % {n} AND o.iy = c.iy)",
+         max_lng, min_lat, max_lng, max_lat),
+        ("W", f"NOT EXISTS (SELECT 1 FROM cov o "
+              f"WHERE o.ix = (c.ix - 1 + {n}) % {n} AND o.iy = c.iy)",
+         min_lng, min_lat, min_lng, max_lat),
+    ]
+    unions = "\nUNION ALL\n".join(
+        f"SELECT iy * {n} + ix AS cell_id, '{s}' AS side,\n"
+        f"       {x0} AS x0, {y0} AS y0, {x1} AS x1, {y1} AS y1\n"
+        f"FROM cov c WHERE {cond}"
+        for s, cond, x0, y0, x1, y1 in branches)
+    return (_FLAT_CTE.format(path=path) + "," + _CELL_CTE.format(n=n) + f"""
+, cov AS (
+    SELECT DISTINCT cell_x AS ix, cell_y AS iy FROM cells
+)
+{unions}
+""")
+
+
 def _oracle_tile_neighbors(path: str, res: int = RES) -> str:
     n = 1 << res
     return (_FLAT_CTE.format(path=path) + "," + _CELL_CTE.format(n=n) + f"""
@@ -1596,6 +1638,7 @@ _INTERLEAVED_ORACLES = {
     "tile_pyramid": _oracle_tile_pyramid,
     "tile_neighbor_density": _oracle_tile_neighbors,
     "tile_compact": _oracle_tile_compact,
+    "tile_outline": _oracle_tile_outline,
     "tile_rasterize": _oracle_tile_rasterize,
     "tile_share": lambda p: tiling.tile_share_sql(p),
     "range_join": _oracle_range_join,
@@ -1683,6 +1726,7 @@ def _queries_registry() -> dict[str, Callable]:
         "tile_pyramid": q_tile_pyramid,
         "tile_neighbor_density": q_tile_neighbor_density,
         "tile_compact": q_tile_compact,         # H3-compact covering (exact oracle)
+        "tile_outline": q_tile_outline,         # raster→vector boundary (exact oracle)
         "tile_rasterize": q_tile_rasterize,     # vector→raster (exact oracle)
         "tile_share": q_tile_share,             # pyramid parent-share join
         "range_join": q_range_join,             # big×big spatial range join

@@ -16,6 +16,7 @@ SQL_CHECKED = [
     "tile_pyramid",
     "tile_neighbor_density",
     "tile_compact",
+    "tile_outline",
     "tile_rasterize",
     "tile_share",
     "range_join",

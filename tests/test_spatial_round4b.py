@@ -380,3 +380,58 @@ def test_tile_compact_deep_promotion():
     out = out.to_pandas() if hasattr(out, "to_pandas") else out
     got = sorted(zip(out["res"].astype(int), out["cell_id"].astype(int)))
     assert got == [(2, 0), (4, 8 * n + 8)]
+
+
+def test_tile_outline_matches_bruteforce():
+    """Edge set equals a set-based reimplementation over the corpus's
+    covered cells; Euler-style sanity: every covered cell contributes
+    4 - (#covered neighbors) edges."""
+    res = tiling.DEFAULT_RES
+    n = 1 << res
+    got = tiling.tile_outline(explode_spans(read_interleaved(SF),
+                                            ["lat", "lng"]), res)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+
+    df = _flat(["lat", "lng"])
+    ix, iy = geo.cell_xy(df["lat"].to_numpy(), df["lng"].to_numpy(), res)
+    cov = set(geo.cell_id(ix, iy, res).tolist())
+    want = set()
+    for c in cov:
+        x, y = c % n, c // n
+        if y == 0 or (y - 1) * n + x not in cov:
+            want.add((c, "N"))
+        if y == n - 1 or (y + 1) * n + x not in cov:
+            want.add((c, "S"))
+        if y * n + (x + 1) % n not in cov:
+            want.add((c, "E"))
+        if y * n + (x - 1) % n not in cov:
+            want.add((c, "W"))
+    assert set(zip(got["cell_id"].astype(int), got["side"])) == want
+    assert len(got) == len(want)
+
+
+def test_tile_outline_wrap_and_geometry():
+    """A lone cell emits 4 edges; an E/W pair across the antimeridian
+    (ix = n-1 and ix = 0, same iy) suppresses BOTH shared edges via the
+    longitude wrap; endpoint doubles follow the cell_bounds forms."""
+    import ray.data as rd
+
+    res = 4
+    n = 1 << res
+    mk = lambda cx, cy: {"lat": 90.0 - (cy + 0.5) / n * 180.0,
+                         "lng": (cx + 0.5) / n * 360.0 - 180.0}
+    lone = tiling.tile_outline(rd.from_items([mk(5, 5)]), res)
+    lone = lone.to_pandas() if hasattr(lone, "to_pandas") else lone
+    assert sorted(lone["side"]) == ["E", "N", "S", "W"]
+    north = lone[lone["side"] == "N"].iloc[0]
+    assert north["x0"] == 5 / n * 360.0 - 180.0
+    assert north["y0"] == 90.0 - 5 / n * 180.0
+    assert north["x1"] == 6 / n * 360.0 - 180.0
+
+    pair = tiling.tile_outline(rd.from_items([mk(n - 1, 7), mk(0, 7)]), res)
+    pair = pair.to_pandas() if hasattr(pair, "to_pandas") else pair
+    sides = set(zip(pair["cell_id"].astype(int), pair["side"]))
+    # the edge between them (E of n-1, W of 0) wraps: suppressed both ways
+    assert (7 * n + (n - 1), "E") not in sides
+    assert (7 * n + 0, "W") not in sides
+    assert len(pair) == 6
