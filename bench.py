@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "tile_neighbor_density",
     "tile_compact",
     "tile_outline",
+    "tile_zorder",
     "host_rollup",
     "cookie_asof",
     "knn_referrer",

@@ -300,6 +300,42 @@ def tile_compact(flat_ds, res: int = DEFAULT_RES):
     })
 
 
+def _morton_key(ix: np.ndarray, iy: np.ndarray, res: int) -> np.ndarray:
+    """Vectorized Morton (Z-order) key: bit-interleave of (ix, iy) — x bits
+    at even positions, y at odd.  Integer arithmetic only, so the SQL
+    oracle reproduces it as a 2·res-term sum."""
+    z = np.zeros(len(ix), np.int64)
+    for b in range(res):
+        z |= ((ix >> b) & 1) << (2 * b)
+        z |= ((iy >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def tile_zorder(flat_ds, res: int = DEFAULT_RES):
+    """Space-filling-curve locality key per span: the Morton (Z-order)
+    index of its res-``res`` cell.  THE co-location partitioning key of a
+    100 TB tiling run: every 4^k-aligned zkey range is exactly one
+    quadtree cell (``zkey >> 2`` IS the parent's zkey), so range-
+    partitioning the corpus by zkey keeps spatially adjacent cells in the
+    same shard and every tile_* rollup after one zkey sort is
+    range-local — the whole tile family amortizes a single shuffle.
+    Map-only, zero shuffle here.  Output: (doc_id, offset, cell_id,
+    zkey)."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        ix, iy = geo.cell_xy(lat, lng, res)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "offset": batch["offset"],
+            "cell_id": pa.array(geo.cell_id(ix, iy, res)),
+            "zkey": pa.array(_morton_key(ix, iy, res)),
+        })
+
+    return flat_ds.map_batches(per_batch, batch_format="pyarrow")
+
+
 def tile_outline(flat_ds, res: int = DEFAULT_RES):
     """Raster→vector BOUNDARY extraction: the oriented edge set of the
     covered-cell region — a cell edge is a boundary segment iff the cell

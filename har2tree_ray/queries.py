@@ -147,6 +147,12 @@ def q_tile_outline(sf_dir: str):
         read_interleaved(sf_dir), ["lat", "lng"]), RES)
 
 
+def q_tile_zorder(sf_dir: str):
+    """Morton locality key per span — the co-location partitioning key."""
+    return tiling.tile_zorder(explode_spans(
+        read_interleaved(sf_dir), ["doc_id", "offset", "lat", "lng"]), RES)
+
+
 def _parsed(sf_dir: str):
     return parse_spans(flat_spans(read_interleaved(sf_dir)))
 
@@ -1040,6 +1046,20 @@ def _oracle_tile_outline(path: str, res: int = RES) -> str:
 """)
 
 
+def _oracle_tile_zorder(path: str, res: int = RES) -> str:
+    n = 1 << res
+    terms = " + ".join(
+        f"((cell_x // {1 << b}) % 2) * {1 << (2 * b)}"
+        f" + ((cell_y // {1 << b}) % 2) * {1 << (2 * b + 1)}"
+        for b in range(res))
+    return (_FLAT_CTE.format(path=path) + "," + _CELL_CTE.format(n=n) + f"""
+SELECT doc_id, "offset",
+       cell_y * {n} + cell_x AS cell_id,
+       CAST({terms} AS BIGINT) AS zkey
+FROM cells
+""")
+
+
 def _oracle_tile_neighbors(path: str, res: int = RES) -> str:
     n = 1 << res
     return (_FLAT_CTE.format(path=path) + "," + _CELL_CTE.format(n=n) + f"""
@@ -1639,6 +1659,7 @@ _INTERLEAVED_ORACLES = {
     "tile_neighbor_density": _oracle_tile_neighbors,
     "tile_compact": _oracle_tile_compact,
     "tile_outline": _oracle_tile_outline,
+    "tile_zorder": _oracle_tile_zorder,
     "tile_rasterize": _oracle_tile_rasterize,
     "tile_share": lambda p: tiling.tile_share_sql(p),
     "range_join": _oracle_range_join,
@@ -1727,6 +1748,7 @@ def _queries_registry() -> dict[str, Callable]:
         "tile_neighbor_density": q_tile_neighbor_density,
         "tile_compact": q_tile_compact,         # H3-compact covering (exact oracle)
         "tile_outline": q_tile_outline,         # raster→vector boundary (exact oracle)
+        "tile_zorder": q_tile_zorder,           # Morton locality key (exact oracle)
         "tile_rasterize": q_tile_rasterize,     # vector→raster (exact oracle)
         "tile_share": q_tile_share,             # pyramid parent-share join
         "range_join": q_range_join,             # big×big spatial range join

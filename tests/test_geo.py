@@ -147,3 +147,21 @@ def test_tile_rasterize_fanout_bound():
     # box covers at most ceil(2.3/1.40625)+1 = 3 x ceil(0.9/0.703)+1 = 3
     assert 1 <= w[0] <= 3 and 1 <= h[0] <= 3
     assert 0 <= x0[0] <= x1[0] < n and 0 <= y0[0] <= y1[0] < n
+
+
+def test_morton_key_quadtree_alignment():
+    """zkey >> 2 IS the parent's zkey, recursively — every 4^k-aligned key
+    range is exactly one quadtree cell (the property range-partitioning by
+    zkey relies on); the key is a bijection on the grid."""
+    from har2tree_ray.pipelines.tiling import _morton_key
+
+    res = 6
+    n = 1 << res
+    ix, iy = np.meshgrid(np.arange(n, dtype=np.int64),
+                         np.arange(n, dtype=np.int64))
+    ix, iy = ix.ravel(), iy.ravel()
+    z = _morton_key(ix, iy, res)
+    assert len(np.unique(z)) == n * n and z.min() == 0 and z.max() == n * n - 1
+    for up in (1, 2, 3):
+        zp = _morton_key(ix >> up, iy >> up, res - up)
+        assert np.array_equal(z >> (2 * up), zp)

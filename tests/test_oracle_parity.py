@@ -17,6 +17,7 @@ SQL_CHECKED = [
     "tile_neighbor_density",
     "tile_compact",
     "tile_outline",
+    "tile_zorder",
     "tile_rasterize",
     "tile_share",
     "range_join",
