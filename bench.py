@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "tile_compact",
     "tile_outline",
     "tile_zorder",
+    "tile_polygonize",
     "host_rollup",
     "cookie_asof",
     "knn_referrer",

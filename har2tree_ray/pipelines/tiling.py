@@ -408,6 +408,120 @@ def tile_outline(flat_ds, res: int = DEFAULT_RES):
     })
 
 
+def tile_polygonize(flat_ds, res: int = DEFAULT_RES):
+    """Raster→vector POLYGONIZE: chain the boundary edge set of the
+    covered region (``tile_outline``) into closed rings — the actual
+    vector-tile geometry a tile sink ships (outer rings + holes).  Edges
+    are directed interior-on-the-LEFT; at corner-touch vertices (two
+    diagonally adjacent covered cells) the walk takes the leftmost turn,
+    which keeps every ring simple and non-crossing (the marching-squares
+    disambiguation rule).  Ring ids are assigned in scan order of each
+    ring's canonical (min (vy, vx)) start vertex; vertex coordinates are
+    emitted both as UNWRAPPED grid integers (vx may leave [0, n) when a
+    ring crosses the antimeridian — signed shoelace over (vx, vy) is then
+    exact, summing to ±covered-cell count) and as degrees.
+
+    Scale shape: the edge set is grid-bounded (≤ 4·4^res — the ST5
+    small-side contract, same as tile_compact/tile_outline), so the chain
+    walk runs on the driver; the corpus-sized work remains the one
+    distinct-cell shuffle.  Rows-only (ring chaining is not expressible
+    in SQL); invariants pytest-checked: edge partition, closure, and
+    |Σ signed ring areas| == covered-cell count."""
+    from ray.data.aggregate import Sum
+
+    partials = pre_shuffle_coalesce(flat_ds.map_batches(
+        lambda b: _cell_count_partial(b, res), batch_format="pyarrow"))
+    counts = partials.groupby("cell_id").aggregate(
+        Sum("partial_n", alias_name="_n"))
+    df = counts.to_pandas()
+    cells = np.sort(df["cell_id"].to_numpy(dtype=np.int64)) if len(df) \
+        else np.array([], np.int64)
+
+    n = int(1) << res
+    ix = (cells & (n - 1)).astype(int)
+    iy = (cells >> res).astype(int)
+
+    def cov(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+        nid = (cy.astype(np.int64) << res) + cx
+        if not len(cells):
+            return np.zeros(len(nid), bool)
+        pos = np.minimum(np.searchsorted(cells, nid), len(cells) - 1)
+        return (cells[pos] == nid) & (cy >= 0) & (cy < n)
+
+    # directed boundary edges, interior on the left (vertex grid: (vx, vy),
+    # vy positive southward; cell (ix, iy) corners TL=(ix,iy) TR=(ix+1,iy)
+    # BL=(ix,iy+1) BR=(ix+1,iy+1))
+    b_n = ~cov(ix, iy - 1)
+    b_s = ~cov(ix, iy + 1)
+    b_e = ~cov((ix + 1) % n, iy)
+    b_w = ~cov((ix - 1) % n, iy)
+    edges = {}   # (vx_mod, vy, dir) -> (end_vx_delta, end_vy)
+    DIRS = {"N": (-1, 0), "S": (1, 0), "E": (0, -1), "W": (0, 1)}
+    for side, mask, sx, sy in (
+            ("N", b_n, ix + 1, iy), ("S", b_s, ix, iy + 1),
+            ("E", b_e, ix + 1, iy + 1), ("W", b_w, ix, iy)):
+        d = DIRS[side]
+        for vx, vy in zip(sx[mask], sy[mask]):
+            edges[(int(vx) % n, int(vy), d)] = True
+
+    out_by_vertex: dict[tuple[int, int], list] = {}
+    for (vx, vy, d) in edges:
+        out_by_vertex.setdefault((vx, vy), []).append(d)
+
+    def left(d):
+        return (d[1], -d[0])
+
+    def right(d):
+        return (-d[1], d[0])
+
+    rings = []
+    unused = set(edges)
+    # canonical start order: scan by (vy, vx, dir) for determinism
+    for start in sorted(unused, key=lambda e: (e[1], e[0], e[2])):
+        if start not in unused:
+            continue
+        ring = []
+        vx_u, vy = start[0], start[1]      # unwrapped vx
+        cur = start
+        while True:
+            unused.discard(cur)
+            d = cur[2]
+            ring.append((vx_u, vy))
+            vx_u, vy = vx_u + d[0], vy + d[1]
+            nxt_v = ((vx_u % n + n) % n, vy)
+            cands = [c for c in out_by_vertex.get(nxt_v, ())
+                     if (nxt_v[0], nxt_v[1], c) in unused]
+            if not cands:
+                break                       # ring closed (start consumed)
+            for pref in (left(d), d, right(d)):
+                if pref in cands:
+                    nd = pref
+                    break
+            else:
+                nd = cands[0]
+            cur = (nxt_v[0], nxt_v[1], nd)
+        rings.append(ring)
+
+    out = {"ring_id": [], "seq": [], "vx": [], "vy": [],
+           "lng": [], "lat": []}
+    for rid, ring in enumerate(rings):
+        for seq, (vx_u, vy) in enumerate(ring):
+            out["ring_id"].append(rid)
+            out["seq"].append(seq)
+            out["vx"].append(vx_u)
+            out["vy"].append(vy)
+            out["lng"].append(((vx_u % n + n) % n) / float(n) * 360.0 - 180.0)
+            out["lat"].append(90.0 - vy / float(n) * 180.0)
+    return pa.table({
+        "ring_id": pa.array(out["ring_id"], pa.int64()),
+        "seq": pa.array(out["seq"], pa.int32()),
+        "vx": pa.array(out["vx"], pa.int64()),
+        "vy": pa.array(out["vy"], pa.int64()),
+        "lng": pa.array(out["lng"], pa.float64()),
+        "lat": pa.array(out["lat"], pa.float64()),
+    })
+
+
 # ------------------------------------------------------------- KMV sketch
 
 

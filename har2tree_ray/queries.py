@@ -153,6 +153,14 @@ def q_tile_zorder(sf_dir: str):
         read_interleaved(sf_dir), ["doc_id", "offset", "lat", "lng"]), RES)
 
 
+def q_tile_polygonize(sf_dir: str):
+    """Boundary edges chained into closed vector rings (rows-only: ring
+    chaining is not SQL-expressible; invariants pytest-checked — edge
+    partition, closure, |Σ signed areas| == covered-cell count)."""
+    return tiling.tile_polygonize(explode_spans(
+        read_interleaved(sf_dir), ["lat", "lng"]), RES)
+
+
 def _parsed(sf_dir: str):
     return parse_spans(flat_spans(read_interleaved(sf_dir)))
 
@@ -1749,6 +1757,7 @@ def _queries_registry() -> dict[str, Callable]:
         "tile_compact": q_tile_compact,         # H3-compact covering (exact oracle)
         "tile_outline": q_tile_outline,         # raster→vector boundary (exact oracle)
         "tile_zorder": q_tile_zorder,           # Morton locality key (exact oracle)
+        "tile_polygonize": q_tile_polygonize,   # boundary→closed rings (rows-only)
         "tile_rasterize": q_tile_rasterize,     # vector→raster (exact oracle)
         "tile_share": q_tile_share,             # pyramid parent-share join
         "range_join": q_range_join,             # big×big spatial range join

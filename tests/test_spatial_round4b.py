@@ -435,3 +435,65 @@ def test_tile_outline_wrap_and_geometry():
     assert (7 * n + (n - 1), "E") not in sides
     assert (7 * n + 0, "W") not in sides
     assert len(pair) == 6
+
+
+def test_tile_polygonize_invariants():
+    """Rings partition the outline edge set exactly; every ring is closed
+    (cyclic successor returns to start) with length >= 4; the SIGNED
+    shoelace areas over unwrapped grid coords sum to exactly
+    ±covered-cell count (outer rings and holes cancel to the raster
+    area — the polygonizer's exactness contract)."""
+    res = tiling.DEFAULT_RES
+    flat = explode_spans(read_interleaved(SF), ["lat", "lng"])
+    rings = tiling.tile_polygonize(flat, res)
+    rings = rings.to_pandas() if hasattr(rings, "to_pandas") else rings
+    outline = tiling.tile_outline(explode_spans(read_interleaved(SF),
+                                                ["lat", "lng"]), res)
+    outline = outline.to_pandas() if hasattr(outline, "to_pandas") else outline
+
+    df = _flat(["lat", "lng"])
+    ix, iy = geo.cell_xy(df["lat"].to_numpy(), df["lng"].to_numpy(), res)
+    n_covered = len(np.unique(geo.cell_id(ix, iy, res)))
+
+    assert len(rings) == len(outline)          # edge partition: one vertex/edge
+    total_area = 0.0
+    for _, g in rings.groupby("ring_id"):
+        g = g.sort_values("seq")
+        assert len(g) >= 4
+        x = g["vx"].to_numpy(np.int64)
+        y = g["vy"].to_numpy(np.int64)
+        # closure: every step (cyclic) moves exactly one grid unit
+        dx = np.diff(np.append(x, x[0]))
+        dy = np.diff(np.append(y, y[0]))
+        assert (np.abs(dx) + np.abs(dy) == 1).all()
+        total_area += float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)) / 2.0
+    assert abs(abs(total_area) - n_covered) < 1e-9
+
+
+def test_tile_polygonize_hole_and_corner_touch():
+    """A 3x3 block with its center missing yields an outer ring (area 9,
+    one sign) plus a hole ring (area 1, opposite sign), net ±8; two
+    corner-touching cells resolve into TWO simple 4-edge rings (the
+    left-turn marching-squares rule), never one figure-eight."""
+    import ray.data as rd
+
+    res = 4
+    n = 1 << res
+    mk = lambda cx, cy: {"lat": 90.0 - (cy + 0.5) / n * 180.0,
+                         "lng": (cx + 0.5) / n * 360.0 - 180.0}
+    block = [mk(x, y) for x in range(4, 7) for y in range(4, 7)
+             if not (x == 5 and y == 5)]
+    out = tiling.tile_polygonize(rd.from_items(block), res)
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    areas = []
+    for _, g in out.groupby("ring_id"):
+        g = g.sort_values("seq")
+        x, y = g["vx"].to_numpy(float), g["vy"].to_numpy(float)
+        areas.append(float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)) / 2.0)
+    assert sorted(round(abs(a)) for a in areas) == [1, 9]
+    assert abs(abs(sum(areas)) - 8) < 1e-9
+
+    touch = tiling.tile_polygonize(rd.from_items([mk(2, 2), mk(3, 3)]), res)
+    touch = touch.to_pandas() if hasattr(touch, "to_pandas") else touch
+    sizes = touch.groupby("ring_id").size().tolist()
+    assert sorted(sizes) == [4, 4]
