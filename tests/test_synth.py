@@ -87,8 +87,8 @@ def test_registry_counts_and_ordering():
     import __ray_entry__ as m
 
     q, o = m.queries(), m.oracle_sql()
-    assert len(q) == 128, len(q)
-    assert len(o) == 112, len(o)
+    assert len(q) == 132, len(q)
+    assert len(o) == 115, len(o)
     assert set(o) <= set(q)
     names = list(q)
     first_oracled = [n in o for n in names]
