@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "doc_decontam",
     "doc_pii",
     "doc_repetition",
+    "doc_compress_ratio",
     "doc_mix",
     "doc_dup_spans",
     "doc_sample_stratified",

@@ -513,6 +513,11 @@ def q_doc_repetition(sf_dir: str):
     return text.repetition_stats(_docs(sf_dir))
 
 
+def q_doc_compress_ratio(sf_dir: str):
+    """Compression-ratio quality signal (rows-only: SQL has no zlib)."""
+    return text.compress_ratio(_docs(sf_dir))
+
+
 def q_doc_mix(sf_dir: str):
     return text.doc_mix(
         read_table(sf_dir, "documents", columns=["doc_id", "source"]))
@@ -1806,6 +1811,7 @@ def _queries_registry() -> dict[str, Callable]:
         "doc_pii": q_doc_pii,                    # PII scan counts
         "doc_dup_spans": q_doc_dup_spans,        # duplicate n-gram spans (Lee et al.)
         "doc_repetition": q_doc_repetition,      # Gopher repetition signals
+        "doc_compress_ratio": q_doc_compress_ratio,  # zlib signal — rows-only
         "doc_mix": q_doc_mix,                    # weighted per-source mixing
         "doc_sample_stratified": q_doc_sample_stratified,  # per-(source,lang) top-k
         "doc_split": q_doc_split,                # train/val/test holdout split

@@ -2046,3 +2046,34 @@ JOIN tc tb ON tb.tok = y.tok
 CROSS JOIN n
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------- compression signal
+
+
+def compress_ratio(ds):
+    """Compression-ratio quality signal (the Gopher / FineWeb-family
+    compressibility heuristic): templated or highly repetitive text
+    compresses far below natural prose, so
+    ``ratio_permille = len(zlib(text)) * 1000 // len(utf8(text))`` is a
+    cheap per-document repetition/boilerplate score complementing the
+    explicit duplicate-line/ngram signals of ``repetition_stats``.
+    zlib level pinned at 6 for determinism.  Map-only, zero shuffle;
+    rows-only (SQL has no zlib) — brute-force + discrimination pytest in
+    test_training_ops.py."""
+    import zlib
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        raw = [len(t.encode("utf-8")) for t in texts]
+        comp = [len(zlib.compress(t.encode("utf-8"), 6)) for t in texts]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "raw_bytes": pa.array(raw, pa.int64()),
+            "compressed_bytes": pa.array(comp, pa.int64()),
+            "ratio_permille": pa.array(
+                [c * 1000 // r if r else 1000 for c, r in zip(comp, raw)],
+                pa.int64()),
+        })
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

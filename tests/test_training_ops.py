@@ -693,3 +693,40 @@ def test_doc_term_cooccur_bruteforce():
     assert len(got_s) == len(want_s) and len(got_s) > 0
     pd.testing.assert_frame_equal(got_s[want_s.columns.tolist()], want_s,
                                   check_dtype=False)
+
+
+def test_doc_compress_ratio_bruteforce_and_discrimination():
+    """Matches direct zlib on the same parquet; and the signal actually
+    discriminates: pure repetition compresses far below prose."""
+    import zlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from har2tree_ray.queries import queries
+
+    sf = "/root/testdata/sf0.001"
+    got = queries()["doc_compress_ratio"](sf)
+    got = (got.to_pandas() if hasattr(got, "to_pandas") else got)
+    raw = pq.read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"]).to_pandas()
+    want = pd.DataFrame({
+        "doc_id": raw["doc_id"],
+        "raw_bytes": [len(t.encode()) for t in raw["text"]],
+        "compressed_bytes": [len(zlib.compress(t.encode(), 6))
+                             for t in raw["text"]],
+    })
+    want["ratio_permille"] = [
+        c * 1000 // r if r else 1000
+        for c, r in zip(want["compressed_bytes"], want["raw_bytes"])]
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    w = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g[w.columns], w, check_dtype=False)
+
+    from har2tree_ray.stages.text import compress_ratio
+    two = compress_ratio(rd.from_items(
+        [{"doc_id": "rep", "text": "spam ham " * 500},
+         {"doc_id": "nat", "text": " ".join(f"w{i}x{i*7%13}" for i in range(1000))}]
+    )).to_pandas().set_index("doc_id")
+    assert two.loc["rep", "ratio_permille"] < two.loc["nat", "ratio_permille"] / 3
