@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "event_window_distinct",
     "tile_topk_hosts",
     "host_reciprocity",
+    "host_kcore",
     "event_burst_windows",
     "trajectory_od",
     "tile_hhi",

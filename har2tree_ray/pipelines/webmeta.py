@@ -2267,3 +2267,78 @@ SELECT CAST(COUNT(*) AS BIGINT) AS m,
        CAST(SUM(db.deg * db.deg) AS BIGINT) AS sum_b2
 FROM e JOIN d da ON da.h = e.a JOIN d db ON db.h = e.b
 """
+
+
+# -------------------------------------------------------- core decomposition
+
+
+def host_kcore(flat_ds):
+    """Core decomposition of the undirected host referral graph:
+    ``core(h)`` = the largest k such that h belongs to a subgraph in which
+    every node has degree ≥ k (graph degeneracy / k-core peel — the
+    standard "dense-subgraph layer" analytic completing the host-graph
+    family next to triangles/clustering/components).
+
+    Plan: the canonical DISTINCT edge set is built exactly as
+    host_triangles stage 1 (batch-local canonical pairs → ONE crc32
+    pair-range exchange with per-range drop_duplicates), then gathered
+    ONCE to the driver — host-PAIR-sized, the same ST5 bounded working
+    set host_rank/triangles argue — where the exact min-degree peel runs
+    (lazy-deletion heap, O(E log V)).  Escalation for an unbounded host
+    table: the distributed iterative peel (repeat per k: degree rollup →
+    drop nodes with deg < k → re-rollup), one bounded exchange per round
+    over the same canonical edge Dataset — the host_components
+    escalation pattern.
+
+    Rows-only (iterative peeling has no SQL form; fixpoint-per-k is not
+    recursive-CTE-expressible with aggregates): invariants pytest-checked
+    against an independent per-k maximal-subgraph computation
+    (tests/test_webmeta.py)."""
+    import heapq
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..util import pre_shuffle_coalesce, user_range_groupby
+
+    def canon_partial(batch: pa.Table) -> pa.Table:
+        src, dst = _referral_pairs(batch)
+        t = pa.table({"s": pa.array(src, pa.string()),
+                      "d": pa.array(dst, pa.string())})
+        lo = pc.min_element_wise(t["s"], t["d"])
+        hi = pc.max_element_wise(t["s"], t["d"])
+        return (pa.table({"a": lo, "b": hi})
+                .group_by(["a", "b"]).aggregate([("a", "count")])
+                .rename_columns(["a", "b", "_n"]))
+
+    edges = user_range_groupby(
+        pre_shuffle_coalesce(
+            flat_ds.select_columns(["text", "hostname"]).map_batches(
+                canon_partial, batch_format="pyarrow")),
+        lambda df: df.drop_duplicates(["a", "b"])[["a", "b"]],
+        key="a").to_pandas()
+
+    adj: dict[str, set] = {}
+    for a, b in zip(edges["a"], edges["b"]):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {h: len(s) for h, s in adj.items()}
+    heap = [(d, h) for h, d in deg.items()]
+    heapq.heapify(heap)
+    core: dict[str, int] = {}
+    k = 0
+    while heap:
+        d, h = heapq.heappop(heap)
+        if h in core or d != deg[h]:
+            continue            # stale lazy-deletion entry
+        k = max(k, d)
+        core[h] = k
+        for nb in adj[h]:
+            if nb not in core:
+                deg[nb] -= 1
+                heapq.heappush(heap, (deg[nb], nb))
+    hosts = sorted(core)
+    return pa.table({
+        "hostname": pa.array(hosts, pa.string()),
+        "core": pa.array([core[h] for h in hosts], pa.int64()),
+    })

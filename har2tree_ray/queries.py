@@ -225,6 +225,13 @@ def q_host_reciprocity(sf_dir: str):
         read_interleaved(sf_dir), ["text", "hostname"]))
 
 
+def q_host_kcore(sf_dir: str):
+    """Core decomposition (k-core peel) of the undirected host referral
+    graph (rows-only: iterative peeling has no SQL form)."""
+    return webmeta.host_kcore(explode_spans(
+        read_interleaved(sf_dir), ["text", "hostname"]))
+
+
 def q_host_clustering(sf_dir: str):
     """Local clustering coefficient per host in exact integers
     (deg, n_wedges, n_triangles) — reuses the triangle plan's bounded
@@ -1847,6 +1854,7 @@ def _queries_registry() -> dict[str, Callable]:
         "host_triangles": q_host_triangles,   # degree-ordered triangle count
         "host_clustering": q_host_clustering,  # clustering coeff (exact ints)
         "host_reciprocity": q_host_reciprocity,  # mutual-link counts
+        "host_kcore": q_host_kcore,           # core decomposition — rows-only
         "span_identifiers": q_span_identifiers,
         "cookies_never_sent": q_cookies_never_sent,
         "cookies_locally_created": q_cookies_locally_created,  # D4 jar sidecar

@@ -484,3 +484,67 @@ def test_host_components_unconverged_raises():
         out = to_pandas(webmeta.host_components(rd.from_items(chain),
                                                 max_iters=64, **kw))
         assert set(out["component"]) == {"h000.ex"}
+
+
+def test_host_kcore_invariants_and_known_graph():
+    """Corpus check: for every emitted core value k, the set
+    {h : core(h) >= k} must equal the maximal subgraph with min degree
+    >= k computed by an independent iterative-removal pass; known-graph
+    check: K4 (core 3) + a 4-cycle (core 2) + a pendant path (core 1)."""
+    import numpy as np
+    import ray.data as rd
+
+    from har2tree_ray.pipelines import webmeta
+    from har2tree_ray.queries import queries
+
+    got = queries()["host_kcore"](SF)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    core = dict(zip(got["hostname"], got["core"].astype(int)))
+    assert len(core) > 0
+
+    # rebuild the same undirected distinct edge set independently
+    from har2tree_ray.pipelines.webmeta import _referral_pairs
+    from har2tree_ray.queries import read_interleaved
+    from har2tree_ray.stages.normalize import explode_spans
+
+    flat = explode_spans(read_interleaved(SF), ["text", "hostname"])
+    pairs = set()
+    for batch in flat.iter_batches(batch_format="pyarrow"):
+        import pyarrow as pa
+
+        s, d = _referral_pairs(pa.table(batch) if not isinstance(batch, pa.Table) else batch)
+        for a, b in zip(s, d):
+            pairs.add((min(a, b), max(a, b)))
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    assert set(core) == set(adj)
+    for k in sorted(set(core.values())):
+        sub = {h: set(n) for h, n in ((h, adj[h]) for h in adj)}
+        changed = True
+        while changed:
+            drop = [h for h, n in sub.items() if len(n) < k]
+            changed = bool(drop)
+            for h in drop:
+                for nb in sub[h]:
+                    sub[nb].discard(h)
+                del sub[h]
+        assert set(sub) == {h for h, c in core.items() if c >= k}, k
+
+    # known graph: K4 ∪ C4 ∪ pendant path, fed as synthetic spans
+    def span(host, ref):
+        return {"text": f"@referer=https://{ref}/p", "hostname": host}
+
+    k4 = [("a.k4", "b.k4"), ("a.k4", "c.k4"), ("a.k4", "d.k4"),
+          ("b.k4", "c.k4"), ("b.k4", "d.k4"), ("c.k4", "d.k4")]
+    c4 = [("w.c4", "x.c4"), ("x.c4", "y.c4"), ("y.c4", "z.c4"),
+          ("z.c4", "w.c4")]
+    path = [("p.p", "q.p"), ("q.p", "r.p")]
+    rows = [span(b, a) for a, b in k4 + c4 + path]
+    out = webmeta.host_kcore(rd.from_items(rows))
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    cmap = dict(zip(out["hostname"], out["core"].astype(int)))
+    assert all(cmap[h] == 3 for h in ("a.k4", "b.k4", "c.k4", "d.k4"))
+    assert all(cmap[h] == 2 for h in ("w.c4", "x.c4", "y.c4", "z.c4"))
+    assert all(cmap[h] == 1 for h in ("p.p", "q.p", "r.p"))
