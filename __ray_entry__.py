@@ -5,7 +5,7 @@ function here (or in har2tree_ray) calls ``ray.init``/``ray.shutdown``.
 
 ``entry()`` runs the flagship pipeline (interleaved docs → flatten/normalize
 → tile rollup) at sf0.001.  ``queries()``/``oracle_sql()`` expose every
-implemented operator per SURVEY.md §2 — 134 queries, 115 with exact DuckDB
+implemented operator per SURVEY.md §2 — 135 queries, 115 with exact DuckDB
 oracles (counts asserted by ``tests/test_synth.py`` so they cannot go
 stale); the oracle is omitted only for the genuinely non-SQL-expressible
 ones (the consume-once tree cascade family, approximate/scale-path variants,

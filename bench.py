@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "tile_topk_hosts",
     "host_reciprocity",
     "host_kcore",
+    "host_bridges",
     "event_burst_windows",
     "trajectory_od",
     "tile_hhi",

@@ -2296,27 +2296,7 @@ def host_kcore(flat_ds):
     (tests/test_webmeta.py)."""
     import heapq
 
-    import numpy as np
-    import pyarrow.compute as pc
-
-    from ..util import pre_shuffle_coalesce, user_range_groupby
-
-    def canon_partial(batch: pa.Table) -> pa.Table:
-        src, dst = _referral_pairs(batch)
-        t = pa.table({"s": pa.array(src, pa.string()),
-                      "d": pa.array(dst, pa.string())})
-        lo = pc.min_element_wise(t["s"], t["d"])
-        hi = pc.max_element_wise(t["s"], t["d"])
-        return (pa.table({"a": lo, "b": hi})
-                .group_by(["a", "b"]).aggregate([("a", "count")])
-                .rename_columns(["a", "b", "_n"]))
-
-    edges = user_range_groupby(
-        pre_shuffle_coalesce(
-            flat_ds.select_columns(["text", "hostname"]).map_batches(
-                canon_partial, batch_format="pyarrow")),
-        lambda df: df.drop_duplicates(["a", "b"])[["a", "b"]],
-        key="a").to_pandas()
+    edges = _canonical_edge_df(flat_ds)
 
     adj: dict[str, set] = {}
     for a, b in zip(edges["a"], edges["b"]):
@@ -2341,4 +2321,92 @@ def host_kcore(flat_ds):
     return pa.table({
         "hostname": pa.array(hosts, pa.string()),
         "core": pa.array([core[h] for h in hosts], pa.int64()),
+    })
+
+
+def _canonical_edge_df(flat_ds):
+    """DISTINCT canonical (a < b) undirected host referral edges, gathered
+    to the driver — the host-PAIR-bounded ST5 working set shared by
+    host_kcore/host_bridges (built exactly as host_triangles stage 1: one
+    crc32 pair-range exchange, per-range drop_duplicates)."""
+    import pyarrow.compute as pc
+
+    from ..util import pre_shuffle_coalesce, user_range_groupby
+
+    def canon_partial(batch: pa.Table) -> pa.Table:
+        src, dst = _referral_pairs(batch)
+        t = pa.table({"s": pa.array(src, pa.string()),
+                      "d": pa.array(dst, pa.string())})
+        lo = pc.min_element_wise(t["s"], t["d"])
+        hi = pc.max_element_wise(t["s"], t["d"])
+        return (pa.table({"a": lo, "b": hi})
+                .group_by(["a", "b"]).aggregate([("a", "count")])
+                .rename_columns(["a", "b", "_n"]))
+
+    return user_range_groupby(
+        pre_shuffle_coalesce(
+            flat_ds.select_columns(["text", "hostname"]).map_batches(
+                canon_partial, batch_format="pyarrow")),
+        lambda df: df.drop_duplicates(["a", "b"])[["a", "b"]],
+        key="a").to_pandas()
+
+
+def host_bridges(flat_ds):
+    """BRIDGE edges of the undirected host referral graph: edges whose
+    removal disconnects their component (cut edges / Tarjan low-link) —
+    the connectivity-structure analytic next to components/kcore: a
+    bridge is exactly a single-point-of-failure referral path between
+    host clusters.
+
+    Plan: the canonical distinct edge set (one bounded pair-range
+    exchange, ``_canonical_edge_df``) gathered once — host-pair-bounded —
+    then an ITERATIVE Tarjan DFS (explicit stack: no recursion limit on
+    path-like graphs) computing disc/low; edge (u, v) is a bridge iff
+    low[v] > disc[u].  Deterministic: roots and neighbors visited in
+    sorted order.  Escalation for an unbounded host table: bridge =
+    edge absent from every cycle — distributed cycle-membership via the
+    components machinery on the edge-deleted graph, one candidate edge
+    class per round.  Rows-only (low-link has no SQL form); brute-force
+    removal pytest in tests/test_webmeta.py."""
+    edges = _canonical_edge_df(flat_ds)
+    adj: dict[str, list] = {}
+    for a, b in zip(edges["a"], edges["b"]):
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    for h in adj:
+        adj[h].sort()
+
+    disc: dict[str, int] = {}
+    low: dict[str, int] = {}
+    bridges: list[tuple[str, str]] = []
+    t = 0
+    for root in sorted(adj):
+        if root in disc:
+            continue
+        # iterative DFS: stack of (node, parent, neighbor-iterator)
+        disc[root] = low[root] = t
+        t += 1
+        stack = [(root, None, iter(adj[root]))]
+        while stack:
+            u, parent, it = stack[-1]
+            advanced = False
+            for v in it:
+                if v not in disc:
+                    disc[v] = low[v] = t
+                    t += 1
+                    stack.append((v, u, iter(adj[v])))
+                    advanced = True
+                    break
+                elif v != parent:
+                    low[u] = min(low[u], disc[v])
+            if not advanced:
+                stack.pop()
+                if parent is not None:
+                    low[parent] = min(low[parent], low[u])
+                    if low[u] > disc[parent]:
+                        bridges.append((min(parent, u), max(parent, u)))
+    bridges.sort()
+    return pa.table({
+        "a": pa.array([x[0] for x in bridges], pa.string()),
+        "b": pa.array([x[1] for x in bridges], pa.string()),
     })

@@ -232,6 +232,13 @@ def q_host_kcore(sf_dir: str):
         read_interleaved(sf_dir), ["text", "hostname"]))
 
 
+def q_host_bridges(sf_dir: str):
+    """Bridge (cut) edges of the undirected host referral graph
+    (rows-only: Tarjan low-link has no SQL form)."""
+    return webmeta.host_bridges(explode_spans(
+        read_interleaved(sf_dir), ["text", "hostname"]))
+
+
 def q_host_clustering(sf_dir: str):
     """Local clustering coefficient per host in exact integers
     (deg, n_wedges, n_triangles) — reuses the triangle plan's bounded
@@ -1855,6 +1862,7 @@ def _queries_registry() -> dict[str, Callable]:
         "host_clustering": q_host_clustering,  # clustering coeff (exact ints)
         "host_reciprocity": q_host_reciprocity,  # mutual-link counts
         "host_kcore": q_host_kcore,           # core decomposition — rows-only
+        "host_bridges": q_host_bridges,       # cut edges (Tarjan) — rows-only
         "span_identifiers": q_span_identifiers,
         "cookies_never_sent": q_cookies_never_sent,
         "cookies_locally_created": q_cookies_locally_created,  # D4 jar sidecar

@@ -87,7 +87,7 @@ def test_registry_counts_and_ordering():
     import __ray_entry__ as m
 
     q, o = m.queries(), m.oracle_sql()
-    assert len(q) == 134, len(q)
+    assert len(q) == 135, len(q)
     assert len(o) == 115, len(o)
     assert set(o) <= set(q)
     names = list(q)

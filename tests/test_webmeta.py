@@ -548,3 +548,57 @@ def test_host_kcore_invariants_and_known_graph():
     assert all(cmap[h] == 3 for h in ("a.k4", "b.k4", "c.k4", "d.k4"))
     assert all(cmap[h] == 2 for h in ("w.c4", "x.c4", "y.c4", "z.c4"))
     assert all(cmap[h] == 1 for h in ("p.p", "q.p", "r.p"))
+
+
+def test_host_bridges_bruteforce_and_known_graph():
+    """Corpus check: an edge is reported iff its removal disconnects its
+    endpoints (BFS reachability test per edge — exact definition of a
+    bridge); known graph: two triangles joined by one edge — exactly that
+    joining edge is the bridge, pendant edges are bridges too."""
+    import ray.data as rd
+
+    from har2tree_ray.pipelines import webmeta
+    from har2tree_ray.pipelines.webmeta import _canonical_edge_df
+    from har2tree_ray.queries import queries, read_interleaved
+    from har2tree_ray.stages.normalize import explode_spans
+
+    got = queries()["host_bridges"](SF)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    reported = set(zip(got["a"], got["b"]))
+
+    flat = explode_spans(read_interleaved(SF), ["text", "hostname"])
+    edges = _canonical_edge_df(flat)
+    pairs = sorted(zip(edges["a"], edges["b"]))
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def connected(u, v, skip):
+        seen, stack = {u}, [u]
+        while stack:
+            x = stack.pop()
+            if x == v:
+                return True
+            for nb in adj[x]:
+                if (min(x, nb), max(x, nb)) == skip or nb in seen:
+                    continue
+                seen.add(nb)
+                stack.append(nb)
+        return False
+
+    want = {(a, b) for a, b in pairs if not connected(a, b, (a, b))}
+    assert reported == want
+    assert len(want) > 0  # the synth graph has pendant referral edges
+
+    def span(host, ref):
+        return {"text": f"@referer=https://{ref}/p", "hostname": host}
+
+    tri1 = [("a.x", "b.x"), ("b.x", "c.x"), ("a.x", "c.x")]
+    tri2 = [("d.x", "e.x"), ("e.x", "f.x"), ("d.x", "f.x")]
+    join = [("c.x", "d.x")]
+    pend = [("f.x", "g.x")]
+    rows = [span(b, a) for a, b in tri1 + tri2 + join + pend]
+    out = webmeta.host_bridges(rd.from_items(rows))
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    assert set(zip(out["a"], out["b"])) == {("c.x", "d.x"), ("f.x", "g.x")}
