@@ -412,10 +412,15 @@ def tile_polygonize(flat_ds, res: int = DEFAULT_RES):
     """Raster→vector POLYGONIZE: chain the boundary edge set of the
     covered region (``tile_outline``) into closed rings — the actual
     vector-tile geometry a tile sink ships (outer rings + holes).  Edges
-    are directed interior-on-the-LEFT; at corner-touch vertices (two
-    diagonally adjacent covered cells) the walk takes the leftmost turn,
-    which keeps every ring simple and non-crossing (the marching-squares
-    disambiguation rule).  Ring ids are assigned in scan order of each
+    are directed interior-on-the-LEFT; at saddle vertices (a diagonal
+    cell pair) the walk takes the leftmost turn — the FOREGROUND-4-
+    CONNECTED marching-squares convention: two diagonally touching
+    covered cells stay two separate simple rings, and (by planar
+    duality) two diagonally touching uncovered pockets are ONE
+    8-connected hole whose single ring revisits the pinch vertex —
+    touching itself there but never crossing (both pinned by pytest;
+    the dual convention is impossible to satisfy on both sides of a
+    saddle at once).  Ring ids are assigned in scan order of each
     ring's canonical (min (vy, vx)) start vertex; vertex coordinates are
     emitted both as UNWRAPPED grid integers (vx may leave [0, n) when a
     ring crosses the antimeridian — signed shoelace over (vx, vy) is then

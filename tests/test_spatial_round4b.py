@@ -497,3 +497,37 @@ def test_tile_polygonize_hole_and_corner_touch():
     touch = touch.to_pandas() if hasattr(touch, "to_pandas") else touch
     sizes = touch.groupby("ring_id").size().tolist()
     assert sorted(sizes) == [4, 4]
+
+
+def test_tile_polygonize_pinched_hole_convention():
+    """Foreground-4-connectivity saddle convention (planar duality): two
+    DIAGONALLY touching uncovered pockets inside a covered block are one
+    8-connected hole — ONE ring that revisits the pinch vertex exactly
+    twice, touching but not crossing (every step still unit-length, area
+    contract still exact: |Σ signed areas| = 16 - 2 = 14)."""
+    import ray.data as rd
+
+    res = 4
+    n = 1 << res
+    mk = lambda cx, cy: {"lat": 90.0 - (cy + 0.5) / n * 180.0,
+                         "lng": (cx + 0.5) / n * 360.0 - 180.0}
+    # 4x4 covered block minus two diagonal pockets sharing one vertex
+    block = [mk(x, y) for x in range(4, 8) for y in range(4, 8)
+             if (x, y) not in ((6, 5), (5, 6))]
+    out = tiling.tile_polygonize(rd.from_items(block), res)
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    areas, ring_lens, pinch_revisits = [], [], 0
+    for _, g in out.groupby("ring_id"):
+        g = g.sort_values("seq")
+        x = g["vx"].to_numpy(np.int64)
+        y = g["vy"].to_numpy(np.int64)
+        dx = np.diff(np.append(x, x[0]))
+        dy = np.diff(np.append(y, y[0]))
+        assert (np.abs(dx) + np.abs(dy) == 1).all()   # closed, unit steps
+        areas.append(float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)) / 2.0)
+        ring_lens.append(len(g))
+        pinch_revisits += int(np.sum((x == 6) & (y == 6)))
+    # one outer 16-edge ring + ONE merged 8-edge hole ring (not two 4-rings)
+    assert sorted(ring_lens) == [8, 16]
+    assert pinch_revisits == 2 + 0  # hole ring visits (6,6) twice; outer never
+    assert abs(abs(sum(areas)) - 14) < 1e-9
